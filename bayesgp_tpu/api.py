@@ -1,0 +1,181 @@
+"""`model_fit` — the main entry point (reference: R/02_model_fit.R:309-701).
+
+Accepts a formula string (same `f()` vocabulary as the reference) or
+pre-built term objects, assembles the model, runs inference
+(aghq | nlminb | MCMC), draws M posterior samples, and returns a
+FitResult with the reference's sample-index partitions.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import formula as formula_mod
+from . import terms as terms_mod
+from .model import build as build_mod
+from .inference import aghq as aghq_mod
+from .inference import laplace as laplace_mod
+from .inference import sampling as sampling_mod
+from .postfit import FitResult
+
+
+def _as_dict_of_arrays(data):
+    """Accept dict-of-arrays or pandas DataFrame."""
+    if hasattr(data, "columns"):  # pandas
+        return {c: np.asarray(data[c]) for c in data.columns}
+    return {k: np.asarray(v) for k, v in data.items()}
+
+
+def _normalize_control_fixed(control_fixed, fixed_names):
+    """Per-coefficient N(mean, 1/prec) priors with 0.01/0 defaults
+    (reference R/02_model_fit.R:586-616)."""
+    cf = dict(control_fixed) if control_fixed else {}
+    out = {}
+    for name in fixed_names:
+        ent = dict(cf.get(name, {}))
+        ent.setdefault("prec", 0.01)
+        ent.setdefault("mean", 0.0)
+        out[name] = ent
+    return out
+
+
+def _normalize_control_family(control_family):
+    """Gaussian-noise sd prior defaults (reference R/02_model_fit.R:75-122)."""
+    if control_family is None:
+        return {"sd_prior": {"prior": "exp", "param": {"u": 1.0, "alpha": 0.5}}}
+    cf = dict(control_family)
+    sdp = cf.get("sd_prior", cf.get("sd.prior"))
+    cf["sd_prior"] = terms_mod.normalize_sd_prior(sdp)
+    return cf
+
+
+def model_fit(formula=None, data=None, method: str = "aghq",
+              family: str = "Gaussian", control_family=None,
+              control_fixed=None, aghq_k: int = 4, size=None, cens=None,
+              weight=None, strata=None, M: int = 3000, env=None,
+              customized_re=None, option_list=None, seed: int = 0,
+              terms=None, fixed=None, response=None) -> FitResult:
+    """Fit a Bayesian hierarchical GP model.
+
+    Either pass `formula` (string) + `data`, or `response=`/`fixed=`/
+    `terms=` explicitly (terms = list of RandomEffectCall or TermDesign).
+    `size`/`cens`/`weight`/`strata` name columns in `data` (Binomial /
+    Coxph / case-crossover extras).
+    """
+    data = _as_dict_of_arrays(data)
+
+    if formula is not None:
+        parsed = formula_mod.parse_formula(formula, env)
+        response = parsed.response
+        fixed = parsed.fixed_effects
+        re_calls = parsed.rand_effects
+    else:
+        if response is None:
+            raise ValueError("need formula= or response=")
+        fixed = list(fixed or [])
+        re_calls = list(terms or [])
+
+    family_is_coxph = family in ("Coxph", "coxph")
+    family_is_cc = family in ("casecrossover", "cc", "CaseCrossover")
+
+    if family_is_coxph:
+        # reference sorts the data by the response (R/02_model_fit.R:346-350)
+        order = np.argsort(data[response], kind="stable")
+        data = {k: v[order] for k, v in data.items()}
+
+    instances = []
+    for call in re_calls:
+        if isinstance(call, terms_mod.TermDesign):
+            instances.append(call)
+        else:
+            instances.append(terms_mod.build_term_from_call(
+                call, data, env=env, customized_re=customized_re))
+
+    n = len(data[response])
+    design_mat_fixed = []
+    fixed_names = []
+    if not (family_is_coxph or family_is_cc):
+        design_mat_fixed.append(np.ones((n, 1)))
+        fixed_names.append("intercept")
+    for fe in fixed:
+        design_mat_fixed.append(np.asarray(data[fe], np.float64).reshape(n, 1))
+        fixed_names.append(fe)
+
+    control_fixed_n = _normalize_control_fixed(control_fixed, fixed_names)
+    control_family_n = _normalize_control_family(control_family)
+    bf_prec = np.array([control_fixed_n[nm]["prec"] for nm in fixed_names])
+    bf_mean = np.array([control_fixed_n[nm]["mean"] for nm in fixed_names])
+
+    cc_arrays = None
+    if family_is_cc:
+        if strata is None or strata not in data:
+            raise ValueError("case-crossover needs strata= naming a data column")
+        w_arr = data[weight] if (weight is not None and weight in data) else None
+        cc_arrays = build_mod.build_cc_strata(
+            np.asarray(data[response]), np.asarray(data[strata]), w_arr)
+
+    md = build_mod.build_model_data(
+        instances, design_mat_fixed, np.asarray(data[response], np.float64),
+        family, control_family=control_family_n,
+        control_fixed_prec=bf_prec, control_fixed_mean=bf_mean,
+        size=(data[size] if size else None),
+        cens=(data[cens] if (cens and cens in data) else None),
+        cc_arrays=cc_arrays)
+
+    theta_count = md.n_theta
+    if theta_count == 0 and method != "nlminb":
+        raise ValueError(
+            "For model with no hyper-parameter, the method cannot be aghq or MCMC.")
+    if method == "nlminb" and theta_count != 0:
+        raise ValueError(
+            "For model with hyper-parameter, the method should be aghq or MCMC.")
+
+    key = jax.random.PRNGKey(seed)
+    mod = None
+    samps = None
+    theta_samps = None
+    if method == "aghq":
+        mod = aghq_mod.aghq_fit(md, k=aghq_k)
+        samps, _, theta_samps = sampling_mod.sample_marginal(key, mod, M)
+    elif method == "nlminb":
+        theta = jnp.zeros((0,), md.A.dtype)
+        Ws, H, L = jax.jit(
+            lambda th: laplace_mod.laplace_mode_hess(th, md))(theta)
+        mod = {"mean": np.asarray(Ws), "prec": np.asarray(H)}
+        samps = sampling_mod.sample_mvn_precision(key, Ws, H, M)
+        theta_samps = np.zeros((M, 0))
+    elif method == "MCMC":
+        from .inference import mcmc as mcmc_mod
+        opts = mcmc_mod.default_option_list(option_list)
+        mod, samps, theta_samps = mcmc_mod.mcmc_fit(md, M=M, options=opts)
+    else:
+        raise ValueError(f"unknown method '{method}'")
+
+    # --- sample-index partitions (reference R/02_model_fit.R:627-675) ---
+    sum_col_ins = sum(md.d_sizes)
+    random_samp_indexes = {}
+    boundary_samp_indexes = {}
+    off_coef = 0
+    off_bdry = sum_col_ins
+    for t in instances:
+        dcols = t.B.shape[1]
+        random_samp_indexes[t.smoothing_var] = np.arange(off_coef, off_coef + dcols)
+        off_coef += dcols
+        xcols = t.X.shape[1]
+        if t.kind in ("IWP", "sGP"):
+            boundary_samp_indexes[t.smoothing_var] = np.arange(
+                off_bdry, off_bdry + xcols)
+            off_bdry += xcols
+    fixed_samp_indexes = {}
+    for i, nm in enumerate(fixed_names):
+        fixed_samp_indexes[nm] = np.array([md.fixed_offset() + i])
+
+    return FitResult(
+        instances=instances, mod=mod, md=md, method=method, family=family,
+        samps=samps, theta_samps=theta_samps,
+        random_samp_indexes=random_samp_indexes,
+        boundary_samp_indexes=boundary_samp_indexes,
+        fixed_samp_indexes=fixed_samp_indexes,
+        control_family=control_family_n, control_fixed=control_fixed_n,
+        fixed_names=fixed_names, M=M)

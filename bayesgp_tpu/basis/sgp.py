@@ -1,0 +1,159 @@
+"""Seasonal GP (sGP) sB-basis and precision construction.
+
+The sGP(a, sigma) prior solves f'' + a^2 f = sigma * xi(t); it is
+approximated with the sB basis: cubic B-splines multiplied by cos(a x) and
+sin(a x), plus the plain B-splines, harmonically stacked over i = 1..m.
+
+Reference behavior reproduced (cited file:line into /root/reference):
+ - `Compute_B_sB`:        R/01_utility.R:177-195
+ - `Compute_B_sB_helper`: R/01_utility.R:198-208
+ - `Compute_Q_sB` (Gram-matrix precision Q = a^4 G + C + a^2 (M + M^T)
+   assembled from numerically integrated inner products on a grid of step
+   `accuracy`): R/01_utility.R:67-174
+ - `global_poly_helper_sGP` (cos/sin harmonics): R/01_utility.R:430-440
+
+All host-side NumPy, float64, einsum-based (the reference loops over ~30
+sparse-matrix triple products; here each Gram block is one weighted matmul).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .bsplines import eval_bspline_basis
+
+
+def compute_B_sB(x, a: float, k: int, region, boundary: bool = True) -> np.ndarray:
+    """[B*cos(ax) | B*sin(ax) | B] design columns. Reference R/01_utility.R:177-195."""
+    x = np.asarray(x, dtype=np.float64)
+    lo, hi = float(np.min(region)), float(np.max(region))
+    dropind = (1, 2) if boundary else ()
+    B = eval_bspline_basis(x, lo, hi, nbasis=k, norder=4, deriv=0, dropind=dropind)
+    c = np.cos(a * x)[:, None]
+    s = np.sin(a * x)[:, None]
+    return np.concatenate([B * c, B * s, B], axis=1)
+
+
+def compute_B_sB_helper(refined_x, a: float, k: int, m: int, region,
+                        boundary: bool = True, initial_location=None) -> np.ndarray:
+    """Harmonic stacking over i=1..m. Reference R/01_utility.R:198-208."""
+    refined_x = np.asarray(refined_x, dtype=np.float64)
+    if initial_location is None:
+        initial_location = refined_x.min()
+    xs = refined_x - initial_location
+    blocks = [compute_B_sB(xs, a * i, k, region, boundary) for i in range(1, m + 1)]
+    return np.concatenate(blocks, axis=1)
+
+
+def global_poly_sgp(refined_x, a: float, m: int, initial_location=None) -> np.ndarray:
+    """[cos(i a x), sin(i a x)]_{i=1..m} harmonics. Reference R/01_utility.R:430-440."""
+    refined_x = np.asarray(refined_x, dtype=np.float64)
+    if initial_location is not None:
+        refined_x = refined_x - initial_location
+    cols = []
+    for i in range(1, m + 1):
+        cols.append(np.cos(i * a * refined_x))
+        cols.append(np.sin(i * a * refined_x))
+    return np.stack(cols, axis=1)
+
+
+def compute_Q_sB(a: float, k: int, region, accuracy: float = 0.01,
+                 boundary: bool = True) -> np.ndarray:
+    """Precision of one sB harmonic block: Q = a^4 G + C + a^2 (M + M^T).
+
+    G, C, M are Gram matrices of the sB basis (phi), its second derivative,
+    and their cross products, numerically integrated with left-Riemann
+    weights diff(c(0, x)) on the `accuracy` grid — replicated exactly from
+    the reference (R/01_utility.R:67-174), including the first weight being
+    min(region) - 0.
+    """
+    lo, hi = float(np.min(region)), float(np.max(region))
+    # R's seq(lo, hi, by=accuracy) — stops at the last point <= hi (+ fp slop)
+    nsteps = int(np.floor((hi - lo) / accuracy + 1e-10))
+    x = lo + accuracy * np.arange(nsteps + 1)
+
+    dropind = (1, 2) if boundary else ()
+    B0 = eval_bspline_basis(x, lo, hi, k, 4, deriv=0, dropind=dropind)
+    B1 = eval_bspline_basis(x, lo, hi, k, 4, deriv=1, dropind=dropind)
+    B2 = eval_bspline_basis(x, lo, hi, k, 4, deriv=2, dropind=dropind)
+
+    c = np.cos(a * x)[:, None]
+    s = np.sin(a * x)[:, None]
+    Bc, B1c, B2c = B0 * c, B1 * c, B2 * c
+    Bs, B1s, B2s = B0 * s, B1 * s, B2 * s
+
+    w = np.diff(np.concatenate([[0.0], x]))  # left-Riemann weights, first = lo
+
+    def ip(Xm, Ym):
+        return Xm.T @ (w[:, None] * Ym)
+
+    def ss(Mm):
+        return Mm + Mm.T
+
+    # T blocks (cos-cos), L (sin-sin), I (sin-cos)
+    T00, T10, T11 = ip(Bc, Bc), ip(B1c, Bc), ip(B1c, B1c)
+    T20, T21, T22 = ip(B2c, Bc), ip(B2c, B1c), ip(B2c, B2c)
+    L00, L10, L11 = ip(Bs, Bs), ip(B1s, Bs), ip(B1s, B1s)
+    L20, L21, L22 = ip(B2s, Bs), ip(B2s, B1s), ip(B2s, B2s)
+    I00, I10, I11 = ip(Bs, Bc), ip(B1s, Bc), ip(B1s, B1c)
+    I20, I21, I22 = ip(B2s, Bc), ip(B2s, B1c), ip(B2s, B2c)
+
+    BB, B2B2, BB2 = ip(B0, B0), ip(B2, B2), ip(B0, B2)
+    BS, BC = ip(B0, Bs), ip(B0, Bc)
+    BS1, BC1 = ip(B0, B1s), ip(B0, B1c)
+    BS2, BC2 = ip(B0, B2s), ip(B0, B2c)
+    B2S, B2C = ip(B2, Bs), ip(B2, Bc)
+    B2S1, B2C1 = ip(B2, B1s), ip(B2, B1c)
+    B2S2, B2C2 = ip(B2, B2s), ip(B2, B2c)
+
+    a2, a3, a4 = a ** 2, a ** 3, a ** 4
+
+    G = np.block([[T00, I00.T, BC.T],
+                  [I00, L00, BS.T],
+                  [BC, BS, BB]])
+
+    C11 = T22 - 2 * a * ss(I21) - a2 * ss(T20) + 2 * a3 * ss(I10) + 4 * a2 * L11 + a4 * T00
+    C22 = L22 + 2 * a * ss(I21) - a2 * ss(L20) - 2 * a3 * ss(I10) + 4 * a2 * T11 + a4 * L00
+    C12 = (I22 + 2 * a * T21 - a2 * ss(I20) - 2 * a * L21.T - 4 * a2 * I11
+           + 2 * a3 * L10 - 2 * a3 * T10.T + a4 * I00)
+    C13 = B2C2.T - 2 * a * B2S1.T - a2 * B2C.T
+    C23 = B2S2.T + 2 * a * B2C1.T - a2 * B2S.T
+    C33 = B2B2
+    C = np.block([[C11, C12, C13],
+                  [C12.T, C22, C23],
+                  [C13.T, C23.T, C33]])
+
+    M11 = T20.T - 2 * a * I10.T - a2 * T00
+    M12 = I20.T + 2 * a * T10.T - a2 * I00
+    M21 = I20.T - 2 * a * L10.T - a2 * I00
+    M22 = L20.T + 2 * a * I10.T - a2 * L00
+    M13 = B2C.T
+    M23 = B2S.T
+    M31 = BC2 - 2 * a * BS1 - a2 * BC
+    M32 = BS2 + 2 * a * BC1 - a2 * BS
+    M33 = BB2
+    M = np.block([[M11, M12, M13],
+                  [M21, M22, M23],
+                  [M31, M32, M33]])
+
+    Q = a4 * G + C + a2 * ss(M)
+    # Matrix::forceSymmetric uses the upper triangle (R/01_utility.R:173)
+    return np.triu(Q) + np.triu(Q, 1).T
+
+
+def compute_Q_sgp_stacked(a: float, k: int, m: int, region,
+                          accuracy: float = 0.01, boundary: bool = True) -> np.ndarray:
+    """Block-diagonal stack of harmonic precisions (reference
+    `compute_P` sGP method, R/01_utility.R:255-272).
+
+    Note the reference calls Compute_Q_sB there WITHOUT forwarding
+    `boundary` (always its default TRUE) — replicated via default arg.
+    """
+    blocks = [compute_Q_sB(a * i, k, region, accuracy, boundary)
+              for i in range(1, m + 1)]
+    size = sum(b.shape[0] for b in blocks)
+    Q = np.zeros((size, size))
+    off = 0
+    for b in blocks:
+        Q[off:off + b.shape[0], off:off + b.shape[0]] = b
+        off += b.shape[0]
+    return Q

@@ -1,0 +1,159 @@
+"""Laplace approximation over the latent block W.
+
+TPU-native replacement for the TMB runtime's `MakeADFun(random="W")` inner
+machinery (invoked at R/02_model_fit.R:276-284): a Newton solver for
+W*(theta) under `lax.while_loop`, a Cholesky log-determinant, and the
+Laplace-marginal negative log likelihood
+
+    nll(theta) = f(W*, theta) + 1/2 log|H(W*, theta)| - d_W/2 log(2 pi).
+
+Differentiability: the while_loop solve is wrapped in stop_gradient and
+followed by `n_refine` unrolled Newton steps. The Newton map N(W, theta)
+has zero Jacobian in W at the fixed point, so one refine step yields exact
+first derivatives of W*(theta) and two yield exact second derivatives —
+this replaces both TMB's implicit-function adjoints and the reference's
+numDeriv finite differences (R/02_model_fit.R:283).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import cho_factor, cho_solve, solve_triangular
+
+from ..model.objective import neg_log_post, hessian_W
+
+LOG2PI = math.log(2.0 * math.pi)
+
+
+def _newton_direction(W, theta, md):
+    """(gradient, step, decrement) — decrement = g^T H^{-1} g is the
+    natural function-scale convergence measure (lambda^2)."""
+    g = jax.grad(neg_log_post, argnums=0)(W, theta, md)
+    H = hessian_W(W, theta, md)
+    cf = cho_factor(H, lower=True)
+    step = cho_solve(cf, g)
+    return g, step, jnp.dot(g, step)
+
+
+def newton_step(W, theta, md):
+    """One damped Newton step with step-halving line search (max 30).
+
+    The acceptance test tolerates fp-noise-level increases
+    (1e-10 * (1 + |f|)) so that full Newton steps keep being taken near
+    the optimum where f is flat to machine precision but the gradient can
+    still be driven down — the half-logdet term of the Laplace marginal
+    is first-order sensitive to the latent-mode error, so the inner
+    gradient must reach ~1e-8, not just f-stationarity.
+    """
+    _, step, _ = _newton_direction(W, theta, md)
+    f0 = neg_log_post(W, theta, md)
+
+    def ls_cond(state):
+        alpha, it = state
+        f_try = neg_log_post(W - alpha * step, theta, md)
+        bad = jnp.logical_or(jnp.isnan(f_try),
+                             f_try > f0 + 1e-10 * (1.0 + jnp.abs(f0)))
+        return jnp.logical_and(bad, it < 30)
+
+    def ls_body(state):
+        alpha, it = state
+        return alpha * 0.5, it + 1
+
+    alpha, _ = jax.lax.while_loop(ls_cond, ls_body, (jnp.asarray(1.0, W.dtype), 0))
+    return W - alpha * step
+
+
+def newton_solve(theta, md, W0=None, gtol=1e-8, max_iter=100):
+    """Converge W*(theta) with Newton iterations under lax.while_loop.
+
+    Stops on |grad|_inf < gtol (TMB's inner criterion) or when the Newton
+    decrement falls below fp resolution of f (no further progress
+    possible), or at max_iter.
+    """
+    if W0 is None:
+        W0 = jnp.zeros((md.w_count,), md.A.dtype)
+
+    def cond(state):
+        W, it = state
+        g, _, dec = _newton_direction(W, theta, md)
+        f = neg_log_post(W, theta, md)
+        not_done = jnp.logical_and(jnp.max(jnp.abs(g)) > gtol,
+                                   dec > 1e-15 * (1.0 + jnp.abs(f)))
+        return jnp.logical_and(not_done, it < max_iter)
+
+    def body(state):
+        W, it = state
+        return newton_step(W, theta, md), it + 1
+
+    W, _ = jax.lax.while_loop(cond, body, (W0, 0))
+    return W
+
+
+def _refine(W, theta, md):
+    """Undamped Newton step (differentiable polish at the fixed point)."""
+    g = jax.grad(neg_log_post, argnums=0)(W, theta, md)
+    H = hessian_W(W, theta, md)
+    cf = cho_factor(H, lower=True)
+    return W - cho_solve(cf, g)
+
+
+def solve_W_star(theta, md, W0=None, n_refine=2, gtol=1e-8, max_iter=100):
+    """W*(theta), differentiable in theta (see module docstring)."""
+    Wc = jax.lax.stop_gradient(
+        newton_solve(jax.lax.stop_gradient(theta), md, W0=W0,
+                     gtol=gtol, max_iter=max_iter))
+    for _ in range(n_refine):
+        Wc = _refine(Wc, theta, md)
+    return Wc
+
+
+def laplace_nll(theta, md, W0=None, n_refine=2, gtol=1e-8, max_iter=100):
+    """Negative log Laplace-approximate marginal likelihood of theta.
+
+    Matches TMB's `ff$fn(theta)` with random="W" up to solver tolerance.
+    Returns (nll, W_star) so callers can warm-start/reuse the mode.
+    """
+    Ws = solve_W_star(theta, md, W0=W0, n_refine=n_refine, gtol=gtol,
+                      max_iter=max_iter)
+    H = hessian_W(Ws, theta, md)
+    half_logdet = half_logdet_psd(H)
+    val = (neg_log_post(Ws, theta, md) + half_logdet
+           - 0.5 * md.w_count * LOG2PI)
+    return val, Ws
+
+
+def half_logdet_psd(H):
+    """1/2 log|H| via Jacobi-equilibrated Cholesky.
+
+    H mixes likelihood curvature (huge) with weak prior precisions, so its
+    condition number can reach ~1e8; a raw Cholesky logdet then carries
+    fp noise ~ w * eps * kappa (~1e-5) which corrupts the outer
+    optimization of the Laplace marginal. Scaling to unit diagonal first
+    (log|H| = log|D H D| - 2 sum log D_ii with D = diag(H)^{-1/2}) removes
+    the scale disparity; the correction term is smooth.
+    """
+    d = jnp.sqrt(jnp.diagonal(H))
+    Hs = H / d[:, None] / d[None, :]
+    L = jnp.linalg.cholesky(Hs)
+    return jnp.sum(jnp.log(jnp.diagonal(L))) + jnp.sum(jnp.log(d))
+
+
+def laplace_mode_hess(theta, md, W0=None, gtol=1e-8, max_iter=100):
+    """(W*, H, chol_lower(H)) at theta — for sampling W | theta."""
+    Ws = newton_solve(theta, md, W0=W0, gtol=gtol, max_iter=max_iter)
+    H = hessian_W(Ws, theta, md)
+    L = jnp.linalg.cholesky(H)
+    return Ws, H, L
+
+
+def sample_gaussian_from_chol(key, mean, L, M):
+    """M samples of N(mean, (L L^T)^{-1}) via triangular solves.
+
+    L is the lower Cholesky of the PRECISION H; samples = mean + L^-T z.
+    """
+    z = jax.random.normal(key, (mean.shape[0], M), dtype=mean.dtype)
+    dev = solve_triangular(L, z, lower=True, trans=1)
+    return mean[:, None] + dev

@@ -1,0 +1,128 @@
+"""Likelihood families as pure JAX functions of the linear predictor.
+
+TPU-native rewrite of the family dispatch in the reference's C++ objective
+(src/BayesGP.cpp:155-214). Each family exposes:
+  - `log_lik(eta, md, theta)` — scalar log likelihood
+  - `eta_hessian_kind(fam)` — "diag" (elementwise) or "full"
+  - `eta_weights(eta, md, theta)` — diag of d^2(-ll)/d eta^2 for "diag"
+  - `eta_hessian_full(eta, md, theta)` — (n, n) for structured families
+
+The Cox partial likelihood (O(n^2) nested loops at src/BayesGP.cpp:170-194)
+is vectorized as a suffix log-cum-sum-exp over the time-sorted data via
+`lax.associative_scan` (logaddexp is associative — O(log n) depth on TPU).
+The case-crossover conditional likelihood (src/BayesGP.cpp:196-210) is a
+masked padded logsumexp, seeded with the reference's implicit exp(0) term.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import gammaln
+
+
+def _suffix_logsumexp(eta):
+    """s[i] = logsumexp(eta[i:]) via an associative scan (parallel on TPU)."""
+    rev = eta[::-1]
+    cum = jax.lax.associative_scan(jnp.logaddexp, rev)
+    return cum[::-1]
+
+
+def log_lik(eta, md, theta):
+    fam = md.family
+    y = md.y
+    if fam == 0:    # Gaussian; sigma = exp(-theta_last/2) (BayesGP.cpp:159-161)
+        sigma = jnp.exp(-0.5 * theta[-1])
+        return jnp.sum(-0.5 * jnp.log(2 * jnp.pi) - jnp.log(sigma)
+                       - 0.5 * ((y - eta) / sigma) ** 2)
+    if fam == 1:    # Poisson log link (BayesGP.cpp:163-165)
+        return jnp.sum(y * eta - jnp.exp(eta) - gammaln(y + 1.0))
+    if fam == 2:    # Binomial logit, dbinom_robust (BayesGP.cpp:166-168)
+        size = md.size
+        lchoose = gammaln(size + 1.0) - gammaln(y + 1.0) - gammaln(size - y + 1.0)
+        return jnp.sum(lchoose + y * eta - size * jax.nn.softplus(eta))
+    if fam == 3:    # Cox PH partial likelihood (BayesGP.cpp:170-194)
+        # data pre-sorted by response; risk set of i = suffix from rank_i - 1
+        s = _suffix_logsumexp(eta)
+        risk_lse = s[md.ranks - 1]
+        return jnp.sum(md.cens * (eta - risk_lse))
+    if fam == 4:    # case-crossover conditional likelihood (BayesGP.cpp:196-210)
+        eta_case = eta[md.case_day - 1]
+        mask = md.control_days > 0
+        idx = jnp.where(mask, md.control_days - 1, 0)
+        z = jnp.where(mask, eta[idx] - eta_case[:, None], -jnp.inf)
+        # logspace_add chain seeded at 0 => implicit extra exp(0) term
+        zmax = jnp.maximum(jnp.max(jnp.where(mask, z, -jnp.inf), axis=1), 0.0)
+        denom = zmax + jnp.log(
+            jnp.exp(-zmax)
+            + jnp.sum(jnp.where(mask, jnp.exp(z - zmax[:, None]), 0.0), axis=1))
+        return -jnp.sum(md.count * denom)
+    if fam == -2:   # prior only (BayesGP.cpp:212-214)
+        return jnp.asarray(0.0, eta.dtype)
+    raise ValueError(f"unknown family code {fam}")
+
+
+def eta_hessian_kind(fam: int) -> str:
+    return "diag" if fam in (0, 1, 2, -2) else "full"
+
+
+def eta_weights(eta, md, theta):
+    """Diagonal of d^2(-log_lik)/d eta^2 for elementwise families."""
+    fam = md.family
+    if fam == 0:
+        return jnp.full(eta.shape, jnp.exp(theta[-1]))  # 1/sigma^2
+    if fam == 1:
+        return jnp.exp(eta)
+    if fam == 2:
+        p = jax.nn.sigmoid(eta)
+        return md.size * p * (1.0 - p)
+    if fam == -2:
+        return jnp.zeros(eta.shape, eta.dtype)
+    raise ValueError(f"family {fam} is not elementwise")
+
+
+def eta_hessian_full(eta, md, theta):
+    """Exact (n, n) Hessian of -log_lik in eta for Coxph / case-crossover."""
+    fam = md.family
+    n = eta.shape[0]
+    if fam == 3:
+        s = _suffix_logsumexp(eta)                    # (n,)
+        # Pmat[i, j] = softmax over risk set of i = exp(eta_j - s[r_i]) 1[j >= r_i]
+        r = md.ranks - 1
+        j_idx = jnp.arange(n)[None, :]
+        in_risk = j_idx >= r[:, None]
+        Pmat = jnp.where(in_risk, jnp.exp(eta[None, :] - s[r][:, None]), 0.0)
+        c = md.cens
+        diag_term = jnp.diag(jnp.sum(c[:, None] * Pmat, axis=0))
+        return diag_term - Pmat.T @ (c[:, None] * Pmat)
+    if fam == 4:
+        # -ll = sum_i count_i * log(1 + sum_j exp(z_ij)), z_ij = eta_cd - eta_case
+        eta_case = eta[md.case_day - 1]
+        mask = md.control_days > 0
+        idx = jnp.where(mask, md.control_days - 1, 0)
+        z = jnp.where(mask, eta[idx] - eta_case[:, None], -jnp.inf)
+        zmax = jnp.maximum(jnp.max(jnp.where(mask, z, -jnp.inf), axis=1), 0.0)
+        denom = zmax + jnp.log(
+            jnp.exp(-zmax)
+            + jnp.sum(jnp.where(mask, jnp.exp(z - zmax[:, None]), 0.0), axis=1))
+        q = jnp.where(mask, jnp.exp(z - denom[:, None]), 0.0)  # (nc, K)
+        nc, K = q.shape
+        # Build M = sum_i count_i [ sum_j q_ij v_ij v_ij^T - g_i g_i^T ]
+        # where v_ij = e_{cd_ij} - e_{case_i},  g_i = sum_j q_ij v_ij,
+        # via dense scatter matrices (nc*K small for reference workloads).
+        rows_cd = idx.reshape(-1)                      # (nc*K,)
+        rows_case = jnp.repeat(md.case_day - 1, K)
+        qflat = (q * md.count[:, None]).reshape(-1)
+        # E1 = sum q_ij c_i (e_cd - e_case)(e_cd - e_case)^T
+        M = jnp.zeros((n, n), eta.dtype)
+        M = M.at[rows_cd, rows_cd].add(qflat)
+        M = M.at[rows_case, rows_case].add(qflat)
+        M = M.at[rows_cd, rows_case].add(-qflat)
+        M = M.at[rows_case, rows_cd].add(-qflat)
+        # g_i = sum_j q_ij (e_cd - e_case): sparse vector per case
+        # G matrix (nc, n): scatter q into cd cols, -sum q into case col
+        G = jnp.zeros((nc, n), eta.dtype)
+        G = G.at[jnp.arange(nc)[:, None], idx].add(q)
+        G = G.at[jnp.arange(nc), md.case_day - 1].add(-jnp.sum(q, axis=1))
+        M = M - G.T @ (md.count[:, None] * G)
+        return M
+    raise ValueError(f"family {fam} has no full-hessian path")

@@ -1,0 +1,413 @@
+"""Post-fit posterior analysis (reference layer L3, R/03_post_fit.R).
+
+FitResult holds posterior samples + index maps; everything here works off
+those cached samples — inference never re-runs (mirroring the reference,
+which caches `samps` in the fit object, R/03_post_fit.R:31, 58).
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import numpy as np
+
+from .basis import osplines, sgp as sgp_basis
+from .basis.priors import compute_d_step_sgp_sd
+
+
+def extract_mean_interval_given_samps(x, samples, level: float = 0.95):
+    """Row-wise mean + pointwise quantile envelope
+    (reference R/03_post_fit.R:287-296; R type-7 quantiles = numpy default).
+    Returns dict with x, plower, pupper, mean."""
+    alpha = 1.0 - level
+    return {
+        "x": np.asarray(x),
+        "plower": np.quantile(samples, alpha / 2, axis=1),
+        "pupper": np.quantile(samples, level + alpha / 2, axis=1),
+        "mean": np.mean(samples, axis=1),
+    }
+
+
+def compute_post_fun_iwp(samps, global_samps, knots, refined_x, p,
+                         degree: int = 0, intercept_samps=None):
+    """Posterior draws of the IWP component (or its derivative) at
+    refined_x (reference compute_post_fun_IWP, R/03_post_fit.R:200-241).
+
+    f_draws = X_global . global_samps (+ intercept) + B . coef_samps with
+    basis order p - degree and factorial rescaling of the monomials."""
+    if p <= degree:
+        raise ValueError("derivative degree must be < IWP order")
+    M = samps.shape[1]
+    if global_samps is None:
+        global_samps = np.zeros((p - 1, M))
+    if global_samps.shape[0] != p - 1:
+        raise ValueError("global_samps has wrong number of rows for order p")
+    if intercept_samps is None:
+        intercept_samps = np.zeros((1, M))
+    g = np.vstack([intercept_samps, global_samps])  # (p, M)
+
+    B = osplines.local_poly_helper(knots, refined_x, p=p - degree)
+    if p - degree >= 1:
+        X = osplines.global_poly_helper(refined_x, p=p)[:, :p - degree]
+        X = X * np.array([
+            math.factorial(i + degree) / math.factorial(i)
+            for i in range(p - degree)])[None, :]
+        f = X @ g[degree:p] + B @ samps
+    else:
+        f = B @ samps
+    return np.asarray(refined_x), f
+
+
+def compute_post_fun_sgp(samps, global_samps, k, refined_x, a, region,
+                         boundary: bool = True, m: int = 1,
+                         intercept_samps=None):
+    """Posterior draws of the sGP component at refined_x
+    (reference compute_post_fun_sGP, R/03_post_fit.R:261-276)."""
+    M = samps.shape[1]
+    B = sgp_basis.compute_B_sB_helper(refined_x, a=a, k=k, m=m, region=region,
+                                      boundary=boundary, initial_location=None)
+    X = np.concatenate([np.ones((len(refined_x), 1)),
+                        sgp_basis.global_poly_sgp(refined_x, a=a, m=m)], axis=1)
+    if intercept_samps is None:
+        intercept_samps = np.zeros((1, M))
+    if global_samps is None:
+        global_samps = np.zeros((2 * m, M))
+    g = np.vstack([intercept_samps, global_samps])
+    f = X @ g + B @ samps
+    return np.asarray(refined_x), f
+
+
+@dataclass
+class FitResult:
+    instances: list
+    mod: Any
+    md: Any
+    method: str
+    family: str
+    samps: np.ndarray            # (w, M)
+    theta_samps: np.ndarray      # (M, s)
+    random_samp_indexes: dict
+    boundary_samp_indexes: dict
+    fixed_samp_indexes: dict
+    control_family: dict
+    control_fixed: dict
+    fixed_names: list
+    M: int
+
+    # ------------------------------------------------------------------
+    def _instance_for(self, variable):
+        hits = [t for t in self.instances if t.smoothing_var == variable]
+        if len(hits) >= 2:
+            raise ValueError(
+                "more than one random effect shares this variable name; "
+                "refit with distinct names")
+        if not hits:
+            raise ValueError(f"variable '{variable}' not in the fitted model")
+        return hits[0]
+
+    def predict(self, variable: str, newdata=None, degree: int = 0,
+                include_intercept: bool = True, only_samples: bool = False,
+                level: float = 0.95):
+        """Posterior of the GP component at new locations
+        (reference predict.FitResult, R/03_post_fit.R:53-125).
+
+        NOTE (reference parity): output rows are in sorted-x order."""
+        if self.family in ("Coxph", "coxph", "cc", "casecrossover",
+                           "CaseCrossover"):
+            include_intercept = False
+        inst = self._instance_for(variable)
+        gl_idx = self.boundary_samp_indexes.get(variable, np.array([], int))
+        global_samps = self.samps[gl_idx, :] if len(gl_idx) else None
+        coefsamps = self.samps[self.random_samp_indexes[variable], :]
+        if include_intercept and "intercept" in self.fixed_samp_indexes:
+            intercept_samps = self.samps[self.fixed_samp_indexes["intercept"], :]
+        else:
+            intercept_samps = None
+
+        if newdata is None:
+            refined_x = inst.observed_x
+        else:
+            col = newdata[variable] if not hasattr(newdata, "columns") \
+                else newdata[variable].values
+            refined_x = np.sort(np.asarray(col, np.float64)
+                                - inst.initial_location)
+
+        if inst.kind == "IWP":
+            x, f = compute_post_fun_iwp(
+                coefsamps, global_samps, inst.knots, refined_x, inst.order,
+                degree=degree, intercept_samps=intercept_samps)
+        elif inst.kind == "sGP":
+            x, f = compute_post_fun_sgp(
+                coefsamps, global_samps, inst.k, refined_x, inst.a,
+                inst.region, boundary=inst.boundary, m=inst.m,
+                intercept_samps=intercept_samps)
+        else:
+            raise ValueError(f"predict not defined for {inst.kind} terms")
+        x = x + inst.initial_location
+        if only_samples:
+            return x, f
+        out = extract_mean_interval_given_samps(x, f, level=level)
+        out[variable] = out.pop("x")
+        return out
+
+    # ------------------------------------------------------------------
+    def sample_fixed_effect(self, variables):
+        """(M, len(variables)) samples of named fixed effects
+        (reference R/03_post_fit.R:159-165)."""
+        if isinstance(variables, str):
+            variables = [variables]
+        idx = np.concatenate([self.fixed_samp_indexes[v] for v in variables])
+        return self.samps[idx, :].T
+
+    def fixed_effects_summary(self):
+        """R summary()-style table for the fixed effects
+        (reference summary.FitResult, R/03_post_fit.R:30-41): rows
+        1stQu/Median/Mean/3rdQu/sd per coefficient."""
+        rows = {}
+        for name, idx in self.fixed_samp_indexes.items():
+            s = self.samps[idx[0], :]
+            rows[name] = {
+                "1st Qu.": float(np.quantile(s, 0.25)),
+                "Median": float(np.quantile(s, 0.5)),
+                "Mean": float(np.mean(s)),
+                "3rd Qu.": float(np.quantile(s, 0.75)),
+                "sd": float(np.std(s, ddof=1)),
+            }
+        return rows
+
+    def theta_summary(self):
+        """Moments/quantiles of each theta (aghq method only)."""
+        from .inference.aghq import summarize_marginals, AGHQFit
+        if not isinstance(self.mod, AGHQFit):
+            return None
+        rows = summarize_marginals(self.mod)
+        names = []
+        for t in self.instances:
+            names.append(f"theta({t.smoothing_var})")
+        while len(names) < len(rows):
+            names.append("theta(family)")
+        return dict(zip(names, rows))
+
+    def summary(self):
+        """Print a summary (reference summary.FitResult, R/03_post_fit.R:1-42)."""
+        lines = []
+        if self.method == "aghq":
+            lines.append(
+                f"AGHQ on the hyperparameters with {self.mod.k} quadrature "
+                f"points\nlog normalizing constant: {self.mod.lognormconst:.6f}")
+            lines.append("\nHere are some moments and quantiles for the "
+                         "log precision:\n")
+            ts = self.theta_summary()
+            hdr = f"{'':>16} {'mean':>10} {'sd':>10} {'2.5%':>10} {'median':>10} {'97.5%':>10}"
+            lines.append(hdr)
+            for name, r in ts.items():
+                lines.append(f"{name:>16} {r['mean']:>10.6f} {r['sd']:>10.6f} "
+                             f"{r['q2.5']:>10.6f} {r['median']:>10.6f} "
+                             f"{r['q97.5']:>10.6f}")
+        fx = self.fixed_effects_summary()
+        if fx:
+            lines.append("\nHere are some moments and quantiles for the "
+                         "fixed effects: \n")
+            hdr = f"{'':>12} {'1st Qu.':>10} {'Median':>10} {'Mean':>10} {'3rd Qu.':>10} {'sd':>10}"
+            lines.append(hdr)
+            for name, r in fx.items():
+                lines.append(f"{name:>12} {r['1st Qu.']:>10.5f} "
+                             f"{r['Median']:>10.5f} {r['Mean']:>10.5f} "
+                             f"{r['3rd Qu.']:>10.5f} {r['sd']:>10.5f}")
+        text = "\n".join(lines)
+        print(text)
+        return text
+
+    def plot(self, variable=None, ax=None):
+        """Mean + 95% interval plot per GP component
+        (reference plot.FitResult, R/03_post_fit.R:127-151)."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        vars_ = ([variable] if variable else
+                 [t.smoothing_var for t in self.instances
+                  if t.kind in ("IWP", "sGP")])
+        axes = []
+        for v in vars_:
+            pred = self.predict(v)
+            fig, a = (None, ax) if ax is not None else plt.subplots()
+            a.plot(pred[v], pred["mean"], "k-", lw=2)
+            a.plot(pred[v], pred["plower"], "k--", lw=1)
+            a.plot(pred[v], pred["pupper"], "k--", lw=1)
+            a.set_xlabel(v)
+            a.set_ylabel("effect")
+            axes.append(a)
+        return axes
+
+    # ------------------------------------------------------------------
+    def var_density(self, component=None, h=None, theta_logprior=None):
+        """Posterior/prior density of an SD parameter
+        (reference var_density, R/03_post_fit.R:309-443)."""
+        from .inference.aghq import compute_pdf_and_cdf, AGHQFit
+
+        if theta_logprior is None:
+            def theta_logprior(theta, prior_alpha, prior_u):
+                lam = -np.log(prior_alpha) / prior_u
+                return np.log(lam / 2) - lam * np.exp(-theta / 2) - theta / 2
+
+        def priorfuncsigma(x, prior_alpha, prior_u):
+            return (2.0 / x) * np.exp(
+                theta_logprior(-2 * np.log(x), prior_alpha, prior_u))
+
+        transformation = {"totheta": lambda x: -2 * np.log(x),
+                          "fromtheta": lambda x: np.exp(-x / 2)}
+
+        if isinstance(self.mod, AGHQFit):
+            if component is None:
+                if self.family != "Gaussian":
+                    raise ValueError(
+                        "no family SD in this model; pass component=")
+                marg = self.mod.marginals[len(self.instances)]
+                param = self.control_family["sd_prior"]["param"]
+                inst = None
+            else:
+                i = [j for j, t in enumerate(self.instances)
+                     if t.smoothing_var == component][0]
+                inst = self.instances[i]
+                marg = self.mod.marginals[i]
+                param = inst.sd_prior["param"]
+            if len(marg["theta"]) <= 2:
+                raise ValueError("use aghq_k >= 3 for var_density")
+            pc = compute_pdf_and_cdf(marg, transformation=transformation)
+            out = {"SD": pc["transparam"], "post": pc["pdf_transparam"],
+                   "prior": priorfuncsigma(pc["transparam"],
+                                           param["alpha"], param["u"])}
+            if component is not None:
+                if h is None and inst.sd_prior.get("h") is not None:
+                    h = inst.sd_prior["h"]
+                if h is not None:
+                    corr = _psd_correction(inst, h)
+                    out["PSD"] = out["SD"] * corr
+                    out["post.PSD"] = out["post"] / corr
+                    out["prior.PSD"] = out["prior"] / corr
+            order = np.argsort(out["SD"])
+            return {k: np.asarray(v)[order] for k, v in out.items()}
+
+        elif self.method == "MCMC":
+            if component is None:
+                if self.family != "Gaussian":
+                    raise ValueError(
+                        "no family SD in this model; pass component=")
+                theta_col = len(self.instances)
+                param = self.control_family["sd_prior"]["param"]
+                inst = None
+            else:
+                i = [j for j, t in enumerate(self.instances)
+                     if t.smoothing_var == component][0]
+                inst = self.instances[i]
+                theta_col = i
+                param = inst.sd_prior["param"]
+            sig = np.exp(-0.5 * self.theta_samps[:, theta_col])
+            xs, ys = _kde(sig)
+            out = {"SD": xs, "post": ys,
+                   "prior": priorfuncsigma(xs, param["alpha"], param["u"])}
+            if component is not None and inst is not None:
+                if h is None and inst.sd_prior.get("h") is not None:
+                    h = inst.sd_prior["h"]
+                if h is not None:
+                    corr = _psd_correction(inst, h)
+                    out["PSD"] = out["SD"] * corr
+                    out["post.PSD"] = out["post"] / corr
+                    out["prior.PSD"] = out["prior"] / corr
+            return out
+        raise ValueError("var_density supports aghq and MCMC fits")
+
+    def para_density(self):
+        """Densities for every parameter (reference R/03_post_fit.R:450-467)."""
+        out = {}
+        for name in self.fixed_samp_indexes:
+            s = self.sample_fixed_effect(name)[:, 0]
+            xs, ys = _kde(s)
+            out[name] = {"effect": xs, "post": ys}
+        for t in self.instances:
+            out[t.smoothing_var] = self.var_density(component=t.smoothing_var)
+        if self.family == "Gaussian":
+            out["family_var"] = self.var_density()
+        return out
+
+    def post_table(self, quantiles=(0.025, 0.975), digits: int = 3):
+        """Posterior summary table via numerically integrated CDFs
+        (reference post_table, R/03_post_fit.R:474-531)."""
+        dens = self.para_density()
+        rows = []
+
+        def cdf_quantiles(x, y):
+            cdf = np.cumsum(y * np.concatenate([np.diff(x), [0.0]]))
+            def q(p):
+                below = np.where(cdf <= p)[0]
+                return x[below.max()] if len(below) else x[0]
+            return q
+
+        for name in self.fixed_samp_indexes:
+            d = dens[name]
+            q = cdf_quantiles(d["effect"], d["post"])
+            row = {"name": name, "median": q(0.5)}
+            for p in quantiles:
+                row[f"q{p}"] = q(p)
+            row.update({"prior": "Normal",
+                        "prior:P1": self.control_fixed[name]["mean"],
+                        "prior:P2": 1.0 / self.control_fixed[name]["prec"]})
+            rows.append(row)
+        for t in self.instances:
+            d = dens[t.smoothing_var]
+            if "PSD" in d:
+                q = cdf_quantiles(d["PSD"], d["post.PSD"])
+                nm = f"{t.smoothing_var} (PSD)"
+            else:
+                q = cdf_quantiles(d["SD"], d["post"])
+                nm = f"{t.smoothing_var} (SD)"
+            row = {"name": nm, "median": q(0.5)}
+            for p in quantiles:
+                row[f"q{p}"] = q(p)
+            row.update({"prior": "Exponential",
+                        "prior:P1": t.sd_prior["param"]["u"],
+                        "prior:P2": t.sd_prior["param"]["alpha"]})
+            rows.append(row)
+        if "family_var" in dens:
+            d = dens["family_var"]
+            q = cdf_quantiles(d["SD"], d["post"])
+            row = {"name": "family_var", "median": q(0.5)}
+            for p in quantiles:
+                row[f"q{p}"] = q(p)
+            row.update({"prior": "Exponential",
+                        "prior:P1": self.control_family["sd_prior"]["param"]["u"],
+                        "prior:P2": self.control_family["sd_prior"]["param"]["alpha"]})
+            rows.append(row)
+        for row in rows:
+            for k, v in row.items():
+                if isinstance(v, (float, np.floating)):
+                    row[k] = round(float(v), digits)
+        return rows
+
+
+def _psd_correction(inst, h):
+    """d-step predictive-SD correction (reference R/03_post_fit.R:353-365)."""
+    if inst.kind == "IWP":
+        p = inst.order
+        return math.sqrt((h ** (2 * p - 1)) /
+                         ((2 * p - 1) * math.factorial(p - 1) ** 2))
+    if inst.kind == "sGP":
+        return sum(compute_d_step_sgp_sd(h, j * inst.a)
+                   for j in range(1, inst.m + 1))
+    raise ValueError("PSD only defined for IWP and sGP terms")
+
+
+def _kde(samples, n: int = 512, cut: float = 3.0):
+    """Gaussian KDE matching R's density() defaults (bw.nrd0, 512 points,
+    range extended by 3 bandwidths)."""
+    x = np.asarray(samples, np.float64)
+    n_s = len(x)
+    sd = np.std(x, ddof=1)
+    iqr = np.subtract(*np.percentile(x, [75, 25]))
+    sigma = min(sd, iqr / 1.349) if iqr > 0 else sd
+    bw = 0.9 * sigma * n_s ** (-0.2)
+    grid = np.linspace(x.min() - cut * bw, x.max() + cut * bw, n)
+    diff = (grid[:, None] - x[None, :]) / bw
+    dens = np.exp(-0.5 * diff ** 2).sum(axis=1) / (n_s * bw * math.sqrt(2 * math.pi))
+    return grid, dens

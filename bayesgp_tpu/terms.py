@@ -1,0 +1,253 @@
+"""Random-effect term specifications and their design/precision builds.
+
+Mirrors the reference's S4 instances (IWP/sGP/IID/Customized,
+R/01_utility.R:33-63) and the per-term construction logic inside
+`model_fit` (R/02_model_fit.R:358-570): prior normalization, knot
+placement, initial_location shift, and X/B/P assembly.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+import numpy as np
+
+from .basis import osplines, sgp as sgp_basis
+
+
+def normalize_sd_prior(sd_prior) -> dict:
+    """Reference prior-normalization (R/02_model_fit.R:373-413).
+
+    Returns {"prior": "exp", "param": {"u":..., "alpha":...}, ["h":...]}.
+    """
+    if sd_prior is None:
+        return {"prior": "exp", "param": {"u": 1.0, "alpha": 0.5}}
+    if isinstance(sd_prior, (int, float)):
+        return {"prior": "exp", "param": {"u": float(sd_prior), "alpha": 0.5}}
+    sd_prior = dict(sd_prior)
+    sd_prior.setdefault("prior", "exp")
+    if "param" not in sd_prior:
+        raise ValueError("sd.prior provided as a dict must contain 'param'")
+    param = sd_prior["param"]
+    if isinstance(param, (int, float)):
+        param = {"u": float(param), "alpha": 0.5}
+    else:
+        param = dict(param)
+        if "u" not in param:
+            raise ValueError("sd.prior$param must contain u")
+        param.setdefault("alpha", 0.5)
+    sd_prior["param"] = param
+    ok = {"exp", "Exp", "exponential", "Exponential", "Customized"}
+    if sd_prior["prior"] not in ok:
+        raise ValueError("sd.prior only supports 'exp' or 'Customized'")
+    if not (0.0 <= param["alpha"] <= 1.0) and sd_prior["prior"] != "Customized":
+        raise ValueError("sd.prior$param$alpha must be a probability")
+    return sd_prior
+
+
+def normalize_boundary_prior(boundary_prior) -> dict:
+    """Default boundary-coefficient prior (R/02_model_fit.R:444-451)."""
+    bp = dict(boundary_prior) if boundary_prior else {}
+    bp.setdefault("prec", 0.01)
+    bp.setdefault("mean", 0.0)
+    return bp
+
+
+@dataclass
+class TermDesign:
+    """A constructed random-effect term: design matrices + metadata.
+
+    X: (n, n_boundary) global/boundary design (may have 0 columns)
+    B: (n, d) local basis design
+    P: (d, d) spline-weight precision
+    """
+    kind: str                      # "IWP" | "sGP" | "IID" | "Customized"
+    smoothing_var: str
+    X: np.ndarray
+    B: np.ndarray
+    P: np.ndarray
+    sd_prior: dict
+    boundary_prior: Optional[dict] = None
+    # IWP / sGP extras used at predict time
+    order: int = 0
+    knots: Optional[np.ndarray] = None
+    initial_location: float = 0.0
+    observed_x: Optional[np.ndarray] = None
+    a: float = 0.0
+    m: int = 1
+    k: int = 0
+    region: Optional[np.ndarray] = None
+    accuracy: float = 0.01
+    boundary: bool = True
+    # IID extras
+    levels: Optional[np.ndarray] = None
+    extra: dict = field(default_factory=dict)
+
+    @property
+    def logPdet(self) -> float:
+        sign, logdet = np.linalg.slogdet(self.P)
+        return float(logdet)
+
+
+def build_iwp_term(smoothing_var: str, x: np.ndarray, *, order: int,
+                   k: Optional[int] = None, knots=None,
+                   sd_prior=None, boundary_prior=None,
+                   initial_location=None) -> TermDesign:
+    """IWP term build (reference R/02_model_fit.R:415-470).
+
+    Knots: `k` (default 5) uniform points over the shifted observed range;
+    X = monomials [x, x^2/..., x^{p-1}] (intercept column dropped,
+    R/02_model_fit.R:460); B = O-spline local basis; P = diag(diff(knots)).
+    """
+    sd_prior = normalize_sd_prior(sd_prior)
+    boundary_prior = normalize_boundary_prior(boundary_prior)
+    x = np.asarray(x, dtype=np.float64)
+    if order is None or order < 1:
+        raise ValueError("IWP order must be >= 1")
+    if k is not None and k < 3:
+        raise ValueError("k should be >= 3")
+    if initial_location is None:
+        initial_location = float(x.min())
+    xs = x - initial_location
+    if knots is None:
+        kk = 5 if k is None else int(k)
+        knots = np.unique(np.linspace(xs.min(), xs.max(), kk))
+    else:
+        knots = np.asarray(knots, dtype=np.float64)
+    X = osplines.global_poly_helper(xs, p=order)[:, 1:]
+    B = osplines.local_poly_helper(knots, xs, p=order)
+    P = osplines.compute_weights_precision(knots)
+    return TermDesign(
+        kind="IWP", smoothing_var=smoothing_var, X=X, B=B, P=P,
+        sd_prior=sd_prior, boundary_prior=boundary_prior, order=int(order),
+        knots=knots, initial_location=float(initial_location),
+        observed_x=np.sort(xs))
+
+
+def build_sgp_term(smoothing_var: str, x: np.ndarray, *, a=None, freq=None,
+                   period=None, k: Optional[int] = None, m: int = 1,
+                   sd_prior=None, boundary_prior=None, initial_location=None,
+                   region=None, accuracy: float = 0.01,
+                   boundary: bool = True) -> TermDesign:
+    """sGP term build (reference R/02_model_fit.R:493-569).
+
+    X = cos/sin harmonics; B = sB basis stacked over harmonics; P =
+    block-diag of Compute_Q_sB per harmonic. NOTE the reference ignores the
+    `boundary` flag at fit time (compute_B sGP method R/01_utility.R:236
+    calls Compute_B_sB without it) but honors it at predict — replicated.
+    """
+    sd_prior = normalize_sd_prior(sd_prior)
+    boundary_prior = normalize_boundary_prior(boundary_prior)
+    x = np.asarray(x, dtype=np.float64)
+    if a is None:
+        if freq is not None:
+            a = 2.0 * math.pi * freq
+        elif period is not None:
+            a = 2.0 * math.pi / period
+        else:
+            raise ValueError("sGP needs one of a=, freq=, period=")
+    if a < 0:
+        raise ValueError("sGP parameter a must be positive")
+    if k is None:
+        k = 30
+    elif k < 3:
+        raise ValueError("k should be >= 3")
+    if initial_location is None:
+        initial_location = float(x.min())
+    xs = x - initial_location
+    observed_x = np.sort(xs)
+    if region is None:
+        region = np.array([observed_x.min(), observed_x.max()])
+    else:
+        region = np.asarray(region, dtype=np.float64)
+
+    X = sgp_basis.global_poly_sgp(xs, a=a, m=m)
+    # fit-time B always uses boundary=True (reference quirk, see docstring)
+    blocks = [sgp_basis.compute_B_sB(xs, a * i, k, region, boundary=True)
+              for i in range(1, m + 1)]
+    B = np.concatenate(blocks, axis=1)
+    P = sgp_basis.compute_Q_sgp_stacked(a, k, m, region, accuracy)
+    return TermDesign(
+        kind="sGP", smoothing_var=smoothing_var, X=X, B=B, P=P,
+        sd_prior=sd_prior, boundary_prior=boundary_prior,
+        initial_location=float(initial_location), observed_x=observed_x,
+        a=float(a), m=int(m), k=int(k), region=region,
+        accuracy=float(accuracy), boundary=bool(boundary))
+
+
+def build_iid_term(smoothing_var: str, x: np.ndarray, *,
+                   sd_prior=None) -> TermDesign:
+    """IID term: indicator design over factor levels, P = I
+    (reference R/01_utility.R:214-219, 245-250)."""
+    sd_prior = normalize_sd_prior(sd_prior)
+    x = np.asarray(x)
+    levels = np.unique(x)  # R factor(): sorted unique levels
+    B = (x[:, None] == levels[None, :]).astype(np.float64)
+    P = np.eye(len(levels))
+    return TermDesign(kind="IID", smoothing_var=smoothing_var,
+                      X=np.zeros((len(x), 0)), B=B, P=P,
+                      sd_prior=sd_prior, levels=levels)
+
+
+def build_customized_term(smoothing_var: str, x: np.ndarray, *,
+                          compute_B: Callable, compute_P: Callable,
+                          sd_prior=None) -> TermDesign:
+    """Customized term: user-supplied compute_B/compute_P closures
+    (reference R/01_utility.R:220-223, 251-254)."""
+    sd_prior = normalize_sd_prior(sd_prior)
+    x = np.asarray(x)
+    B = np.asarray(compute_B(x), dtype=np.float64)
+    P = np.asarray(compute_P(x), dtype=np.float64)
+    return TermDesign(kind="Customized", smoothing_var=smoothing_var,
+                      X=np.zeros((len(x), 0)), B=B, P=P, sd_prior=sd_prior,
+                      extra={"compute_B": compute_B, "compute_P": compute_P})
+
+
+def build_term_from_call(call, data: dict, env: dict | None = None,
+                         customized_re: dict | None = None) -> TermDesign:
+    """Dispatch a parsed f(...) call to the right builder.
+
+    `call` is a formula.RandomEffectCall; `data` maps column name -> array.
+    """
+    opts = dict(call.options)
+    var = call.smoothing_var
+    if var not in data:
+        raise KeyError(f"smoothing variable '{var}' not found in data")
+    x = np.asarray(data[var])
+    model = opts.pop("model", None)
+    if model is None:
+        raise ValueError(f"f({var}, ...) needs model=")
+    sd_prior = opts.pop("sd_prior", opts.pop("sd.prior", opts.pop("prior", None)))
+    h = None
+    if isinstance(sd_prior, dict):
+        h = sd_prior.get("h", sd_prior.get("step"))
+    if model == "IWP":
+        td = build_iwp_term(
+            var, x, order=opts.pop("order", None), k=opts.pop("k", None),
+            knots=opts.pop("knots", None), sd_prior=sd_prior,
+            boundary_prior=opts.pop("boundary_prior", opts.pop("boundary.prior", None)),
+            initial_location=opts.pop("initial_location", None))
+    elif model == "sGP":
+        td = build_sgp_term(
+            var, x, a=opts.pop("a", None), freq=opts.pop("freq", None),
+            period=opts.pop("period", None), k=opts.pop("k", None),
+            m=opts.pop("m", 1), sd_prior=sd_prior,
+            boundary_prior=opts.pop("boundary_prior", opts.pop("boundary.prior", None)),
+            initial_location=opts.pop("initial_location", None),
+            region=opts.pop("region", None),
+            accuracy=opts.pop("accuracy", 0.01),
+            boundary=opts.pop("boundary", True))
+    elif model == "IID":
+        td = build_iid_term(var, x, sd_prior=sd_prior)
+    elif model == "Customized":
+        cre = customized_re or {}
+        td = build_customized_term(
+            var, x, compute_B=opts.pop("compute_B", cre.get("compute_B")),
+            compute_P=opts.pop("compute_P", cre.get("compute_P")),
+            sd_prior=sd_prior)
+    else:
+        raise ValueError(f"unknown random-effect model '{model}'")
+    if h is not None:
+        td.sd_prior["h"] = h  # kept for var_density PSD reporting only
+    return td

@@ -1,0 +1,15 @@
+import os
+
+# Tests run on CPU in float64 for numerical parity with the reference;
+# an 8-device virtual mesh validates the multi-chip sharding paths.
+# NOTE: the JAX_PLATFORMS env var is not honored in this environment (an
+# axon TPU plugin wins) — jax.config.update is, so set it before first use.
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,115 @@
+"""Golden-number integration test: the reference README covid example
+(reference README.md:58-97; model new_deaths ~ weekdays1..6 +
+f(t, IWP, order=3, k=30), Poisson, aghq k=4).
+
+See PARITY.md for why the two adaptation paths carry different tolerances.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import bayesgp_tpu as bg
+from bayesgp_tpu.inference import aghq as A
+from bayesgp_tpu.inference import laplace as L
+
+FORMULA = ("new_deaths ~ weekdays1 + weekdays2 + weekdays3 + weekdays4 "
+           "+ weekdays5 + weekdays6 + f(t, model='IWP', order=3, k=30)")
+
+GOLDEN = {
+    "mode": -3.245926,
+    "lognormconst": -4322.531,
+    "quad_cov": 0.07936619,
+    "mean": -3.271182, "sd": 0.2785344,
+    "q2.5": -3.87922, "median": -3.268308, "q97.5": -2.760093,
+    "fixed_means": [-5.40445, 0.09375, 0.07922, 0.12672, 0.12547,
+                    0.05001, -0.15126],
+}
+
+
+@pytest.fixture(scope="module")
+def covid_fit():
+    data = bg.datasets.covid_canada()
+    return bg.model_fit(FORMULA, data=data, family="Poisson", method="aghq",
+                        M=3000, seed=1)
+
+
+@pytest.fixture(scope="module")
+def covid_md(covid_fit):
+    return covid_fit.md
+
+
+def test_reference_adaptation_parity(covid_md):
+    """With the reference's own quadrature nodes, our Laplace nll must
+    reproduce the README posterior summary to ~1e-5 (its printed
+    precision) — the strongest achievable parity statement (PARITY.md)."""
+    md = covid_md
+    mode = np.array([GOLDEN["mode"]])
+    H = np.array([[1.0 / GOLDEN["quad_cov"]]])
+    cov = np.linalg.inv(H)
+    Lc = np.linalg.cholesky(cov)
+    z, logw_base = A.product_grid(4, 1)
+    nodes = mode[None, :] + z @ Lc.T
+    logw = logw_base + np.log(np.diag(Lc)).sum()
+    nlls = np.asarray(jax.jit(jax.vmap(
+        lambda th: L.laplace_nll(th, md)[0]))(jnp.asarray(nodes)))
+    lw = -nlls + logw
+    m = lw.max()
+    lognorm = float(m + np.log(np.exp(lw - m).sum()))
+    assert abs(lognorm - GOLDEN["lognormconst"]) < 1e-3
+
+    fit = A.AGHQFit(mode=mode, hessian=H, L=Lc, nodes=nodes, logw=logw,
+                    lognll=nlls, lognormconst=lognorm, W_star=None,
+                    H_chol=None, k=4)
+    fit.marginals = [A.marginal_posterior(fit, md, 0)]
+    rows = A.summarize_marginals(fit)[0]
+    assert abs(rows["mean"] - GOLDEN["mean"]) < 1e-5
+    assert abs(rows["sd"] - GOLDEN["sd"]) < 1e-5
+    assert abs(rows["q2.5"] - GOLDEN["q2.5"]) < 1e-5
+    assert abs(rows["median"] - GOLDEN["median"]) < 1e-5
+    assert abs(rows["q97.5"] - GOLDEN["q97.5"]) < 1e-5
+
+
+def test_native_fit_golden(covid_fit):
+    """Native (exact-Hessian) path: values within the reference's
+    fp-noise basin (PARITY.md Group B analysis)."""
+    fit = covid_fit
+    assert abs(fit.mod.mode[0] - GOLDEN["mode"]) < 5e-4
+    assert abs(fit.mod.lognormconst - GOLDEN["lognormconst"]) < 2e-3
+    cov = float(np.linalg.inv(fit.mod.hessian)[0, 0])
+    assert abs(cov - GOLDEN["quad_cov"]) < 5e-3
+    ts = fit.theta_summary()["theta(t)"]
+    assert abs(ts["mean"] - GOLDEN["mean"]) < 1e-4
+    assert abs(ts["sd"] - GOLDEN["sd"]) < 1e-3
+    assert abs(ts["median"] - GOLDEN["median"]) < 5e-3
+    assert abs(ts["q2.5"] - GOLDEN["q2.5"]) < 1e-2
+    assert abs(ts["q97.5"] - GOLDEN["q97.5"]) < 1e-2
+
+
+def test_fixed_effects_golden(covid_fit):
+    """Fixed-effect posterior means: MC jitter at M=3000 is ~sd/sqrt(M)
+    (intercept sd 0.66 => tol ~0.05; weekdays sd ~0.012 => tol ~2e-3),
+    loosened 3x for safety."""
+    fx = covid_fit.fixed_effects_summary()
+    names = ["intercept"] + [f"weekdays{i}" for i in range(1, 7)]
+    tols = [0.15] + [0.004] * 6
+    for name, golden, tol in zip(names, GOLDEN["fixed_means"], tols):
+        assert abs(fx[name]["Mean"] - golden) < tol, (name, fx[name]["Mean"])
+
+
+def test_predict_runs(covid_fit):
+    pred = covid_fit.predict("t")
+    assert len(pred["mean"]) == 787
+    assert np.all(pred["plower"] <= pred["pupper"])
+    # derivative predictions (vignette covid example uses degree 1 and 2)
+    for degree in (1, 2):
+        pr = covid_fit.predict("t", degree=degree)
+        assert np.all(np.isfinite(pr["mean"]))
+
+
+def test_summary_and_post_table(covid_fit):
+    text = covid_fit.summary()
+    assert "theta(t)" in text
+    table = covid_fit.post_table()
+    names = [r["name"] for r in table]
+    assert "intercept" in names and "t (SD)" in names
