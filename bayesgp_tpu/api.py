@@ -55,13 +55,19 @@ def model_fit(formula=None, data=None, method: str = "aghq",
               control_fixed=None, aghq_k: int = 4, size=None, cens=None,
               weight=None, strata=None, M: int = 3000, env=None,
               customized_re=None, option_list=None, seed: int = 0,
-              terms=None, fixed=None, response=None) -> FitResult:
+              terms=None, fixed=None, response=None,
+              engine: str = "auto") -> FitResult:
     """Fit a Bayesian hierarchical GP model.
 
     Either pass `formula` (string) + `data`, or `response=`/`fixed=`/
     `terms=` explicitly (terms = list of RandomEffectCall or TermDesign).
     `size`/`cens`/`weight`/`strata` name columns in `data` (Binomial /
     Coxph / case-crossover extras).
+
+    engine: 'auto' | 'dense' | 'banded'. 'banded' is the TPU fast path
+    (single IWP term, elementwise family, nonnegative knots): sparse-row
+    design + block-tridiagonal Cholesky instead of dense O(n w^2 + w^3).
+    'auto' picks it when eligible and the problem is large.
     """
     data = _as_dict_of_arrays(data)
 
@@ -79,6 +85,20 @@ def model_fit(formula=None, data=None, method: str = "aghq",
     family_is_coxph = family in ("Coxph", "coxph")
     family_is_cc = family in ("casecrossover", "cc", "CaseCrossover")
 
+    # banded fast-path candidacy (decided pre-build to skip the dense B)
+    fam_elementwise = family in ("Gaussian", "Poisson", "Binomial")
+    def _is_iwp_call(c):
+        if isinstance(c, terms_mod.TermDesign):
+            return c.kind == "IWP"
+        return c.options.get("model") == "IWP"
+    candidate_banded = (engine in ("auto", "banded") and method == "aghq"
+                        and fam_elementwise and len(re_calls) == 1
+                        and _is_iwp_call(re_calls[0]))
+    if engine == "banded" and not candidate_banded:
+        raise ValueError(
+            "engine='banded' requires method='aghq', an elementwise "
+            "family (Gaussian/Poisson/Binomial) and exactly one IWP term")
+
     if family_is_coxph:
         # reference sorts the data by the response (R/02_model_fit.R:346-350)
         order = np.argsort(data[response], kind="stable")
@@ -90,7 +110,20 @@ def model_fit(formula=None, data=None, method: str = "aghq",
             instances.append(call)
         else:
             instances.append(terms_mod.build_term_from_call(
-                call, data, env=env, customized_re=customized_re))
+                call, data, env=env, customized_re=customized_re,
+                materialize_B=not candidate_banded))
+
+    if candidate_banded and instances[0].knots.min() < 0:
+        if engine == "banded":
+            raise ValueError("engine='banded' requires nonnegative knots")
+        candidate_banded = False
+    if engine == "auto":
+        # dense is exact and cheap for small problems; banded wins at scale
+        use_banded = candidate_banded and (
+            len(data[response]) * instances[0].num_basis > 2_000_000
+            or instances[0].num_basis > 300)
+    else:
+        use_banded = candidate_banded and engine == "banded"
 
     n = len(data[response])
     design_mat_fixed = []
@@ -121,7 +154,7 @@ def model_fit(formula=None, data=None, method: str = "aghq",
         control_fixed_prec=bf_prec, control_fixed_mean=bf_mean,
         size=(data[size] if size else None),
         cens=(data[cens] if (cens and cens in data) else None),
-        cc_arrays=cc_arrays)
+        cc_arrays=cc_arrays, dense_design=not use_banded)
 
     theta_count = md.n_theta
     if theta_count == 0 and method != "nlminb":
@@ -136,7 +169,21 @@ def model_fit(formula=None, data=None, method: str = "aghq",
     samps = None
     theta_samps = None
     if method == "aghq":
-        mod = aghq_mod.aghq_fit(md, k=aghq_k)
+        if use_banded:
+            from .fast.iwp import build_fast_iwp
+            inst = instances[0]
+            xf_dense = np.concatenate([inst.X] + [np.asarray(c) for c in
+                                                  design_mat_fixed], axis=1)
+            p = inst.order
+            prior_diag_tail = np.concatenate([
+                np.full(p - 1, inst.boundary_prior["prec"]), bf_prec])
+            prior_mean_tail = np.concatenate([
+                np.full(p - 1, inst.boundary_prior["mean"]), bf_mean])
+            backend = build_fast_iwp(inst, md, xf_dense, prior_diag_tail,
+                                     prior_mean_tail, inst.x_data)
+        else:
+            backend = aghq_mod.DenseBackend(md)
+        mod = aghq_mod.aghq_fit(backend, k=aghq_k)
         samps, _, theta_samps = sampling_mod.sample_marginal(key, mod, M)
     elif method == "nlminb":
         theta = jnp.zeros((0,), md.A.dtype)
@@ -159,7 +206,7 @@ def model_fit(formula=None, data=None, method: str = "aghq",
     off_coef = 0
     off_bdry = sum_col_ins
     for t in instances:
-        dcols = t.B.shape[1]
+        dcols = t.num_basis
         random_samp_indexes[t.smoothing_var] = np.arange(off_coef, off_coef + dcols)
         off_coef += dcols
         xcols = t.X.shape[1]

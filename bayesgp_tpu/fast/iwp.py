@@ -1,0 +1,653 @@
+"""Fast banded backend for single-IWP models with elementwise families.
+
+Replaces the dense O(n w^2 + w^3) Laplace machinery with the
+B-spline-reparametrized formulation (basis/reparam.py):
+
+  latent = [V (banded, d = k-1) | beta (p-1) | fixed (q)]
+  eta    = sparse-row design (p+1 nnz/row) + dense tail columns
+  H      = [[B^T D B + e^th P_V  (band p+1),   C ],
+            [C^T,                            Hd  ]]   (arrowhead)
+
+Band assembly is one `segment_sum` of per-row (p+1)x(p+1) outer products
+(O(n p^2), fully parallel); the factorization is the block-tridiagonal
+Cholesky of linalg/block_tridiag.py (O(d s^2) with ~d/s sequential
+steps). Everything is jit/vmap/grad-compatible; the Laplace marginal
+value matches the dense path exactly (minus the constant log|det T| of
+the coordinate change, which is subtracted for parity).
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+from ..basis import reparam
+from ..model import families
+from ..linalg import block_tridiag as btl
+
+LOG2PI = math.log(2.0 * math.pi)
+
+
+def _choose_block(d: int, p: int) -> int:
+    """Block size for the block-tridiagonal solver: few sequential steps
+    on TPU (MXU-shaped blocks) while never below bandwidth + 1."""
+    if d >= 1024:
+        return 128
+    if d >= 256:
+        return 32
+    return max(8, p + 1)
+
+
+@dataclass
+class FastIWPBackend:
+    """Precomputed arrays + jitted compute for one IWP model.
+
+    MIXED PRECISION: all O(n) data-side work (design products, segment
+    sums, likelihood) runs in `compute_dtype` (float32 on TPU — MXU/VPU
+    speed); all O(d)-sized solver state (band, factorization, latent
+    coordinates, log-determinants) runs in `solve_dtype` (float64 — the
+    penalty-dominated Hessian spans ~1e8 of dynamic range at large
+    exp(theta), which float32 cannot factor). The O(d) float64 work is
+    negligible next to the O(n) float32 work even under TPU emulation.
+    """
+    # static/host data
+    term: Any
+    md: Any
+    p: int
+    d: int            # k - 1 V-coordinates
+    dpad: int
+    s: int            # block size
+    nb: int
+    q: int            # dense tail size = (p-1) + n_fixed
+
+    # device arrays — ROWS SORTED BY SEGMENT (start) so that segment
+    # reductions are cumsum-diffs at static boundaries (scatter-add and
+    # dynamic segment_sum compile pathologically slowly on TPU), and
+    # stored TRANSPOSED (features, n) so the large n axis is the TPU
+    # lane dimension (tiny trailing dims like (n, 4, 4) take minutes to
+    # compile on Mosaic/XLA-TPU)
+    valsT: Any        # (p+1, n) sparse design rows, transposed
+    start: Any        # (n,) first active column per row (nondecreasing)
+    seg_lo: Any       # (d,) static: cumcount boundaries, rows of seg g are
+    #                   [seg_lo[g], seg_lo[g+1]); seg_hi = seg_lo shifted
+    seg_hi: Any       # (d,)
+    XFpT: Any         # (q, n) ORTHOGONALIZED tail design, transposed:
+    #                   XFp = XF - B Z0 with Z0 = (B'B + eps)^{-1} B'XF.
+    #                   Internally the latent is (V', t) with V = V' - Z0 t
+    #                   — a unit-determinant change of coordinates that
+    #                   removes the 1e8-scale cancellation between the
+    #                   global-polynomial columns and a rich spline basis
+    #                   from the Schur complement (float32-fatal otherwise)
+    Z0: Any           # (d, q)
+    PZ0: Any          # (d, q) = P_V @ Z0
+    Z0PZ0: Any        # (q, q) = Z0' P_V Z0
+    P_band: Any       # (p+1, d) prior band of V
+    Tdiags: Any       # (p+1, d) banded U = T V transform
+    logdetT: float
+    prior_diag_tail: Any   # (q,) prior precision of tail coords
+    prior_mean_tail: Any   # (q,)
+    solve_dtype: Any = None   # dtype of band/factor/latent state
+
+    @property
+    def n_theta(self):
+        return self.md.n_theta
+
+    @property
+    def compute_dtype(self):
+        return self.valsT.dtype
+
+    @property
+    def dtype(self):
+        return self.solve_dtype or self.valsT.dtype
+
+    # ------------------------------------------------------------------
+    def _segsum(self, rows):
+        """Segment sums over the sorted rows: (..., n) -> (..., d).
+
+        cumsum + gather at STATIC boundaries (seg_lo/seg_hi are build-time
+        constants) — compiles to a parallel scan + slices, no scatter.
+        """
+        c = jnp.cumsum(rows, axis=-1)
+        zero = jnp.zeros(rows.shape[:-1] + (1,), c.dtype)
+        c = jnp.concatenate([zero, c], axis=-1)
+        return c[..., self.seg_hi] - c[..., self.seg_lo]
+
+    def _shift(self, col, a, out_len):
+        """Place col (d,) at offset a in a length-out_len vector (static
+        pad + truncate; truncated entries come from provably-empty
+        segments g > d-p-1, which contribute zero)."""
+        padded = jnp.pad(col, ((a, max(out_len - col.shape[0] - a, 0)),)
+                         + ((0, 0),) * (col.ndim - 1))
+        return padded[:out_len]
+
+    def eta(self, Vp, tail):
+        """Linear predictor from PRIMED coords: eta = B V' + XFp t
+        (== B V + XF t with V = V' - Z0 t). Vp: (dpad,), tail: (q,).
+        Output in compute_dtype (the O(n) axis)."""
+        cd = self.compute_dtype
+        Vc = Vp.astype(cd)
+        e = jnp.zeros((self.start.shape[0],), cd)
+        for a in range(self.p + 1):
+            e = e + self.valsT[a] * Vc[self.start + a]
+        if self.q:
+            e = e + tail.astype(cd) @ self.XFpT
+        return e
+
+    def to_V(self, Vp, tail):
+        """Convert primed coords to the actual spline coefficients:
+        V = V' - Z0 t (only the first d entries are meaningful)."""
+        if not self.q:
+            return Vp
+        return Vp.at[..., :self.d].add(-(self.Z0 @ tail))
+
+    def Bt(self, u):
+        """B^T u -> (dpad,) in solve_dtype."""
+        seg = self._segsum(self.valsT * u[None, :])     # (p+1, d)
+        seg = seg.astype(self.dtype)
+        out = jnp.zeros((self.dpad,), self.dtype)
+        for a in range(self.p + 1):
+            out = out + self._shift(seg[a], a, self.dpad)
+        return out
+
+    def band_H(self, wts, theta):
+        """Assemble the (p+1, dpad) lower band of B^T diag(wts) B +
+        e^theta P_V, identity-padded beyond d. Data part in
+        compute_dtype; returned band in solve_dtype (the factorization
+        needs the full dynamic range)."""
+        p = self.p
+        # outersT[a, b, :] = wts * vals_a * vals_b over n (n is lane dim)
+        outersT = (wts[None, None, :] * self.valsT[:, None, :]
+                   * self.valsT[None, :, :])            # (p+1, p+1, n)
+        M = self._segsum(outersT).astype(self.dtype)    # (p+1, p+1, d)
+        rows = []
+        for o in range(p + 1):
+            # band[o, j] = sum_{a-b=o} M[a, b, g] at j = g + b
+            row = jnp.zeros((self.dpad,), self.dtype)
+            for b in range(p + 1 - o):
+                a = b + o
+                row = row + self._shift(M[a, b], b, self.dpad)
+            rows.append(row)
+        band = jnp.stack(rows)
+        band = band.at[:, :self.d].add(jnp.exp(theta[0]) * self.P_band)
+        if self.dpad > self.d:
+            band = band.at[0, self.d:].set(1.0)
+        return band
+
+    def C_block(self, wts, theta):
+        """Cross block in primed coords: B^T diag(wts) XFp - lam P Z0
+        -> (dpad, q) in solve_dtype."""
+        if not self.q:
+            return jnp.zeros((self.dpad, 0), self.dtype)
+        wXFT = wts[None, :] * self.XFpT                 # (q, n)
+        M = self._segsum(self.valsT[:, None, :] * wXFT[None, :, :])
+        M = M.astype(self.dtype)
+        C = jnp.zeros((self.dpad, self.q), self.dtype)
+        for a in range(self.p + 1):
+            C = C + self._shift(M[a].T, a, self.dpad)   # M[a]: (q, d)
+        C = C.at[:self.d].add(-jnp.exp(theta[0]) * self.PZ0)
+        return C
+
+    def prior_quad_V(self, V):
+        """V^T P_V V via the band."""
+        q = self.P_band[0, :self.d] * V[:self.d] ** 2
+        total = jnp.sum(q)
+        for o in range(1, self.p + 1):
+            total = total + 2.0 * jnp.sum(
+                self.P_band[o, :self.d - o] * V[o:self.d] * V[:self.d - o])
+        return total
+
+    def apply_T(self, V):
+        """U = T V using the banded diagonals (T lower-banded, offsets
+        -p..0). V: (..., d) -> U: (..., d)."""
+        U = self.Tdiags[0] * V
+        for o in range(1, self.p + 1):
+            U = U.at[..., o:].add(self.Tdiags[o, o:] * V[..., :-o])
+        return U
+
+    def _applyP(self, Vd):
+        """P_V @ Vd via the symmetric band. Vd: (d,)."""
+        pv = self.P_band[0, :self.d] * Vd
+        for o in range(1, self.p + 1):
+            pv = pv.at[o:].add(self.P_band[o, :self.d - o] * Vd[:-o])
+            pv = pv.at[:-o].add(self.P_band[o, :self.d - o] * Vd[o:])
+        return pv
+
+    # ------------------------------------------------------------------
+    def neg_log_post(self, Vp, tail, theta):
+        """Joint negative log posterior at primed coords (V', t); equals
+        the reference objective at W = [T(V'-Z0 t), t] exactly (same
+        logPdet_U constant, src/BayesGP.cpp:219-246)."""
+        md = self.md
+        e = self.eta(Vp, tail)
+        ll = families.log_lik(e, md, theta.astype(self.compute_dtype))
+        ll = ll.astype(self.dtype)
+        # (V'-Z0 t)' P (V'-Z0 t), expanded to avoid the conversion
+        Vd = Vp[:self.d]
+        quad = self.prior_quad_V(Vp)
+        if self.q:
+            quad = quad - 2.0 * jnp.dot(tail, self.PZ0.T @ Vd)
+            quad = quad + tail @ (self.Z0PZ0 @ tail)
+        lp = -0.5 * jnp.exp(theta[0]) * quad
+        lp = lp + 0.5 * (self.d * theta[0] + md.logPdet[0])
+        if self.q:
+            lp = lp - 0.5 * jnp.sum(
+                self.prior_diag_tail * (tail - self.prior_mean_tail) ** 2)
+        phi = -jnp.log(md.alpha) / md.u
+        lpT = jnp.sum(jnp.log(0.5 * phi) - phi * jnp.exp(-0.5 * theta)
+                      - 0.5 * theta)
+        return -(ll + lp + lpT)
+
+    def grad_W(self, Vp, tail, theta):
+        """Gradient of neg_log_post in primed coords via hand-assembled
+        sparse products (autodiff of the gather would emit scatter-adds,
+        which compile pathologically on TPU)."""
+        md = self.md
+        e = self.eta(Vp, tail)
+        # d(-ll)/deta, in compute_dtype
+        th_c = theta.astype(self.compute_dtype)
+        r = jax.grad(lambda ee: -families.log_lik(ee, md, th_c))(e)
+        gV = self.Bt(r)
+        lam = jnp.exp(theta[0])
+        Vd = Vp[:self.d]
+        pv = self._applyP(Vd)
+        if self.q:
+            pv = pv - self.PZ0 @ tail
+        gV = gV.at[:self.d].add(lam * pv)
+        if self.q:
+            gt = ((self.XFpT @ r).astype(self.dtype)
+                  + lam * (self.Z0PZ0 @ tail - self.PZ0.T @ Vd)
+                  + self.prior_diag_tail * (tail - self.prior_mean_tail))
+        else:
+            gt = jnp.zeros((0,), self.dtype)
+        return gV, gt
+
+    def hessian_factor(self, V, tail, theta):
+        """Jacobi-equilibrated arrowhead factorization of the exact
+        Hessian at (V, tail).
+
+        The system is scaled to unit diagonal before factorization
+        (H~ = S H S): essential for float32 on TPU, where the raw
+        band mixes likelihood curvature with weak 0.01 priors (condition
+        numbers ~1e6-1e9). Returns (ArrowFactor, sc, sd) with the scale
+        vectors; use solve_H / half_logdet_H / sample_dev_H.
+        """
+        md = self.md
+        e = self.eta(V, tail)
+        wts = families.eta_weights(e, md, theta.astype(self.compute_dtype))
+        band = self.band_H(wts, theta)
+        C = self.C_block(wts, theta)
+        if self.q:
+            Hd = (((self.XFpT * wts[None, :]) @ self.XFpT.T).astype(self.dtype)
+                  + jnp.exp(theta[0]) * self.Z0PZ0
+                  + jnp.diag(self.prior_diag_tail))
+            sd = jax.lax.rsqrt(jnp.diagonal(Hd))
+            Hd = Hd * sd[:, None] * sd[None, :]
+        else:
+            Hd = jnp.zeros((0, 0), V.dtype)
+            sd = jnp.zeros((0,), V.dtype)
+        sc = jax.lax.rsqrt(band[0])
+        # band[o, j] = H[j+o, j] -> scaled by sc[j+o] * sc[j]
+        band_s = band.at[0].multiply(sc * sc)
+        for o in range(1, self.p + 1):
+            band_s = band_s.at[o, :self.dpad - o].multiply(
+                sc[o:] * sc[:self.dpad - o])
+        C_s = (C * sc[:, None] * sd[None, :]) if self.q else C
+        D, E = btl.band_to_blocks(band_s, self.s)
+        af = btl.arrow_factor(D, E, C_s.reshape(self.nb, self.s, self.q), Hd)
+        return af, sc, sd
+
+    def solve_H(self, factor, gV, gt):
+        """Solve H [zV; zt] = [gV; gt] via the equilibrated factor."""
+        af, sc, sd = factor
+        zb, zd = btl.arrow_solve(af, (gV * sc).reshape(self.nb, self.s),
+                                 gt * sd)
+        return zb.reshape(self.dpad) * sc, zd * sd
+
+    def half_logdet_H(self, factor):
+        af, sc, sd = factor
+        return (btl.arrow_half_logdet(af) - jnp.sum(jnp.log(sc))
+                - jnp.sum(jnp.log(sd)))
+
+    def sample_dev_H(self, factor, zb_noise, zd_noise):
+        """S L~^{-T} z has covariance S H~^{-1} S = H^{-1}."""
+        af, sc, sd = factor
+        xb, xd = btl.arrow_sample(af, zb_noise, zd_noise)
+        return xb.reshape(self.dpad) * sc, xd * sd
+
+    # ------------------------------------------------------------------
+    def newton_step(self, V, tail, theta, eta_cap=8.0):
+        """Undamped Newton step with a branchless linear-predictor cap:
+        alpha = min(1, eta_cap / max|delta eta|). Bounds every eta update
+        so exp(eta) cannot overflow (float32!) and globalizes convergence
+        for the log-concave elementwise families without a nested
+        line-search loop (which compiles poorly on TPU).
+
+        Returns (V', tail', max|step|) for step-based termination."""
+        gV, gt = self.grad_W(V, tail, theta)
+        factor = self.hessian_factor(V, tail, theta)
+        step_V, step_t = self.solve_H(factor, gV, gt)
+        d_eta = self.eta(step_V, step_t)
+        max_de = jnp.max(jnp.abs(d_eta))
+        alpha = jnp.minimum(1.0, eta_cap / jnp.maximum(max_de, 1e-30))
+        smax = jnp.max(jnp.abs(step_V))
+        if self.q:
+            smax = jnp.maximum(smax, jnp.max(jnp.abs(step_t)))
+        return V - alpha * step_V, tail - alpha * step_t, smax
+
+    def newton_solve(self, theta, max_iter=100, warm=None):
+        """Inner Newton under lax.while_loop. Terminates on the Newton
+        step size (max|H^{-1}g| below the fp-achievable floor for the
+        active precision) — a gradient threshold is dtype-fragile because
+        H's scale varies by ~1e6 across directions."""
+        if warm is None:
+            V0, t0 = self.init_state()
+        else:
+            V0, t0 = warm
+        # achievable step floor is set by the COMPUTE dtype of the O(n)
+        # gradient assembly, not the solver dtype
+        steptol = 1e-9 if self.compute_dtype == jnp.float64 else 3e-6
+
+        def cond(state):
+            V, tail, it, smax = state
+            small = smax < steptol * (1.0 + jnp.max(jnp.abs(V)))
+            return jnp.logical_and(~small, it < max_iter)
+
+        def body(state):
+            V, tail, it, _ = state
+            V2, t2, smax = self.newton_step(V, tail, theta)
+            return V2, t2, it + 1, smax
+
+        big = jnp.asarray(1e30, self.dtype)
+        V, tail, _, _ = jax.lax.while_loop(cond, body, (V0, t0, 0, big))
+        return V, tail
+
+    def _refine(self, V, tail, theta):
+        gV, gt = self.grad_W(V, tail, theta)
+        factor = self.hessian_factor(V, tail, theta)
+        step_V, step_t = self.solve_H(factor, gV, gt)
+        return V - step_V, tail - step_t
+
+    def solve_W_star(self, theta, n_refine=1, warm=None):
+        if warm is not None:
+            warm = jax.lax.stop_gradient(warm)
+        V, tail = self.newton_solve(jax.lax.stop_gradient(theta), warm=warm)
+        V = jax.lax.stop_gradient(V)
+        tail = jax.lax.stop_gradient(tail)
+        for _ in range(n_refine):
+            V, tail = self._refine(V, tail, theta)
+        return jax.lax.stop_gradient(V), jax.lax.stop_gradient(tail)
+
+    def _laplace_value(self, V, tail, theta):
+        """F(W, theta) = f + 1/2 log|H| - w/2 log(2 pi) - log|det T|."""
+        factor = self.hessian_factor(V, tail, theta)
+        half_logdet = self.half_logdet_H(factor)
+        w_count = self.d + self.q
+        return (self.neg_log_post(V, tail, theta) + half_logdet
+                - 0.5 * w_count * LOG2PI - self.logdetT)
+
+    def laplace_nll(self, theta, warm=None):
+        """Laplace marginal nll, EQUAL to the dense/reference value:
+        the coordinate change contributes +log|det T| to the V-coordinate
+        Laplace integral, subtracted here.
+
+        Differentiable in theta via a hand-written implicit-function VJP
+        (see _nll_vjp): nothing is differentiated through the Newton
+        iterations, which keeps TPU compile time sane.
+        """
+        val, (V, tail) = self._nll_custom(theta, warm if warm is not None
+                                          else self.init_state())
+        return val, (V, tail)
+
+    def nll(self, theta):
+        return self.laplace_nll(theta)[0]
+
+    # -- implicit-function custom VJP -----------------------------------
+    @property
+    def _nll_custom(self):
+        if hasattr(self, "_nll_cvjp"):
+            return self._nll_cvjp
+
+        @jax.custom_vjp
+        def nll_fn(theta, warm):
+            V, tail = self.solve_W_star(theta, warm=warm)
+            return self._laplace_value(V, tail, theta), (V, tail)
+
+        def fwd(theta, warm):
+            V, tail = self.solve_W_star(theta, warm=warm)
+            val = self._laplace_value(V, tail, theta)
+            return (val, (V, tail)), (theta, V, tail)
+
+        def bwd(res, cts):
+            theta, V, tail = res
+            ct_val = cts[0]
+            # dnll/dth = dF/dth - (dg/dth)^T H^{-1} dF/dW   (g = df/dW = 0
+            # at W*; total derivative through W* via the implicit function)
+            gF_V, gF_t, gF_th = jax.grad(self._laplace_value,
+                                         argnums=(0, 1, 2))(V, tail, theta)
+            factor = self.hessian_factor(V, tail, theta)
+            vV, vt = self.solve_H(factor, gF_V, gF_t)
+
+            def gdotv(th):
+                gV, gt = self.grad_W(V, tail, th)
+                out = jnp.dot(gV, vV)
+                if self.q:
+                    out = out + jnp.dot(gt, vt)
+                return out
+
+            term2 = jax.grad(gdotv)(theta)
+            dth = (gF_th - term2) * ct_val
+            return dth, jax.tree_util.tree_map(jnp.zeros_like, (V, tail))
+
+        nll_fn.defvjp(fwd, bwd)
+        self._nll_cvjp = nll_fn
+        return nll_fn
+
+    # -- warm-started interface used by the outer optimizer ------------
+    def init_state(self):
+        return (jnp.zeros((self.dpad,), self.dtype),
+                jnp.zeros((self.q,), self.dtype))
+
+    def nll_warm(self, theta, warm):
+        val, state = self.laplace_nll(theta, warm=warm)
+        return val, state
+
+    # ------------------------------------------------------------------
+    def val_grad_fn(self):
+        if not hasattr(self, "_vg"):
+            self._vg = jax.jit(jax.value_and_grad(self.nll))
+        return self._vg
+
+    def hess_fn(self):
+        if not hasattr(self, "_hess"):
+            hw = self.hess_warm_fn()
+            self._hess = lambda th: hw(th, self.init_state())
+        return self._hess
+
+    def vmap_nll_fn(self):
+        if not hasattr(self, "_vnll"):
+            self._vnll = jax.jit(jax.vmap(self.nll))
+        return self._vnll
+
+    def val_grad_warm_fn(self):
+        if not hasattr(self, "_vgw"):
+            self._vgw = jax.jit(
+                jax.value_and_grad(self.nll_warm, has_aux=True))
+        return self._vgw
+
+    def hess_warm_fn(self):
+        """Outer Hessian by central differences of the exact implicit
+        gradient (the custom VJP blocks forward-mode AD; this mirrors the
+        reference's numDeriv jacobian-of-gradient, R/02_model_fit.R:283,
+        but with an analytic gradient underneath)."""
+        if not hasattr(self, "_hessw"):
+            grad_fn = jax.grad(lambda th, st: self.nll_warm(th, st)[0])
+
+            def hess(theta, st):
+                s = theta.shape[0]
+                # step sized to the gradient's fp noise: the O(n) data
+                # side sets it (f32 gradients carry ~1e-3 noise)
+                h = 1e-4 if self.compute_dtype == jnp.float64 else 3e-2
+                eye = jnp.eye(s, dtype=theta.dtype)
+
+                def col(i):
+                    gp = grad_fn(theta + h * eye[i], st)
+                    gm = grad_fn(theta - h * eye[i], st)
+                    return (gp - gm) / (2 * h)
+
+                H = jnp.stack([col(i) for i in range(s)])
+                return 0.5 * (H + H.T)
+
+            self._hessw = jax.jit(hess)
+        return self._hessw
+
+    def vmap_nll_warm_fn(self):
+        if not hasattr(self, "_vnllw"):
+            self._vnllw = jax.jit(jax.vmap(
+                lambda th, wm: self.nll_warm(th, wm)[0], in_axes=(0, None)))
+        return self._vnllw
+
+    def node_eval(self, thetas, warm=None):
+        """vmapped per-node evaluation: (nlls, states) for the AGHQ grid.
+        `warm` (optional) warm-starts every node from the mode's solve."""
+        def one(th, wm):
+            nll, (V, tail) = self.laplace_nll(th, warm=wm)
+            factor = self.hessian_factor(V, tail, th)
+            return nll, (V, tail, factor)
+
+        if not hasattr(self, "_node_eval"):
+            self._node_eval = jax.jit(jax.vmap(one, in_axes=(0, None)))
+        if warm is None:
+            warm = self.init_state()
+        return self._node_eval(thetas, warm)
+
+    def sample(self, key, states, idx, M):
+        """Mixture sampling: (w_count_ref, M) in REFERENCE coordinates
+        [U = T V | beta | fixed]."""
+        V, tail, factor = states
+
+        def draw(i, zb, zd):
+            fi = jax.tree_util.tree_map(lambda x: x[i], factor)
+            xb, xd = self.sample_dev_H(fi, zb, zd)
+            Vs = V[i] + xb          # primed coords
+            ts = tail[i] + xd
+            Vact = self.to_V(Vs, ts)
+            U = self.apply_T(Vact[:self.d])
+            return jnp.concatenate([U, ts])
+
+        k1, k2 = jax.random.split(key)
+        zb = jax.random.normal(k1, (M, self.nb, self.s), self.dtype)
+        zd = jax.random.normal(k2, (M, self.q), self.dtype)
+        samps = jax.jit(jax.vmap(draw))(idx, zb, zd)
+        return np.asarray(samps).T
+
+
+def build_fast_iwp(term, md, xf_dense, prior_diag_tail, prior_mean_tail,
+                   x_data, dtype=None):
+    """Construct a FastIWPBackend.
+
+    term: the IWP TermDesign; md: ModelData (family data + priors; its A
+    may be empty); xf_dense: (n, q) dense tail design [X_global | Xf];
+    x_data: raw (shifted) smoothing-variable values.
+    """
+    import dataclasses as _dc
+
+    p = term.order
+    knots = np.asarray(term.knots, np.float64)
+    if knots.min() < 0:
+        raise ValueError("fast path requires all-nonnegative knots")
+    d = len(knots) - 1
+    s = _choose_block(d, p)
+    nb = -(-d // s)
+    dpad = nb * s
+
+    vals, start = reparam.sparse_rows(x_data, knots, p)
+    # sort rows by segment: segment reductions become cumsum-diffs at
+    # static boundaries (the row order of eta/y is permuted consistently;
+    # elementwise likelihoods are permutation invariant)
+    order = np.argsort(start, kind="stable")
+    vals = vals[order]
+    start = start[order]
+    xf_dense = np.asarray(xf_dense, np.float64)[order]
+    counts = np.bincount(start, minlength=d)
+    seg_hi = np.cumsum(counts)
+    seg_lo = seg_hi - counts
+    md_perm = _dc.replace(
+        md, y=np.asarray(md.y)[order],
+        size=(np.asarray(md.size)[order] if np.ndim(md.size) and
+              np.shape(md.size)[0] == len(order) else md.size))
+
+    P_band, logdetT, T = reparam.prior_band(knots, p)
+    Tdiags = np.zeros((p + 1, d))
+    for o in range(p + 1):
+        Tdiags[o, o:] = np.diagonal(T, -o)
+
+    # ---- tail orthogonalization (host, float64) ----
+    # Z0 ~ argmin ||B Z - XF||: exactness of the Laplace value holds for
+    # ANY Z0 (unit-determinant change of coordinates); this choice makes
+    # the Schur complement well-scaled in float32 (see dataclass notes).
+    q = xf_dense.shape[1]
+    n = len(start)
+    if q:
+        from scipy.linalg import solveh_banded
+        Gband = np.zeros((p + 1, d))
+        for o in range(p + 1):
+            for b in range(p + 1 - o):
+                a = b + o
+                w = vals[:, a] * vals[:, b]
+                acc = np.bincount(start + b, weights=w, minlength=d)[:d]
+                Gband[o] += acc
+        BX = np.zeros((d, q))
+        for a in range(p + 1):
+            for c in range(q):
+                BX[:, c] += np.bincount(
+                    start + a, weights=vals[:, a] * xf_dense[:, c],
+                    minlength=d)[:d]
+        ridge = 1e-9 * max(Gband[0].max(), 1.0)
+        Gb = Gband.copy()
+        Gb[0] += ridge
+        Z0 = solveh_banded(Gb, BX, lower=True)
+        XFp = xf_dense.copy()
+        for a in range(p + 1):
+            XFp -= vals[:, a, None] * Z0[np.clip(start + a, 0, d - 1), :]
+        # P_V @ Z0 via the symmetric band
+        PZ0 = P_band[0][:, None] * Z0
+        for o in range(1, p + 1):
+            PZ0[o:] += P_band[o, :d - o, None] * Z0[:-o]
+            PZ0[:-o] += P_band[o, :d - o, None] * Z0[o:]
+        Z0PZ0 = Z0.T @ PZ0
+    else:
+        Z0 = np.zeros((d, 0))
+        PZ0 = np.zeros((d, 0))
+        Z0PZ0 = np.zeros((0, 0))
+        XFp = xf_dense
+
+    x64 = bool(jax.config.read("jax_enable_x64"))
+    # compute dtype: caller's choice (float32 for TPU throughput);
+    # solve dtype: float64 whenever available (see class docstring)
+    dt = dtype or (np.float64 if x64 else np.float32)
+    if not x64:
+        dt = np.float32
+    sdt = jnp.float64 if x64 else jnp.float32
+    # likelihood-side model arrays in compute dtype (O(n) work)
+    md_perm = _dc.replace(
+        md_perm, y=np.asarray(md_perm.y, dt),
+        size=np.asarray(md_perm.size, dt))
+    return FastIWPBackend(
+        term=term, md=md_perm, p=p, d=d, dpad=dpad, s=s, nb=nb, q=q,
+        valsT=jnp.asarray(np.ascontiguousarray(vals.T), dt),
+        start=jnp.asarray(start),
+        seg_lo=jnp.asarray(seg_lo), seg_hi=jnp.asarray(seg_hi),
+        XFpT=jnp.asarray(np.ascontiguousarray(XFp.T), dt),
+        Z0=jnp.asarray(Z0, sdt), PZ0=jnp.asarray(PZ0, sdt),
+        Z0PZ0=jnp.asarray(Z0PZ0, sdt),
+        P_band=jnp.asarray(P_band, sdt), Tdiags=jnp.asarray(Tdiags, sdt),
+        logdetT=float(logdetT),
+        prior_diag_tail=jnp.asarray(prior_diag_tail, sdt),
+        prior_mean_tail=jnp.asarray(prior_mean_tail, sdt),
+        solve_dtype=sdt)

@@ -45,6 +45,101 @@ def product_grid(k: int, s: int):
     return nodes, logw
 
 
+class JitCacheMixin:
+    """Caches jitted closures so repeated fits on one backend reuse the
+    compiled executables (fresh lambdas would miss jax's jit cache)."""
+
+    def val_grad_fn(self):
+        if not hasattr(self, "_vg"):
+            self._vg = jax.jit(jax.value_and_grad(self.nll))
+        return self._vg
+
+    def hess_fn(self):
+        if not hasattr(self, "_hess"):
+            self._hess = jax.jit(jax.hessian(self.nll))
+        return self._hess
+
+    def vmap_nll_fn(self):
+        if not hasattr(self, "_vnll"):
+            self._vnll = jax.jit(jax.vmap(self.nll))
+        return self._vnll
+
+    def val_grad_warm_fn(self):
+        if not hasattr(self, "_vgw"):
+            self._vgw = jax.jit(
+                jax.value_and_grad(self.nll_warm, has_aux=True))
+        return self._vgw
+
+    def hess_warm_fn(self):
+        if not hasattr(self, "_hessw"):
+            self._hessw = jax.jit(
+                jax.hessian(lambda th, st: self.nll_warm(th, st)[0]))
+        return self._hessw
+
+    def vmap_nll_warm_fn(self):
+        if not hasattr(self, "_vnllw"):
+            self._vnllw = jax.jit(jax.vmap(
+                lambda th, wm: self.nll_warm(th, wm)[0], in_axes=(0, None)))
+        return self._vnllw
+
+
+class DenseBackend(JitCacheMixin):
+    """Default inference backend: dense designs, dense Cholesky.
+
+    Exact for every model structure; the banded fast backend
+    (bayesgp_tpu.fast) shares this interface for large single-IWP models.
+    """
+
+    def __init__(self, md):
+        self.md = md
+
+    @property
+    def n_theta(self):
+        return self.md.n_theta
+
+    @property
+    def dtype(self):
+        return self.md.A.dtype
+
+    def nll(self, theta):
+        return laplace_nll(theta, self.md)[0]
+
+    def init_state(self):
+        return jnp.zeros((self.md.w_count,), self.dtype)
+
+    def nll_warm(self, theta, warm):
+        val, Ws = laplace_nll(theta, self.md, W0=warm)
+        return val, jax.lax.stop_gradient(Ws)
+
+    def node_eval(self, thetas, warm=None):
+        from ..model.objective import hessian_W
+
+        def one(th, wm):
+            nll, Ws = laplace_nll(th, self.md, W0=wm)
+            Hw = hessian_W(Ws, th, self.md)
+            Lw = jnp.linalg.cholesky(Hw)
+            return nll, (Ws, Lw)
+
+        if not hasattr(self, "_node_eval"):
+            self._node_eval = jax.jit(jax.vmap(one, in_axes=(0, None)))
+        if warm is None:
+            warm = self.init_state()
+        return self._node_eval(thetas, warm)
+
+    def sample(self, key, states, idx, M):
+        from jax.scipy.linalg import solve_triangular
+        W_star, L = states
+        w_dim = W_star.shape[1]
+        z = jax.random.normal(key, (M, w_dim), dtype=W_star.dtype)
+
+        def draw(i, zi):
+            dev = solve_triangular(L[i], zi, lower=True, trans=1)
+            return W_star[i] + dev
+
+        samps = jax.jit(jax.vmap(draw))(idx, z)
+        return np.asarray(samps).T
+
+
 @dataclass
 class AGHQFit:
     """Everything downstream code needs (mirrors aghq's fit object)."""
@@ -55,9 +150,9 @@ class AGHQFit:
     logw: np.ndarray              # (J,) adapted log weights (incl. det L)
     lognll: np.ndarray            # (J,) laplace nll at nodes
     lognormconst: float
-    W_star: np.ndarray            # (J, w) latent modes per node
-    H_chol: np.ndarray            # (J, w, w) lower chol of latent Hessians
+    states: Any                   # per-node latent modes/factors (backend)
     k: int
+    backend: Any = None
     marginals: list = field(default_factory=list)  # per-dim (theta, logpdf)
 
     @property
@@ -66,7 +161,7 @@ class AGHQFit:
         return -self.lognll - self.lognormconst
 
 
-def optimize_theta(md, s: int, theta0=None, tol=1e-9, max_iter=100,
+def optimize_theta(backend, s: int, theta0=None, tol=1e-9, max_iter=100,
                    verbose=False):
     """Damped-Newton optimization of the Laplace marginal nll.
 
@@ -76,69 +171,106 @@ def optimize_theta(md, s: int, theta0=None, tol=1e-9, max_iter=100,
     """
     if theta0 is None:
         theta0 = np.zeros(s)
-    theta = jnp.asarray(theta0, md.A.dtype)
+    theta = jnp.asarray(theta0, backend.dtype)
 
-    nll = lambda th: laplace_nll(th, md)[0]
-    val_grad = jax.jit(jax.value_and_grad(nll))
-    hess = jax.jit(jax.hessian(nll))
+    # warm-started evaluation: the inner Newton for each nll call starts
+    # from the previous theta's latent mode (2-4 iterations instead of
+    # 10-20 from zero)
+    val_grad = backend.val_grad_warm_fn()
+    hess = backend.hess_warm_fn()
+    state = backend.init_state()
 
-    f, g = val_grad(theta)
+    # fp resolution of the nll surface for the active precision: once f
+    # stops improving beyond this, we are polishing inside the noise pit
+    # (PARITY.md) and must stop. Mixed-precision backends are limited by
+    # their O(n) compute dtype, not the solver dtype.
+    cdt = getattr(backend, "compute_dtype", backend.dtype)
+    f_eps = 1e-9 if cdt in (np.float64, jnp.float64) else 3e-7
+
+    (f, state), g = val_grad(theta, state)
+    stall = 0
     for it in range(max_iter):
-        if jnp.max(jnp.abs(g)) < tol:
+        gmax = float(jnp.max(jnp.abs(g)))
+        if gmax < tol:
             break
-        H = hess(theta)
+        # tiny s x s system: solve on host (TPU lacks f64 LU)
+        H = np.asarray(hess(theta, state), np.float64)
+        g_np = np.asarray(g, np.float64)
         # ensure a descent direction: ridge up if needed
         ridge = 0.0
+        step = None
         for _ in range(12):
             try:
-                Hr = H + ridge * jnp.eye(s, dtype=H.dtype)
-                step = jnp.linalg.solve(Hr, g)
-                if jnp.dot(step, g) > 0 and jnp.all(jnp.isfinite(step)):
+                Hr = H + ridge * np.eye(s)
+                cand = np.linalg.solve(Hr, g_np)
+                if np.dot(cand, g_np) > 0 and np.all(np.isfinite(cand)):
+                    step = cand
                     break
-            except Exception:
+            except np.linalg.LinAlgError:
                 pass
             ridge = max(ridge * 10.0, 1e-6)
+        if step is None:
+            step = g_np / max(np.abs(np.diag(H)).max(), 1.0)
+        step = jnp.asarray(step, theta.dtype)
+        # Newton decrement below fp resolution of f: converged (the
+        # Laplace nll carries ~1e-5-level fp noise, see PARITY.md — an
+        # absolute gradient threshold is not always reachable)
+        dec = float(jnp.dot(g, step))
+        if dec < 1e-13 * (1.0 + abs(float(f))):
+            break
         alpha = 1.0
-        for _ in range(40):
-            f_try, g_try = val_grad(theta - alpha * step)
-            if jnp.isfinite(f_try) and f_try <= f + 1e-14 * abs(float(f)):
+        accepted = False
+        for _ in range(25):
+            (f_try, state_try), g_try = val_grad(theta - alpha * step, state)
+            if jnp.isfinite(f_try) and f_try <= f + 1e-12 * (1.0 + abs(float(f))):
+                improved = (f - f_try) > f_eps * (1.0 + abs(float(f)))
                 theta = theta - alpha * step
-                f, g = f_try, g_try
+                f, g, state = f_try, g_try, state_try
+                accepted = True
                 break
             alpha *= 0.5
-        else:
+        if not accepted:
+            break
+        # two consecutive noise-floor steps => converged within fp noise
+        stall = 0 if improved else stall + 1
+        if stall >= 2:
             break
         if verbose:
-            print(f"  outer it={it} f={float(f):.10f} |g|={float(jnp.max(jnp.abs(g))):.2e}")
-    H = hess(theta)
-    return np.asarray(theta), np.asarray(H), float(f)
+            print(f"  outer it={it} f={float(f):.10f} "
+                  f"|g|={float(jnp.max(jnp.abs(g))):.2e} dec={dec:.2e}")
+    H = hess(theta, state)
+    return np.asarray(theta), np.asarray(H), float(f), state
 
 
-def aghq_fit(md, k: int = 4, theta0=None, verbose=False) -> AGHQFit:
+def aghq_fit(md_or_backend, k: int = 4, theta0=None, verbose=False) -> AGHQFit:
     """Full AGHQ pipeline: optimize, adapt, quadrature, marginals."""
-    s = md.n_theta
+    backend = (md_or_backend if hasattr(md_or_backend, "node_eval")
+               else DenseBackend(md_or_backend))
+    s = backend.n_theta
     if s == 0:
         raise ValueError("aghq requires at least one hyperparameter")
-    mode, H, _ = optimize_theta(md, s, theta0=theta0, verbose=verbose)
+    mode, H, _, warm = optimize_theta(backend, s, theta0=theta0,
+                                      verbose=verbose)
 
     cov = np.linalg.inv(H)
     cov = 0.5 * (cov + cov.T)
-    L = np.linalg.cholesky(cov)
+    try:
+        L = np.linalg.cholesky(cov)
+    except np.linalg.LinAlgError:
+        # fp-noisy outer Hessian (float32 paths): clip to PD — the
+        # adaptation only places nodes, AGHQ stays correct regardless
+        evals, evecs = np.linalg.eigh(cov)
+        evals = np.clip(np.abs(evals), 1e-8 * max(np.abs(evals).max(), 1e-8),
+                        None)
+        cov = (evecs * evals) @ evecs.T
+        L = np.linalg.cholesky(cov)
 
     z, logw_base = product_grid(k, s)
     nodes = mode[None, :] + z @ L.T
     logw = logw_base + np.log(np.diag(L)).sum()
 
-    nodes_j = jnp.asarray(nodes, md.A.dtype)
-
-    def node_eval(th):
-        nll, Ws = laplace_nll(th, md)
-        from ..model.objective import hessian_W
-        Hw = hessian_W(Ws, th, md)
-        Lw = jnp.linalg.cholesky(Hw)
-        return nll, Ws, Lw
-
-    nlls, W_star, H_chol = jax.jit(jax.vmap(node_eval))(nodes_j)
+    nodes_j = jnp.asarray(nodes, backend.dtype)
+    nlls, states = backend.node_eval(nodes_j, warm=warm)
     nlls = np.asarray(nlls)
 
     logpost_w = -nlls + logw
@@ -147,12 +279,13 @@ def aghq_fit(md, k: int = 4, theta0=None, verbose=False) -> AGHQFit:
 
     fit = AGHQFit(mode=mode, hessian=H, L=L, nodes=nodes, logw=logw,
                   lognll=nlls, lognormconst=lognormconst,
-                  W_star=np.asarray(W_star), H_chol=np.asarray(H_chol), k=k)
-    fit.marginals = [marginal_posterior(fit, md, j) for j in range(s)]
+                  states=states, k=k, backend=backend)
+    fit.marginals = [marginal_posterior(fit, backend, j, warm=warm)
+                     for j in range(s)]
     return fit
 
 
-def marginal_posterior(fit: AGHQFit, md, j: int):
+def marginal_posterior(fit: AGHQFit, backend, j: int, warm=None):
     """AGHQ marginal of theta_j: re-adapt with dim j ordered first so its
     node values collapse to k unique points, then integrate the remaining
     dims by the adapted quadrature (mirrors aghq::marginal_posterior).
@@ -178,8 +311,11 @@ def marginal_posterior(fit: AGHQFit, md, j: int):
     # invert permutation to evaluate nll with original ordering
     inv = np.argsort(idx)
     nodes_orig = nodes_p[:, inv]
-    nlls = np.asarray(jax.jit(jax.vmap(lambda th: laplace_nll(th, md)[0]))(
-        jnp.asarray(nodes_orig, md.A.dtype)))
+    nodes_dev = jnp.asarray(nodes_orig, backend.dtype)
+    if warm is not None and hasattr(backend, "vmap_nll_warm_fn"):
+        nlls = np.asarray(backend.vmap_nll_warm_fn()(nodes_dev, warm))
+    else:
+        nlls = np.asarray(backend.vmap_nll_fn()(nodes_dev))
 
     z1, w1 = ghe_rule(k)
     # group nodes by leading z value: product() ordering has the first dim

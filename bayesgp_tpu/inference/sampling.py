@@ -17,22 +17,17 @@ from jax.scipy.linalg import solve_triangular
 
 
 def sample_marginal(key, fit, M: int):
-    """(w, M) latent samples + (M,) node indices + (M, s) theta samples."""
+    """(w, M) latent samples + (M,) node indices + (M, s) theta samples.
+
+    Node selection ~ Categorical(posterior node weights); the Gaussian
+    draw W | node is delegated to the fit's backend (dense triangular
+    solves, or banded arrowhead solves for the fast path)."""
     logits = jnp.asarray(fit.logpost_nodes + fit.logw)
-    k_idx, k_norm = jax.random.split(key)
+    k_idx, k_draw = jax.random.split(key)
     idx = jax.random.categorical(k_idx, logits, shape=(M,))
-    W_star = jnp.asarray(fit.W_star)      # (J, w)
-    L = jnp.asarray(fit.H_chol)           # (J, w, w) lower chol of precision
-    w_dim = W_star.shape[1]
-    z = jax.random.normal(k_norm, (M, w_dim), dtype=W_star.dtype)
-
-    def draw(i, zi):
-        dev = solve_triangular(L[i], zi, lower=True, trans=1)
-        return W_star[i] + dev
-
-    samps = jax.vmap(draw)(idx, z)        # (M, w)
-    theta = jnp.asarray(fit.nodes)[idx]   # (M, s)
-    return np.asarray(samps).T, np.asarray(idx), np.asarray(theta)
+    samps = fit.backend.sample(k_draw, fit.states, idx, M)
+    theta = np.asarray(fit.nodes)[np.asarray(idx)]   # (M, s)
+    return samps, np.asarray(idx), theta
 
 
 def sample_mvn_precision(key, mean, prec, M: int):

@@ -133,22 +133,27 @@ def build_cc_strata(case: np.ndarray, strata: np.ndarray,
 def build_model_data(terms, design_mat_fixed, y, family: str, *,
                      control_family=None, control_fixed_prec=None,
                      control_fixed_mean=None, size=None, cens=None,
-                     cc_arrays=None, dtype=np.float64) -> ModelData:
+                     cc_arrays=None, dtype=np.float64,
+                     dense_design=True) -> ModelData:
     """Assemble ModelData from constructed TermDesigns and fixed designs.
 
     `design_mat_fixed`: list of (n, 1) columns ([intercept], fixed...).
     `control_fixed_prec/mean`: arrays aligned with design_mat_fixed columns.
     `cc_arrays`: optional (case_day, control_days, count) for family='cc'.
+    `dense_design=False` skips materializing the stacked (n, w) design —
+    used by the banded fast backend, which keeps sparse rows instead.
     """
     fam = FAMILY_CODES[family]
     n = len(y)
-    B_cols = [t.B for t in terms]
-    X_cols = [t.X for t in terms if t.X.shape[1] > 0]
-    parts = B_cols + X_cols + list(design_mat_fixed)
-    A = (np.concatenate(parts, axis=1) if parts
-         else np.zeros((n, 0)))
+    if dense_design:
+        B_cols = [t.ensure_B() for t in terms]
+        X_cols = [t.X for t in terms if t.X.shape[1] > 0]
+        parts = B_cols + X_cols + list(design_mat_fixed)
+        A = np.concatenate(parts, axis=1) if parts else np.zeros((n, 0))
+    else:
+        A = np.zeros((n, 0))
 
-    d_sizes = tuple(int(t.B.shape[1]) for t in terms)
+    d_sizes = tuple(int(t.num_basis) for t in terms)
     x_sizes = tuple(int(t.X.shape[1]) for t in terms if t.X.shape[1] > 0)
     xf_count = sum(int(np.shape(x)[1]) for x in design_mat_fixed)
 

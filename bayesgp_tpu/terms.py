@@ -65,7 +65,8 @@ class TermDesign:
     kind: str                      # "IWP" | "sGP" | "IID" | "Customized"
     smoothing_var: str
     X: np.ndarray
-    B: np.ndarray
+    B: Optional[np.ndarray]        # dense local design; None when the
+    #                                banded fast path skips materializing it
     P: np.ndarray
     sd_prior: dict
     boundary_prior: Optional[dict] = None
@@ -73,7 +74,8 @@ class TermDesign:
     order: int = 0
     knots: Optional[np.ndarray] = None
     initial_location: float = 0.0
-    observed_x: Optional[np.ndarray] = None
+    observed_x: Optional[np.ndarray] = None   # sorted shifted x (predict)
+    x_data: Optional[np.ndarray] = None       # shifted x in data row order
     a: float = 0.0
     m: int = 1
     k: int = 0
@@ -86,14 +88,34 @@ class TermDesign:
 
     @property
     def logPdet(self) -> float:
+        # IWP / IID penalties are diagonal — avoid an O(d^3) slogdet
+        off_diag = self.P - np.diag(np.diagonal(self.P))
+        if not off_diag.any():
+            return float(np.sum(np.log(np.diagonal(self.P))))
         sign, logdet = np.linalg.slogdet(self.P)
         return float(logdet)
+
+    @property
+    def num_basis(self) -> int:
+        """Number of local-basis columns (d_r) without requiring B."""
+        if self.B is not None:
+            return self.B.shape[1]
+        return self.P.shape[1]
+
+    def ensure_B(self):
+        """Materialize the dense local design if it was skipped."""
+        if self.B is None:
+            if self.kind != "IWP" or self.x_data is None:
+                raise ValueError("cannot materialize B for this term")
+            self.B = osplines.local_poly_helper(self.knots, self.x_data,
+                                                p=self.order)
+        return self.B
 
 
 def build_iwp_term(smoothing_var: str, x: np.ndarray, *, order: int,
                    k: Optional[int] = None, knots=None,
                    sd_prior=None, boundary_prior=None,
-                   initial_location=None) -> TermDesign:
+                   initial_location=None, materialize_B=True) -> TermDesign:
     """IWP term build (reference R/02_model_fit.R:415-470).
 
     Knots: `k` (default 5) uniform points over the shifted observed range;
@@ -116,13 +138,13 @@ def build_iwp_term(smoothing_var: str, x: np.ndarray, *, order: int,
     else:
         knots = np.asarray(knots, dtype=np.float64)
     X = osplines.global_poly_helper(xs, p=order)[:, 1:]
-    B = osplines.local_poly_helper(knots, xs, p=order)
+    B = osplines.local_poly_helper(knots, xs, p=order) if materialize_B else None
     P = osplines.compute_weights_precision(knots)
     return TermDesign(
         kind="IWP", smoothing_var=smoothing_var, X=X, B=B, P=P,
         sd_prior=sd_prior, boundary_prior=boundary_prior, order=int(order),
         knots=knots, initial_location=float(initial_location),
-        observed_x=np.sort(xs))
+        observed_x=np.sort(xs), x_data=xs)
 
 
 def build_sgp_term(smoothing_var: str, x: np.ndarray, *, a=None, freq=None,
@@ -205,7 +227,8 @@ def build_customized_term(smoothing_var: str, x: np.ndarray, *,
 
 
 def build_term_from_call(call, data: dict, env: dict | None = None,
-                         customized_re: dict | None = None) -> TermDesign:
+                         customized_re: dict | None = None,
+                         materialize_B: bool = True) -> TermDesign:
     """Dispatch a parsed f(...) call to the right builder.
 
     `call` is a formula.RandomEffectCall; `data` maps column name -> array.
@@ -227,7 +250,8 @@ def build_term_from_call(call, data: dict, env: dict | None = None,
             var, x, order=opts.pop("order", None), k=opts.pop("k", None),
             knots=opts.pop("knots", None), sd_prior=sd_prior,
             boundary_prior=opts.pop("boundary_prior", opts.pop("boundary.prior", None)),
-            initial_location=opts.pop("initial_location", None))
+            initial_location=opts.pop("initial_location", None),
+            materialize_B=materialize_B)
     elif model == "sGP":
         td = build_sgp_term(
             var, x, a=opts.pop("a", None), freq=opts.pop("freq", None),

@@ -1,0 +1,91 @@
+"""Headline benchmark (BASELINE.md north-star): n=1e5 daily-series
+observations, IWP order-3 smooth with k=2000 knots, Poisson likelihood,
+full AGHQ fit (adaptive 4-node quadrature over the smoothing
+hyperparameter, Laplace/Newton inner solves on the ~2009-dim latent
+field).
+
+Runs on whatever accelerator jax selects (the driver provides one TPU
+chip; float32 there). Prints ONE JSON line:
+  {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": ...}
+vs_baseline = target_seconds / value against the <1 s single-chip target
+(the reference publishes no timings; BASELINE.json sets the target).
+"""
+import json
+import sys
+import time
+
+import numpy as np
+import jax
+
+# TPU matmul default precision is bfloat16 — fatal for the Newton/Cholesky
+# pipeline. 'highest' = true f32 accumulation on the MXU.
+jax.config.update("jax_default_matmul_precision", "highest")
+# x64 ON: the fast backend runs mixed precision — O(n) data work in f32,
+# O(d) band factorization/log-dets in f64 (see fast/iwp.py docstring)
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+
+def build_problem(n=100_000, k=2000, seed=0):
+    import bayesgp_tpu as bg
+    from bayesgp_tpu import terms as T
+    from bayesgp_tpu.model import build as B
+    from bayesgp_tpu.fast.iwp import build_fast_iwp
+
+    rng = np.random.default_rng(seed)
+    x = np.sort(rng.uniform(0.0, 365.0, n))
+    f_true = 1.5 + 0.8 * np.sin(2 * np.pi * x / 90.0) + 0.002 * x
+    y = rng.poisson(np.exp(f_true)).astype(np.float64)
+    z = rng.normal(0, 1, n)
+
+    inst = T.build_iwp_term("x", x, order=3, k=k, materialize_B=False)
+    dmf = [np.ones((n, 1)), z.reshape(n, 1)]
+    md = B.build_model_data([inst], dmf, y, "Poisson", dense_design=False)
+    xf = np.concatenate([inst.X] + dmf, axis=1)
+    p = inst.order
+    prior_tail = np.full(xf.shape[1], 0.01)
+    backend = build_fast_iwp(inst, md, xf, prior_tail,
+                             np.zeros_like(prior_tail), inst.x_data,
+                             dtype=np.float32)
+    return backend
+
+
+def run_fit(backend, k_quad=4):
+    from bayesgp_tpu.inference.aghq import aghq_fit
+    return aghq_fit(backend, k=k_quad)
+
+
+def main():
+    import jax
+    t0 = time.time()
+    backend = build_problem()
+    build_s = time.time() - t0
+
+    # warm-up: compiles every jitted path (cached on the backend)
+    t0 = time.time()
+    fit = run_fit(backend)
+    first_s = time.time() - t0
+
+    t0 = time.time()
+    fit = run_fit(backend)
+    fit_s = time.time() - t0
+
+    ok = np.isfinite(fit.lognormconst) and np.all(np.isfinite(fit.mode))
+    target = 1.0
+    result = {
+        "metric": "n1e5_k2000_iwp3_poisson_aghq_fit_seconds",
+        "value": round(fit_s, 4),
+        "unit": "s",
+        "vs_baseline": round(target / fit_s, 3),
+    }
+    print(json.dumps(result))
+    print(f"# device={jax.devices()[0].device_kind} build={build_s:.2f}s "
+          f"first(compile)={first_s:.2f}s steady={fit_s:.4f}s "
+          f"mode={np.asarray(fit.mode).tolist()} "
+          f"lognormconst={fit.lognormconst:.4f} finite={bool(ok)}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

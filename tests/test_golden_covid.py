@@ -59,9 +59,8 @@ def test_reference_adaptation_parity(covid_md):
     assert abs(lognorm - GOLDEN["lognormconst"]) < 1e-3
 
     fit = A.AGHQFit(mode=mode, hessian=H, L=Lc, nodes=nodes, logw=logw,
-                    lognll=nlls, lognormconst=lognorm, W_star=None,
-                    H_chol=None, k=4)
-    fit.marginals = [A.marginal_posterior(fit, md, 0)]
+                    lognll=nlls, lognormconst=lognorm, states=None, k=4)
+    fit.marginals = [A.marginal_posterior(fit, A.DenseBackend(md), 0)]
     rows = A.summarize_marginals(fit)[0]
     assert abs(rows["mean"] - GOLDEN["mean"]) < 1e-5
     assert abs(rows["sd"] - GOLDEN["sd"]) < 1e-5
