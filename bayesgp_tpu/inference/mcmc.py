@@ -1,0 +1,208 @@
+"""MCMC over the joint (W, theta) posterior.
+
+TPU-native replacement for the reference's `method="MCMC"` path, which
+delegates to tmbstan/Stan NUTS over the TMB joint objective
+(R/02_model_fit.R:286-304, defaults chains=1, warmup=10000, seed=123 from
+R/01_utility.R:491-500).
+
+The sampler is adaptive Hamiltonian Monte Carlo: leapfrog integration of
+the exact joint gradient (autodiff of the pure-JAX objective),
+Metropolis-exact accept/reject, dual-averaging step-size adaptation to a
+0.8 target acceptance, diagonal mass-matrix adaptation from warmup
+variance, and uniformly jittered trajectory lengths (which breaks the
+resonance pathologies static HMC is prone to). Chains are a vmapped axis
+— multi-chain runs are one SPMD program (the reference forks R processes
+per chain).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..model.objective import neg_log_post
+
+
+def default_option_list(option_list=None):
+    """Reference defaults (R/01_utility.R:491-500)."""
+    opts = dict(option_list or {})
+    opts.setdefault("chains", 1)
+    opts.setdefault("cores", 1)       # accepted for API parity; unused
+    opts.setdefault("init", "random")
+    opts.setdefault("seed", 123)
+    opts.setdefault("warmup", 10000)
+    opts.setdefault("num_leapfrog", 32)
+    opts.setdefault("target_accept", 0.8)
+    return opts
+
+
+class HMCState(NamedTuple):
+    z: jnp.ndarray          # position (W ++ theta)
+    logp: jnp.ndarray       # log posterior at z
+    grad: jnp.ndarray       # gradient of log posterior at z
+
+
+class AdaptState(NamedTuple):
+    log_eps: jnp.ndarray
+    log_eps_avg: jnp.ndarray
+    h_avg: jnp.ndarray
+    mu: jnp.ndarray
+    count: jnp.ndarray
+    mean: jnp.ndarray       # Welford mean
+    m2: jnp.ndarray         # Welford sum of squares
+
+
+def hmc_kernel(logp_grad, state, key, eps, inv_mass, n_leapfrog_max):
+    """One jittered-HMC transition."""
+    k_mom, k_steps, k_acc = jax.random.split(key, 3)
+    r0 = jax.random.normal(k_mom, state.z.shape, state.z.dtype) / jnp.sqrt(
+        inv_mass)
+    n_steps = jax.random.randint(k_steps, (), 1, n_leapfrog_max + 1)
+
+    def do_leapfrog(_):
+        def step(carry, i):
+            z, r, g, lp = carry
+            do = i < n_steps
+
+            def leap(zrg):
+                z, r, g, lp = zrg
+                r = r + 0.5 * eps * g
+                z = z + eps * inv_mass * r
+                lp, g = logp_grad(z)
+                r = r + 0.5 * eps * g
+                return z, r, g, lp
+
+            carry = jax.lax.cond(do, leap, lambda x: x, (z, r, g, lp))
+            return carry, None
+
+        init = (state.z, r0, state.grad, state.logp)
+        (z, r, g, lp), _ = jax.lax.scan(step, init, jnp.arange(n_leapfrog_max))
+        return z, r, g, lp
+
+    z1, r1, g1, lp1 = do_leapfrog(None)
+    h0 = state.logp - 0.5 * jnp.sum(r0 * inv_mass * r0)
+    h1 = lp1 - 0.5 * jnp.sum(r1 * inv_mass * r1)
+    log_alpha = jnp.minimum(0.0, h1 - h0)
+    log_alpha = jnp.where(jnp.isnan(log_alpha), -jnp.inf, log_alpha)
+    accept = jnp.log(jax.random.uniform(k_acc, (), state.z.dtype)) < log_alpha
+    new = HMCState(
+        z=jnp.where(accept, z1, state.z),
+        logp=jnp.where(accept, lp1, state.logp),
+        grad=jnp.where(accept, g1, state.grad))
+    return new, jnp.exp(log_alpha)
+
+
+def _init_adapt(dim, eps0, dtype):
+    return AdaptState(
+        log_eps=jnp.log(jnp.asarray(eps0, dtype)),
+        log_eps_avg=jnp.log(jnp.asarray(eps0, dtype)),
+        h_avg=jnp.asarray(0.0, dtype),
+        mu=jnp.log(10.0 * jnp.asarray(eps0, dtype)),
+        count=jnp.asarray(0.0, dtype),
+        mean=jnp.zeros(dim, dtype), m2=jnp.zeros(dim, dtype))
+
+
+def _dual_avg(adapt, accept_prob, target):
+    """Nesterov dual averaging (Hoffman & Gelman 2014, sec 3.2)."""
+    t0, gamma, kappa = 10.0, 0.05, 0.75
+    count = adapt.count + 1.0
+    eta_h = 1.0 / (count + t0)
+    h_avg = (1.0 - eta_h) * adapt.h_avg + eta_h * (target - accept_prob)
+    log_eps = adapt.mu - jnp.sqrt(count) / gamma * h_avg
+    eta = count ** (-kappa)
+    log_eps_avg = eta * log_eps + (1.0 - eta) * adapt.log_eps_avg
+    return adapt._replace(log_eps=log_eps, log_eps_avg=log_eps_avg,
+                          h_avg=h_avg, count=count)
+
+
+def _welford(adapt, z):
+    delta = z - adapt.mean
+    mean = adapt.mean + delta / jnp.maximum(adapt.count, 1.0)
+    m2 = adapt.m2 + delta * (z - mean)
+    return adapt._replace(mean=mean, m2=m2)
+
+
+def run_chain(logp_fn, z0, key, n_warmup, n_samples, n_leapfrog=32,
+              target_accept=0.8):
+    """One adaptive HMC chain; returns (samples (n_samples, dim), accept)."""
+    dtype = z0.dtype
+    dim = z0.shape[0]
+    val_grad = jax.value_and_grad(logp_fn)
+
+    def logp_grad(z):
+        return val_grad(z)
+
+    lp0, g0 = logp_grad(z0)
+    state0 = HMCState(z0, lp0, g0)
+    adapt0 = _init_adapt(dim, 0.1, dtype)
+    inv_mass0 = jnp.ones(dim, dtype)
+
+    # phase 1: warmup with step-size + mass adaptation
+    def warm_step(carry, key):
+        state, adapt, inv_mass = carry
+        eps = jnp.exp(adapt.log_eps)
+        new, acc = hmc_kernel(logp_grad, state, key, eps, inv_mass,
+                              n_leapfrog)
+        adapt = _dual_avg(adapt, acc, target_accept)
+        adapt = _welford(adapt, new.z)
+        return (new, adapt, inv_mass), acc
+
+    # split warmup: first half adapts eps with unit mass, second half
+    # re-estimates the diagonal mass then re-adapts eps
+    keys = jax.random.split(key, n_warmup + n_samples + 1)
+    h1 = n_warmup // 2
+    (state, adapt, _), _ = jax.lax.scan(
+        warm_step, (state0, adapt0, inv_mass0), keys[:h1])
+    var = adapt.m2 / jnp.maximum(adapt.count - 1.0, 1.0)
+    inv_mass = jnp.where(var > 1e-10, var, 1.0)
+    adapt = _init_adapt(dim, float(np.exp(0.0)), dtype)._replace(
+        log_eps=adapt.log_eps_avg, log_eps_avg=adapt.log_eps_avg,
+        mu=adapt.log_eps_avg + jnp.log(10.0))
+    (state, adapt, _), _ = jax.lax.scan(
+        warm_step, (state, adapt, inv_mass), keys[h1:n_warmup])
+
+    eps_final = jnp.exp(adapt.log_eps_avg)
+
+    def sample_step(state, key):
+        new, acc = hmc_kernel(logp_grad, state, key, eps_final, inv_mass,
+                              n_leapfrog)
+        return new, (new.z, acc)
+
+    state, (zs, accs) = jax.lax.scan(sample_step, state,
+                                     keys[n_warmup:n_warmup + n_samples])
+    return zs, jnp.mean(accs)
+
+
+def mcmc_fit(md, M=3000, options=None):
+    """Joint (W, theta) MCMC on a ModelData; reference-equivalent output
+    shapes: samps (w, M_total), theta_samps (M_total, s)."""
+    opts = default_option_list(options)
+    w, s = md.w_count, md.n_theta
+    dim = w + s
+    dtype = md.A.dtype
+
+    def logp(z):
+        return -neg_log_post(z[:w], z[w:], md)
+
+    key = jax.random.PRNGKey(opts["seed"])
+    chains = int(opts["chains"])
+    keys = jax.random.split(key, chains + 1)
+    if opts["init"] == "random":
+        z0 = jax.random.uniform(keys[-1], (chains, dim), dtype, -2.0, 2.0)
+    else:
+        z0 = jnp.zeros((chains, dim), dtype)
+
+    run = jax.jit(jax.vmap(
+        partial(run_chain, logp, n_warmup=int(opts["warmup"]),
+                n_samples=int(M), n_leapfrog=int(opts["num_leapfrog"]),
+                target_accept=float(opts["target_accept"]))))
+    zs, acc = run(z0, keys[:chains])          # (chains, M, dim)
+    zs = np.asarray(zs).reshape(chains * M, dim)
+    mod = {"accept_rate": np.asarray(acc), "chains": chains,
+           "warmup": opts["warmup"], "algorithm": "adaptive-HMC"}
+    samps = zs[:, :w].T                       # (w, M_total)
+    theta_samps = zs[:, w:]                   # (M_total, s)
+    return mod, samps, theta_samps

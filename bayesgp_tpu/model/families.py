@@ -80,6 +80,54 @@ def eta_weights(eta, md, theta):
     raise ValueError(f"family {fam} is not elementwise")
 
 
+def eta_hessian_quadform(eta, md, theta, A):
+    """A^T M A for the structured families WITHOUT materializing the
+    (n, n) Hessian M — O(n w + n w^2) using the suffix/strata structure.
+
+    CoxPH: M = sum_i c_i (diag(p_i) - p_i p_i^T) with p_i the softmax
+    over the risk set (suffix) of i:
+      A^T M A = A^T diag(u * e^eta) A - (PA)^T diag(c) (PA)
+      where (PA)[i] = e^{-lse_i} * revcumsum(e^eta A)[r_i]
+      and   u[j]    = cumsum_over_ranks(c_i e^{-lse_i})[j].
+
+    Case-crossover: M = sum_i cnt_i [ sum_j q_ij v_ij v_ij^T - g_i g_i^T ]
+    with v_ij = a_{cd_ij} - a_{case_i}, g_i = sum_j q_ij v_ij — assembled
+    from gathered design rows (nc x K x w), no scatters.
+    """
+    fam = md.family
+    n = eta.shape[0]
+    A = jnp.asarray(A)
+    if fam == 3:
+        s = _suffix_logsumexp(eta)
+        r = md.ranks - 1
+        expeta = jnp.exp(eta)
+        # revcum[m] = sum_{j >= m} e^{eta_j} a_j
+        revcum = jnp.cumsum((expeta[:, None] * A)[::-1], axis=0)[::-1]
+        PA = jnp.exp(-s[r])[:, None] * revcum[r]          # (n, w)
+        t = md.cens * jnp.exp(-s[r])
+        z = jnp.zeros((n,), eta.dtype).at[r].add(t)
+        u = jnp.cumsum(z)
+        diagw = u * expeta
+        return (A * diagw[:, None]).T @ A - (PA * md.cens[:, None]).T @ PA
+    if fam == 4:
+        eta_case = eta[md.case_day - 1]
+        mask = md.control_days > 0
+        idx = jnp.where(mask, md.control_days - 1, 0)
+        z = jnp.where(mask, eta[idx] - eta_case[:, None], -jnp.inf)
+        zmax = jnp.maximum(jnp.max(jnp.where(mask, z, -jnp.inf), axis=1), 0.0)
+        denom = zmax + jnp.log(
+            jnp.exp(-zmax)
+            + jnp.sum(jnp.where(mask, jnp.exp(z - zmax[:, None]), 0.0), axis=1))
+        q = jnp.where(mask, jnp.exp(z - denom[:, None]), 0.0)  # (nc, K)
+        Vrows = A[idx] - A[md.case_day - 1][:, None, :]        # (nc, K, w)
+        qc = q * md.count[:, None]
+        H1 = jnp.einsum("ik,ika,ikb->ab", qc, Vrows, Vrows)
+        g = jnp.einsum("ik,ika->ia", q, Vrows)                 # (nc, w)
+        H2 = jnp.einsum("i,ia,ib->ab", md.count, g, g)
+        return H1 - H2
+    raise ValueError(f"family {fam} has no structured quadform path")
+
+
 def eta_hessian_full(eta, md, theta):
     """Exact (n, n) Hessian of -log_lik in eta for Coxph / case-crossover."""
     fam = md.family

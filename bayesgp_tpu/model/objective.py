@@ -86,5 +86,4 @@ def hessian_W(W, theta, md):
     if families.eta_hessian_kind(md.family) == "diag":
         wts = families.eta_weights(eta, md, theta)
         return (md.A * wts[:, None]).T @ md.A + Q
-    M = families.eta_hessian_full(eta, md, theta)
-    return md.A.T @ (M @ md.A) + Q
+    return families.eta_hessian_quadform(eta, md, theta, md.A) + Q

@@ -252,8 +252,12 @@ class FitResult:
                 return np.log(lam / 2) - lam * np.exp(-theta / 2) - theta / 2
 
         def priorfuncsigma(x, prior_alpha, prior_u):
-            return (2.0 / x) * np.exp(
-                theta_logprior(-2 * np.log(x), prior_alpha, prior_u))
+            # KDE grids can extend below 0; the prior density there is 0
+            xp = np.where(x > 0, x, np.nan)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                out = (2.0 / xp) * np.exp(
+                    theta_logprior(-2 * np.log(xp), prior_alpha, prior_u))
+            return np.where(x > 0, out, 0.0)
 
         transformation = {"totheta": lambda x: -2 * np.log(x),
                           "fromtheta": lambda x: np.exp(-x / 2)}

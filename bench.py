@@ -58,9 +58,12 @@ def run_fit(backend, k_quad=4):
 
 def main():
     import jax
+    print(f"# building n=1e5 k=2000 problem...", file=sys.stderr, flush=True)
     t0 = time.time()
     backend = build_problem()
     build_s = time.time() - t0
+    print(f"# build done in {build_s:.1f}s; first fit (compiles)...",
+          file=sys.stderr, flush=True)
 
     # warm-up: compiles every jitted path (cached on the backend)
     t0 = time.time()

@@ -213,3 +213,27 @@ def test_neg_log_post_matches_manual_gaussian():
     expected = -(ll + lpW + lpT)
     got = float(neg_log_post(jnp.asarray(W), jnp.asarray(theta), md))
     assert np.isclose(got, expected, rtol=1e-12)
+
+
+def test_coxph_quadform_matches_full():
+    rng = np.random.default_rng(15)
+    n = 25
+    y = np.sort(rng.exponential(1, n))
+    y[4] = y[3]
+    cens = rng.binomial(1, 0.7, n).astype(float)
+    x = np.sort(rng.uniform(0, 5, n))
+    inst = T.build_iwp_term("x", x, order=2, k=4)
+    md = B.build_model_data([inst], [np.ones((n, 1))], y, "Coxph", cens=cens)
+    eta = jnp.asarray(rng.normal(0, 0.5, n))
+    Hq = F.eta_hessian_quadform(eta, md, jnp.zeros(0), md.A)
+    M = F.eta_hessian_full(eta, md, jnp.zeros(0))
+    np.testing.assert_allclose(Hq, md.A.T @ (M @ md.A), rtol=1e-9, atol=1e-11)
+
+
+def test_cc_quadform_matches_full():
+    md, rng = make_cc_model(seed=16)
+    n = md.n
+    eta = jnp.asarray(rng.normal(0, 0.5, n))
+    Hq = F.eta_hessian_quadform(eta, md, jnp.zeros(0), md.A)
+    M = F.eta_hessian_full(eta, md, jnp.zeros(0))
+    np.testing.assert_allclose(Hq, md.A.T @ (M @ md.A), rtol=1e-9, atol=1e-11)
