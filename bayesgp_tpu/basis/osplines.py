@@ -29,9 +29,16 @@ def get_local_poly(knots: np.ndarray, refined_x: np.ndarray, p: int) -> np.ndarr
       (x - knots[j])^p / p!              for knots[j] < x <= knots[j+1]
       sum_{m=1..p} d_j^m (x-knots[j+1])^{p-m} / (m! (p-m)!)   beyond
     (the polynomial continuation; reference R/01_utility.R:346-364).
+
+    Large evaluations dispatch to the C++ kernel (native/, exact same
+    values) when the compiled library is present.
     """
     knots = np.asarray(knots, dtype=np.float64)
     x = np.asarray(refined_x, dtype=np.float64)
+    if x.size * max(len(knots) - 1, 1) > 200_000:
+        from .. import native
+        if native.available():
+            return native.osp_local_poly(knots, x, p)
     dif = np.diff(knots)
     n = len(knots)
     kl = knots[:-1][None, :]      # (1, k-1) left knots

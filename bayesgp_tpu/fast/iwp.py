@@ -107,16 +107,47 @@ class FastIWPBackend:
         return self.solve_dtype or self.valsT.dtype
 
     # ------------------------------------------------------------------
-    def _segsum(self, rows):
-        """Segment sums over the sorted rows: (..., n) -> (..., d).
+    _CHUNK = 1024
 
-        cumsum + gather at STATIC boundaries (seg_lo/seg_hi are build-time
-        constants) — compiles to a parallel scan + slices, no scatter.
+    def _segsum(self, rows):
+        """Segment sums over the sorted rows: (..., n) -> (..., d) in
+        solve_dtype, via TWO-LEVEL accumulation:
+
+          - float32 cumsum within 1024-element chunks (compile-fast,
+            error ~ eps32 * local magnitudes only),
+          - float64 cumsum over the ~n/1024 chunk totals (tiny), then
+          - boundary differences with STATIC index gathers.
+
+        A single global float32 cumsum loses ~1e-4 absolute accuracy at
+        n=1e5 (fatal for the Schur cancellation); a global float64
+        cumsum takes 2+ minutes to compile on Mosaic. This keeps f64
+        accuracy for the large-scale cancellations at f32 compile/run
+        cost.
         """
-        c = jnp.cumsum(rows, axis=-1)
-        zero = jnp.zeros(rows.shape[:-1] + (1,), c.dtype)
-        c = jnp.concatenate([zero, c], axis=-1)
-        return c[..., self.seg_hi] - c[..., self.seg_lo]
+        ch = self._CHUNK
+        n = rows.shape[-1]
+        nc = -(-n // ch)
+        pad = nc * ch - n
+        if pad:
+            rows = jnp.pad(rows, ((0, 0),) * (rows.ndim - 1) + ((0, pad),))
+        r = rows.reshape(rows.shape[:-1] + (nc, ch))
+        c32 = jnp.cumsum(r, axis=-1)                      # chunk-local
+        tot = c32[..., -1].astype(self.dtype)             # (..., nc)
+        pre64 = jnp.cumsum(tot, axis=-1)                  # (..., nc) f64
+        flat32 = c32.reshape(rows.shape[:-1] + (nc * ch,))
+
+        def prefix(idx):
+            # exclusive global prefix at static integer positions idx
+            ci = idx // ch
+            base = jnp.where(jnp.asarray(ci > 0),
+                             pre64[..., np.maximum(ci - 1, 0)], 0.0)
+            intra_mask = (idx % ch) > 0
+            intra = jnp.where(jnp.asarray(intra_mask),
+                              flat32[..., np.maximum(idx - 1, 0)].astype(
+                                  self.dtype), 0.0)
+            return base + intra
+
+        return prefix(np.asarray(self.seg_hi)) - prefix(np.asarray(self.seg_lo))
 
     def _shift(self, col, a, out_len):
         """Place col (d,) at offset a in a length-out_len vector (static
@@ -161,10 +192,12 @@ class FastIWPBackend:
         compute_dtype; returned band in solve_dtype (the factorization
         needs the full dynamic range)."""
         p = self.p
-        # outersT[a, b, :] = wts * vals_a * vals_b over n (n is lane dim)
+        # outersT[a, b, :] = wts * vals_a * vals_b over n (n is lane dim).
+        # Products in compute dtype (one rounding, ~6e-8 relative); the
+        # two-level _segsum accumulates in solve dtype.
         outersT = (wts[None, None, :] * self.valsT[:, None, :]
-                   * self.valsT[None, :, :])            # (p+1, p+1, n)
-        M = self._segsum(outersT).astype(self.dtype)    # (p+1, p+1, d)
+                   * self.valsT[None, :, :])
+        M = self._segsum(outersT)                       # (p+1, p+1, d)
         rows = []
         for o in range(p + 1):
             # band[o, j] = sum_{a-b=o} M[a, b, g] at j = g + b
@@ -186,7 +219,6 @@ class FastIWPBackend:
             return jnp.zeros((self.dpad, 0), self.dtype)
         wXFT = wts[None, :] * self.XFpT                 # (q, n)
         M = self._segsum(self.valsT[:, None, :] * wXFT[None, :, :])
-        M = M.astype(self.dtype)
         C = jnp.zeros((self.dpad, self.q), self.dtype)
         for a in range(self.p + 1):
             C = C + self._shift(M[a].T, a, self.dpad)   # M[a]: (q, d)
@@ -283,7 +315,8 @@ class FastIWPBackend:
         band = self.band_H(wts, theta)
         C = self.C_block(wts, theta)
         if self.q:
-            Hd = (((self.XFpT * wts[None, :]) @ self.XFpT.T).astype(self.dtype)
+            wX64 = (self.XFpT * wts[None, :]).astype(self.dtype)
+            Hd = (wX64 @ self.XFpT.T.astype(self.dtype)
                   + jnp.exp(theta[0]) * self.Z0PZ0
                   + jnp.diag(self.prior_diag_tail))
             sd = jax.lax.rsqrt(jnp.diagonal(Hd))
@@ -328,13 +361,25 @@ class FastIWPBackend:
         for the log-concave elementwise families without a nested
         line-search loop (which compiles poorly on TPU).
 
+        A branchless 4-candidate backtracking pass (one batched objective
+        evaluation) globalizes convergence — pure capped steps can
+        oscillate/diverge at large exp(theta) from cold starts.
+
         Returns (V', tail', max|step|) for step-based termination."""
         gV, gt = self.grad_W(V, tail, theta)
         factor = self.hessian_factor(V, tail, theta)
         step_V, step_t = self.solve_H(factor, gV, gt)
         d_eta = self.eta(step_V, step_t)
         max_de = jnp.max(jnp.abs(d_eta))
-        alpha = jnp.minimum(1.0, eta_cap / jnp.maximum(max_de, 1e-30))
+        alpha0 = jnp.minimum(1.0, eta_cap / jnp.maximum(max_de, 1e-30))
+        cands = alpha0 * jnp.asarray([1.0, 0.3, 0.1, 0.03], self.dtype)
+        f0 = self.neg_log_post(V, tail, theta)
+        fs = jnp.stack([self.neg_log_post(V - a * step_V, tail - a * step_t,
+                                          theta) for a in cands])
+        fs = jnp.where(jnp.isnan(fs), jnp.inf, fs)
+        best = jnp.argmin(fs)
+        # if no candidate improves, creep with a tiny step (never NaN)
+        alpha = jnp.where(fs[best] <= f0, cands[best], 0.01 * alpha0)
         smax = jnp.max(jnp.abs(step_V))
         if self.q:
             smax = jnp.maximum(smax, jnp.max(jnp.abs(step_t)))
@@ -507,43 +552,76 @@ class FastIWPBackend:
         return self._hessw
 
     def vmap_nll_warm_fn(self):
+        # host loop over the handful of nodes reusing ONE compiled
+        # single-node program: both vmap and lax.map over the solver
+        # kernels fault the TPU worker at large d (nested
+        # map->while->scan Mosaic miscompile), and the extra dispatches
+        # are negligible for <= k^s nodes
         if not hasattr(self, "_vnllw"):
-            self._vnllw = jax.jit(jax.vmap(
-                lambda th, wm: self.nll_warm(th, wm)[0], in_axes=(0, None)))
+            one = jax.jit(lambda th, wm: self.nll_warm(th, wm)[0])
+
+            def run(ths, wm):
+                return jnp.stack([one(ths[j], wm)
+                                  for j in range(ths.shape[0])])
+
+            self._vnllw = run
         return self._vnllw
 
     def node_eval(self, thetas, warm=None):
-        """vmapped per-node evaluation: (nlls, states) for the AGHQ grid.
-        `warm` (optional) warm-starts every node from the mode's solve."""
-        def one(th, wm):
-            nll, (V, tail) = self.laplace_nll(th, warm=wm)
-            factor = self.hessian_factor(V, tail, th)
-            return nll, (V, tail, factor)
+        """Per-node evaluation: (nlls, states) for the AGHQ grid.
+        `warm` (optional) warm-starts every node from the mode's solve.
 
+        Host loop over nodes reusing ONE compiled single-node program —
+        both vmap and lax.map over the solver kernels fault the TPU
+        worker at large d (nested map->while->scan Mosaic miscompile);
+        the few warm-started node solves are cheap either way."""
         if not hasattr(self, "_node_eval"):
-            self._node_eval = jax.jit(jax.vmap(one, in_axes=(0, None)))
+            def one(th, wm):
+                nll, (V, tail) = self.laplace_nll(th, warm=wm)
+                factor = self.hessian_factor(V, tail, th)
+                return nll, (V, tail, factor)
+
+            self._node_eval = jax.jit(one)
         if warm is None:
             warm = self.init_state()
-        return self._node_eval(thetas, warm)
+        outs = [self._node_eval(thetas[j], warm)
+                for j in range(thetas.shape[0])]
+        nlls = jnp.stack([o[0] for o in outs])
+        states = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[o[1] for o in outs])
+        return nlls, states
 
     def sample(self, key, states, idx, M):
         """Mixture sampling: (w_count_ref, M) in REFERENCE coordinates
-        [U = T V | beta | fixed]."""
+        [U = T V | beta | fixed].
+
+        One multi-RHS batched solve per node (lax.map over the few
+        nodes), then per-draw node selection — per-draw vmapped solves
+        crash the TPU worker at large d and are far slower anyway."""
         V, tail, factor = states
 
-        def draw(i, zb, zd):
-            fi = jax.tree_util.tree_map(lambda x: x[i], factor)
-            xb, xd = self.sample_dev_H(fi, zb, zd)
-            Vs = V[i] + xb          # primed coords
-            ts = tail[i] + xd
-            Vact = self.to_V(Vs, ts)
-            U = self.apply_T(Vact[:self.d])
-            return jnp.concatenate([U, ts])
+        def run(key, idx):
+            k1, k2 = jax.random.split(key)
+            zb = jax.random.normal(k1, (self.nb, self.s, M), self.dtype)
+            zd = jax.random.normal(k2, (self.q, M), self.dtype)
 
-        k1, k2 = jax.random.split(key)
-        zb = jax.random.normal(k1, (M, self.nb, self.s), self.dtype)
-        zd = jax.random.normal(k2, (M, self.q), self.dtype)
-        samps = jax.jit(jax.vmap(draw))(idx, zb, zd)
+            def one_node(fi):
+                af, sc, sd = fi
+                xb, xd = btl.arrow_sample_multi(af, zb, zd)
+                return (xb.reshape(self.dpad, M) * sc[:, None],
+                        xd * sd[:, None] if self.q else xd)
+
+            xbs, xds = jax.lax.map(one_node, factor)      # (J, dpad, M) ...
+            m_ar = jnp.arange(M)
+            devV = xbs[idx, :, m_ar]                      # (M, dpad)
+            devt = xds[idx, :, m_ar]                      # (M, q)
+            Vs = V[idx] + devV
+            ts = tail[idx] + devt
+            Vact = jax.vmap(self.to_V)(Vs, ts)
+            U = self.apply_T(Vact[:, :self.d])            # batched over M
+            return jnp.concatenate([U, ts], axis=1)       # (M, w_ref)
+
+        samps = jax.jit(run)(key, idx)
         return np.asarray(samps).T
 
 
@@ -595,32 +673,59 @@ def build_fast_iwp(term, md, xf_dense, prior_diag_tail, prior_mean_tail,
     n = len(start)
     if q:
         from scipy.linalg import solveh_banded
-        Gband = np.zeros((p + 1, d))
-        for o in range(p + 1):
-            for b in range(p + 1 - o):
-                a = b + o
-                w = vals[:, a] * vals[:, b]
-                acc = np.bincount(start + b, weights=w, minlength=d)[:d]
-                Gband[o] += acc
-        BX = np.zeros((d, q))
-        for a in range(p + 1):
-            for c in range(q):
-                BX[:, c] += np.bincount(
-                    start + a, weights=vals[:, a] * xf_dense[:, c],
-                    minlength=d)[:d]
-        ridge = 1e-9 * max(Gband[0].max(), 1.0)
-        Gb = Gband.copy()
-        Gb[0] += ridge
+        from .. import native
+        if native.available():
+            Gband = native.banded_gram(vals, start, d)
+            BX = native.banded_cross(vals, start, d, xf_dense)
+        else:
+            Gband = np.zeros((p + 1, d))
+            for o in range(p + 1):
+                for b in range(p + 1 - o):
+                    a = b + o
+                    w = vals[:, a] * vals[:, b]
+                    Gband[o] += np.bincount(start + b, weights=w,
+                                            minlength=d)[:d]
+            BX = np.zeros((d, q))
+            for a in range(p + 1):
+                for c in range(q):
+                    BX[:, c] += np.bincount(
+                        start + a, weights=vals[:, a] * xf_dense[:, c],
+                        minlength=d)[:d]
+        # PENALIZED projection: min ||B Z - XF||^2 + tau Z' P_V Z.
+        # The tau P_V term keeps Z0 SMOOTH: the zero-boundary spline space
+        # can only chase the monomial/intercept tail columns through a
+        # boundary layer whose p-th derivative is huge, and
+        # exp(theta) * Z0' P_V Z0 then reintroduces the very lambda-scale
+        # Schur cancellation Z0 exists to remove (measured: tau_rel 1e-4
+        # -> max diag(Z0'PZ0) ~ 2e8; tau_rel 1e2 -> ~2e4, i.e. the
+        # cancellation stays resolvable in float64 for exp(theta) up to
+        # ~1e8). Statistically ANY Z0 is exact (unit-determinant change
+        # of coordinates); tau only tunes conditioning.
+        tau = 1e2 * (Gband[0].mean() / max(P_band[0].mean(), 1e-30))
+        Gb = Gband + tau * P_band
+        Gb[0] += 1e-9 * max(Gband[0].max(), 1.0)
         Z0 = solveh_banded(Gb, BX, lower=True)
         XFp = xf_dense.copy()
         for a in range(p + 1):
             XFp -= vals[:, a, None] * Z0[np.clip(start + a, 0, d - 1), :]
-        # P_V @ Z0 via the symmetric band
-        PZ0 = P_band[0][:, None] * Z0
+        # Factored forms through G0 = T Z0 (the p-th-derivative values of
+        # the projected columns): P = T' diag(w) T, so
+        #   P Z0      = T' (w * G0)
+        #   Z0' P Z0  = (sqrt(w) G0)' (sqrt(w) G0)   — PSD by construction.
+        # The naive Z0' (P Z0) product cancels catastrophically (terms
+        # ~1e11 summing to ~1e4) and comes out INDEFINITE in float64.
+        wk = np.diff(knots)
+        Tdiags_np = np.zeros((p + 1, d))
+        for o in range(p + 1):
+            Tdiags_np[o, o:] = np.diagonal(T, -o)
+        G0 = Tdiags_np[0][:, None] * Z0
         for o in range(1, p + 1):
-            PZ0[o:] += P_band[o, :d - o, None] * Z0[:-o]
-            PZ0[:-o] += P_band[o, :d - o, None] * Z0[o:]
-        Z0PZ0 = Z0.T @ PZ0
+            G0[o:] += Tdiags_np[o, o:, None] * Z0[:-o]
+        wG0 = wk[:, None] * G0
+        PZ0 = Tdiags_np[0][:, None] * wG0
+        for o in range(1, p + 1):
+            PZ0[:-o] += Tdiags_np[o, o:, None] * wG0[o:]
+        Z0PZ0 = (np.sqrt(wk)[:, None] * G0).T @ (np.sqrt(wk)[:, None] * G0)
     else:
         Z0 = np.zeros((d, 0))
         PZ0 = np.zeros((d, 0))
@@ -642,7 +747,7 @@ def build_fast_iwp(term, md, xf_dense, prior_diag_tail, prior_mean_tail,
         term=term, md=md_perm, p=p, d=d, dpad=dpad, s=s, nb=nb, q=q,
         valsT=jnp.asarray(np.ascontiguousarray(vals.T), dt),
         start=jnp.asarray(start),
-        seg_lo=jnp.asarray(seg_lo), seg_hi=jnp.asarray(seg_hi),
+        seg_lo=np.asarray(seg_lo, np.int64), seg_hi=np.asarray(seg_hi, np.int64),
         XFpT=jnp.asarray(np.ascontiguousarray(XFp.T), dt),
         Z0=jnp.asarray(Z0, sdt), PZ0=jnp.asarray(PZ0, sdt),
         Z0PZ0=jnp.asarray(Z0PZ0, sdt),

@@ -182,3 +182,13 @@ def arrow_sample(af: ArrowFactor, zb_noise: jnp.ndarray, zd_noise: jnp.ndarray):
     xd = solve_triangular(af.Ls, zd_noise, lower=True, trans=1)
     xb = bt_solve_Lt(af.bt, zb_noise - jnp.einsum("nsq,q->ns", af.Y, xd))
     return xb, xd
+
+
+def arrow_sample_multi(af: ArrowFactor, zb_noise: jnp.ndarray,
+                       zd_noise: jnp.ndarray):
+    """Multi-RHS precision sampling: zb (nb, s, M), zd (q, M) ->
+    deviations of the same shapes, each column ~ N(0, H^{-1})."""
+    xd = solve_triangular(af.Ls, zd_noise, lower=True, trans=1)  # (q, M)
+    rhs = zb_noise - jnp.einsum("nsq,qM->nsM", af.Y, xd)
+    xb = bt_solve_Lt(af.bt, rhs)
+    return xb, xd
