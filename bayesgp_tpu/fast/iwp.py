@@ -315,8 +315,7 @@ class FastIWPBackend:
         band = self.band_H(wts, theta)
         C = self.C_block(wts, theta)
         if self.q:
-            wX64 = (self.XFpT * wts[None, :]).astype(self.dtype)
-            Hd = (wX64 @ self.XFpT.T.astype(self.dtype)
+            Hd = (self._gram64(self.XFpT * wts[None, :], self.XFpT)
                   + jnp.exp(theta[0]) * self.Z0PZ0
                   + jnp.diag(self.prior_diag_tail))
             sd = jax.lax.rsqrt(jnp.diagonal(Hd))
@@ -334,6 +333,23 @@ class FastIWPBackend:
         D, E = btl.band_to_blocks(band_s, self.s)
         af = btl.arrow_factor(D, E, C_s.reshape(self.nb, self.s, self.q), Hd)
         return af, sc, sd
+
+    def _gram64(self, A, B):
+        """A @ B.T for (q, n) compute-dtype operands, accumulated in
+        solve_dtype via chunked partial Grams (f32 MXU matmuls per chunk,
+        f64 sum over the ~n/chunk partials — a full f64-emulated matmul
+        over n costs ~100 ms on TPU)."""
+        ch = self._CHUNK
+        q, n = A.shape
+        nc = -(-n // ch)
+        pad = nc * ch - n
+        if pad:
+            A = jnp.pad(A, ((0, 0), (0, pad)))
+            B = jnp.pad(B, ((0, 0), (0, pad)))
+        Ar = A.reshape(q, nc, ch).swapaxes(0, 1)      # (nc, q, ch)
+        Br = B.reshape(q, nc, ch).swapaxes(0, 1)
+        partial = jnp.einsum("cqn,crn->cqr", Ar, Br)  # f32 MXU per chunk
+        return jnp.sum(partial.astype(self.dtype), axis=0)
 
     def solve_H(self, factor, gV, gt):
         """Solve H [zV; zt] = [gV; gt] via the equilibrated factor."""
