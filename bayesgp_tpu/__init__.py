@@ -21,6 +21,9 @@ from .basis.osplines import (local_poly_helper, global_poly_helper,
                              compute_weights_precision)
 from .basis.sgp import (compute_B_sB, compute_B_sB_helper, compute_Q_sB,
                         global_poly_sgp)
+from .model.families import register_family
+from .inference.mcmc import default_option_list as get_default_option_list_MCMC
+from .serialize import save_fit, load_fit
 from . import datasets
 
 __version__ = "0.1.0"
@@ -34,4 +37,6 @@ __all__ = [
     "prior_conversion_sgp", "compute_d_step_sgp_sd", "local_poly_helper",
     "global_poly_helper", "compute_weights_precision", "compute_B_sB",
     "compute_B_sB_helper", "compute_Q_sB", "global_poly_sgp", "datasets",
+    "register_family", "get_default_option_list_MCMC", "save_fit",
+    "load_fit",
 ]

@@ -54,7 +54,8 @@ def model_fit(formula=None, data=None, method: str = "aghq",
               family: str = "Gaussian", control_family=None,
               control_fixed=None, aghq_k: int = 4, size=None, cens=None,
               weight=None, strata=None, M: int = 3000, env=None,
-              customized_re=None, option_list=None, seed: int = 0,
+              customized_re=None, customized_template=None,
+              option_list=None, seed: int = 0,
               terms=None, fixed=None, response=None,
               engine: str = "auto") -> FitResult:
     """Fit a Bayesian hierarchical GP model.
@@ -148,13 +149,32 @@ def model_fit(formula=None, data=None, method: str = "aghq",
         cc_arrays = build_mod.build_cc_strata(
             np.asarray(data[response]), np.asarray(data[strata]), w_arr)
 
+    custom_name = ""
+    if family == "Customized":
+        from .model import families as fam_mod
+        if customized_template is None:
+            raise ValueError(
+                "family='Customized' needs customized_template= (a "
+                "registered family name or a loglik(eta, y, theta) callable)")
+        if callable(customized_template):
+            custom_name = getattr(customized_template, "__name__",
+                                  "custom") + f"_{id(customized_template):x}"
+            fam_mod.register_family(custom_name, customized_template)
+        else:
+            custom_name = str(customized_template)
+            if custom_name not in fam_mod.CUSTOM_FAMILIES:
+                raise ValueError(
+                    f"customized family '{custom_name}' is not registered; "
+                    "use bayesgp_tpu.register_family first")
+
     md = build_mod.build_model_data(
         instances, design_mat_fixed, np.asarray(data[response], np.float64),
         family, control_family=control_family_n,
         control_fixed_prec=bf_prec, control_fixed_mean=bf_mean,
         size=(data[size] if size else None),
         cens=(data[cens] if (cens and cens in data) else None),
-        cc_arrays=cc_arrays, dense_design=not use_banded)
+        cc_arrays=cc_arrays, dense_design=not use_banded,
+        custom_family=custom_name)
 
     theta_count = md.n_theta
     if theta_count == 0 and method != "nlminb":

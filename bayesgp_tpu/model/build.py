@@ -20,6 +20,7 @@ FAMILY_CODES = {
     "Gaussian": 0, "Poisson": 1, "Binomial": 2,
     "Coxph": 3, "coxph": 3,
     "casecrossover": 4, "cc": 4, "CaseCrossover": 4,
+    "Customized": -1,
     "none": -2,
 }
 
@@ -54,6 +55,8 @@ class ModelData:
     d_sizes: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
     x_sizes: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
     xf_count: int = dataclasses.field(metadata=dict(static=True))
+    custom_family: str = dataclasses.field(default="",
+                                           metadata=dict(static=True))
 
     @property
     def n(self):
@@ -65,7 +68,13 @@ class ModelData:
 
     @property
     def n_theta(self):
-        return len(self.d_sizes) + (1 if self.family == 0 else 0)
+        extra = 0
+        if self.family == 0:
+            extra = 1
+        elif self.family == -1 and self.custom_family:
+            from . import families
+            extra = families.CUSTOM_FAMILIES[self.custom_family][1]
+        return len(self.d_sizes) + extra
 
     def u_slices(self):
         out, off = [], 0
@@ -134,7 +143,7 @@ def build_model_data(terms, design_mat_fixed, y, family: str, *,
                      control_family=None, control_fixed_prec=None,
                      control_fixed_mean=None, size=None, cens=None,
                      cc_arrays=None, dtype=np.float64,
-                     dense_design=True) -> ModelData:
+                     dense_design=True, custom_family: str = "") -> ModelData:
     """Assemble ModelData from constructed TermDesigns and fixed designs.
 
     `design_mat_fixed`: list of (n, 1) columns ([intercept], fixed...).
@@ -159,7 +168,13 @@ def build_model_data(terms, design_mat_fixed, y, family: str, *,
 
     u = [t.sd_prior["param"]["u"] for t in terms]
     alpha = [t.sd_prior["param"]["alpha"] for t in terms]
+    n_extra = 0
     if fam == 0:
+        n_extra = 1
+    elif fam == -1 and custom_family:
+        from . import families
+        n_extra = families.CUSTOM_FAMILIES[custom_family][1]
+    for _ in range(n_extra):
         cf = control_family or {"sd_prior": {"param": {"u": 1.0, "alpha": 0.5}}}
         u.append(cf["sd_prior"]["param"]["u"])
         alpha.append(cf["sd_prior"]["param"]["alpha"])
@@ -188,6 +203,7 @@ def build_model_data(terms, design_mat_fixed, y, family: str, *,
         case_day=np.zeros((0,), np.int64),
         control_days=np.zeros((0, 0), np.int64), count=empty,
         family=fam, d_sizes=d_sizes, x_sizes=x_sizes, xf_count=xf_count,
+        custom_family=custom_family,
     )
     if fam == 2:
         kw["size"] = (np.ones(n, dtype) if size is None

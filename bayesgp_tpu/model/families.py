@@ -20,6 +20,19 @@ import jax.numpy as jnp
 from jax.scipy.special import gammaln
 
 
+# --- customized families (reference family_type -1: user-compiled TMB
+# template named via `customized_template`, R/02_model_fit.R:19-24;
+# here: a registered JAX-callable log likelihood) ---
+CUSTOM_FAMILIES = {}
+
+
+def register_family(name: str, loglik, n_theta_extra: int = 0):
+    """Register a customized likelihood: loglik(eta, y, theta) -> scalar,
+    differentiable JAX code. `n_theta_extra` extra hyperparameters are
+    appended to theta (with the control.family exponential prior)."""
+    CUSTOM_FAMILIES[name] = (loglik, int(n_theta_extra))
+
+
 def _suffix_logsumexp(eta):
     """s[i] = logsumexp(eta[i:]) via an associative scan (parallel on TPU)."""
     rev = eta[::-1]
@@ -58,6 +71,9 @@ def log_lik(eta, md, theta):
         return -jnp.sum(md.count * denom)
     if fam == -2:   # prior only (BayesGP.cpp:212-214)
         return jnp.asarray(0.0, eta.dtype)
+    if fam == -1:   # customized (registered callable)
+        loglik, _ = CUSTOM_FAMILIES[md.custom_family]
+        return loglik(eta, y, theta)
     raise ValueError(f"unknown family code {fam}")
 
 
@@ -125,6 +141,11 @@ def eta_hessian_quadform(eta, md, theta, A):
         g = jnp.einsum("ik,ika->ia", q, Vrows)                 # (nc, w)
         H2 = jnp.einsum("i,ia,ib->ab", md.count, g, g)
         return H1 - H2
+    if fam == -1:
+        # generic exact path for customized likelihoods: autodiff the
+        # (n, n) eta-Hessian (O(n^2) — fine at customized-family scales)
+        M = -jax.hessian(lambda e: log_lik(e, md, theta))(eta)
+        return A.T @ (M @ A)
     raise ValueError(f"family {fam} has no structured quadform path")
 
 
