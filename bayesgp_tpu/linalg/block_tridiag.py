@@ -23,6 +23,26 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
+from . import chol_kernels as ck
+
+
+def _chol(A):
+    if ck.use_blocked(A.dtype):
+        return ck.cholesky_blocked(A)
+    return jnp.linalg.cholesky(A)
+
+
+def _solve_L(L, B):
+    if ck.use_blocked(L.dtype):
+        return ck.trsm_left_lower(L, B)
+    return solve_triangular(L, B, lower=True)
+
+
+def _solve_Lt(L, B):
+    if ck.use_blocked(L.dtype):
+        return ck.trsm_left_lower_t(L, B)
+    return solve_triangular(L, B, lower=True, trans=1)
+
 
 class BTFactor(NamedTuple):
     LD: jnp.ndarray   # (nb, s, s) lower-triangular diagonal blocks
@@ -73,13 +93,13 @@ def bt_cholesky(D: jnp.ndarray, E: jnp.ndarray) -> BTFactor:
     """Blocked Cholesky of the block-tridiagonal SPD matrix."""
     nb, s, _ = D.shape
 
-    LD0 = jnp.linalg.cholesky(D[0])
+    LD0 = _chol(D[0])
 
     def step(LD_prev, inp):
         Di, Ei = inp
         # LE_i LD_prev^T = E_i  =>  LE_i = E_i LD_prev^{-T}
-        LEi = solve_triangular(LD_prev, Ei.T, lower=True).T
-        LDi = jnp.linalg.cholesky(Di - LEi @ LEi.T)
+        LEi = _solve_L(LD_prev, Ei.T).T
+        LDi = _chol(Di - LEi @ LEi.T)
         return LDi, (LDi, LEi)
 
     if nb == 1:
@@ -100,11 +120,11 @@ def bt_solve_L(fac: BTFactor, b: jnp.ndarray) -> jnp.ndarray:
     if vec:
         b = b[..., None]
 
-    y0 = solve_triangular(fac.LD[0], b[0], lower=True)
+    y0 = _solve_L(fac.LD[0], b[0])
 
     def step(y_prev, inp):
         LDi, LEi, bi = inp
-        yi = solve_triangular(LDi, bi - LEi @ y_prev, lower=True)
+        yi = _solve_L(LDi, bi - LEi @ y_prev)
         return yi, yi
 
     if nb > 1:
@@ -122,11 +142,11 @@ def bt_solve_Lt(fac: BTFactor, y: jnp.ndarray) -> jnp.ndarray:
     if vec:
         y = y[..., None]
 
-    xn = solve_triangular(fac.LD[-1], y[-1], lower=True, trans=1)
+    xn = _solve_Lt(fac.LD[-1], y[-1])
 
     def step(x_next, inp):
         LDi, LEi, yi = inp
-        xi = solve_triangular(LDi, yi - LEi.T @ x_next, lower=True, trans=1)
+        xi = _solve_Lt(LDi, yi - LEi.T @ x_next)
         return xi, xi
 
     if nb > 1:
@@ -157,7 +177,7 @@ def arrow_factor(D, E, C, Hd) -> ArrowFactor:
     fac = bt_cholesky(D, E)
     Y = bt_solve_L(fac, C)                       # (nb, s, q)
     S = Hd - jnp.einsum("nsq,nsr->qr", Y, Y)
-    Ls = jnp.linalg.cholesky(S)
+    Ls = _chol(S)
     return ArrowFactor(fac, Y, Ls)
 
 
@@ -169,8 +189,8 @@ def arrow_solve(af: ArrowFactor, rb: jnp.ndarray, rd: jnp.ndarray):
     """Solve H [zb; zd] = [rb; rd]. rb: (nb, s), rd: (q,)."""
     u = bt_solve_L(af.bt, rb)                          # (nb, s)
     rhs_d = rd - jnp.einsum("nsq,ns->q", af.Y, u)
-    w = solve_triangular(af.Ls, rhs_d, lower=True)
-    zd = solve_triangular(af.Ls, w, lower=True, trans=1)
+    w = _solve_L(af.Ls, rhs_d)
+    zd = _solve_Lt(af.Ls, w)
     zb = bt_solve_Lt(af.bt, u - jnp.einsum("nsq,q->ns", af.Y, zd))
     return zb, zd
 
@@ -179,7 +199,7 @@ def arrow_sample(af: ArrowFactor, zb_noise: jnp.ndarray, zd_noise: jnp.ndarray):
     """x = L_full^{-T} z for the arrowhead factor (precision sampling):
     L_full = [[L, 0], [Y^T(in L-basis)..., Ls]] with H = L_full L_full^T.
     zb_noise: (nb, s), zd_noise: (q,). Returns deviations (zb, zd)."""
-    xd = solve_triangular(af.Ls, zd_noise, lower=True, trans=1)
+    xd = _solve_Lt(af.Ls, zd_noise)
     xb = bt_solve_Lt(af.bt, zb_noise - jnp.einsum("nsq,q->ns", af.Y, xd))
     return xb, xd
 
@@ -188,7 +208,7 @@ def arrow_sample_multi(af: ArrowFactor, zb_noise: jnp.ndarray,
                        zd_noise: jnp.ndarray):
     """Multi-RHS precision sampling: zb (nb, s, M), zd (q, M) ->
     deviations of the same shapes, each column ~ N(0, H^{-1})."""
-    xd = solve_triangular(af.Ls, zd_noise, lower=True, trans=1)  # (q, M)
+    xd = _solve_Lt(af.Ls, zd_noise)  # (q, M)
     rhs = zb_noise - jnp.einsum("nsq,qM->nsM", af.Y, xd)
     xb = bt_solve_Lt(af.bt, rhs)
     return xb, xd

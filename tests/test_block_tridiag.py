@@ -97,3 +97,35 @@ def test_arrow_sample_covariance():
     X = np.stack(X, axis=1)   # columns = L^{-T} e_i
     np.testing.assert_allclose(X @ X.T, np.linalg.inv(H), rtol=1e-8,
                                atol=1e-10)
+
+
+class TestBlockedKernels:
+    """chol_kernels blocked f64 kernels vs LAPACK-style references."""
+
+    @pytest.mark.parametrize("s", [8, 16, 32, 64, 128])
+    def test_cholesky_blocked(self, s):
+        from bayesgp_tpu.linalg import chol_kernels as ck
+        rng = np.random.default_rng(s)
+        A = rng.normal(size=(s, s))
+        A = A @ A.T + s * np.eye(s)
+        L = np.asarray(ck.cholesky_blocked(jnp.asarray(A)))
+        np.testing.assert_allclose(L, np.linalg.cholesky(A), rtol=1e-11,
+                                   atol=1e-11)
+
+    @pytest.mark.parametrize("s,m", [(16, 3), (64, 5), (128, 128)])
+    def test_trsm_variants(self, s, m):
+        from bayesgp_tpu.linalg import chol_kernels as ck
+        rng = np.random.default_rng(s + m)
+        A = rng.normal(size=(s, s))
+        L = np.linalg.cholesky(A @ A.T + s * np.eye(s))
+        B = rng.normal(size=(s, m))
+        np.testing.assert_allclose(
+            np.asarray(ck.trsm_left_lower(jnp.asarray(L), jnp.asarray(B))),
+            np.linalg.solve(L, B), rtol=1e-10, atol=1e-11)
+        np.testing.assert_allclose(
+            np.asarray(ck.trsm_left_lower_t(jnp.asarray(L), jnp.asarray(B))),
+            np.linalg.solve(L.T, B), rtol=1e-10, atol=1e-11)
+        v = rng.normal(size=s)
+        np.testing.assert_allclose(
+            np.asarray(ck.trsm_left_lower(jnp.asarray(L), jnp.asarray(v))),
+            np.linalg.solve(L, v), rtol=1e-10, atol=1e-11)
