@@ -189,12 +189,19 @@ def optimize_theta(backend, s: int, theta0=None, tol=1e-9, max_iter=100,
 
     (f, state), g = val_grad(theta, state)
     stall = 0
+    H = None
+    H_age = 0
     for it in range(max_iter):
         gmax = float(jnp.max(jnp.abs(g)))
         if gmax < tol:
             break
-        # tiny s x s system: solve on host (TPU lacks f64 LU)
-        H = np.asarray(hess(theta, state), np.float64)
+        # tiny s x s system: solve on host (TPU lacks f64 LU).
+        # The Laplace-marginal Hessian varies slowly — reuse it for up to
+        # 3 accepted steps (each FD Hessian costs 2*s gradient evals,
+        # the dominant cost of a fit at large n)
+        if H is None or H_age >= 3:
+            H = np.asarray(hess(theta, state), np.float64)
+            H_age = 0
         g_np = np.asarray(g, np.float64)
         # ensure a descent direction: ridge up if needed
         ridge = 0.0
@@ -231,6 +238,9 @@ def optimize_theta(backend, s: int, theta0=None, tol=1e-9, max_iter=100,
             alpha *= 0.5
         if not accepted:
             break
+        H_age += 1
+        if alpha < 1.0:
+            H = None   # backtracking => stale curvature, refresh
         # two consecutive noise-floor steps => converged within fp noise
         stall = 0 if improved else stall + 1
         if stall >= 2:
