@@ -50,25 +50,20 @@ def _normalize_control_family(control_family):
     return cf
 
 
-def model_fit(formula=None, data=None, method: str = "aghq",
-              family: str = "Gaussian", control_family=None,
-              control_fixed=None, aghq_k: int = 4, size=None, cens=None,
-              weight=None, strata=None, M: int = 3000, env=None,
-              customized_re=None, customized_template=None,
-              option_list=None, seed: int = 0,
-              terms=None, fixed=None, response=None,
-              engine: str = "auto") -> FitResult:
-    """Fit a Bayesian hierarchical GP model.
+def assemble_model(formula=None, data=None, method: str = "aghq",
+                   family: str = "Gaussian", control_family=None,
+                   control_fixed=None, size=None, cens=None,
+                   weight=None, strata=None, env=None,
+                   customized_re=None, customized_template=None,
+                   terms=None, fixed=None, response=None,
+                   engine: str = "auto") -> dict:
+    """Model assembly only (formula parsing, term construction, priors,
+    ModelData) — the pre-inference part of `model_fit`, exposed so
+    batched/sharded drivers (`model_fit_loop(parallel=True)`) can build
+    per-grid-value models and run the inference themselves.
 
-    Either pass `formula` (string) + `data`, or `response=`/`fixed=`/
-    `terms=` explicitly (terms = list of RandomEffectCall or TermDesign).
-    `size`/`cens`/`weight`/`strata` name columns in `data` (Binomial /
-    Coxph / case-crossover extras).
-
-    engine: 'auto' | 'dense' | 'banded'. 'banded' is the TPU fast path
-    (single IWP term, elementwise family, nonnegative knots): sparse-row
-    design + block-tridiagonal Cholesky instead of dense O(n w^2 + w^3).
-    'auto' picks it when eligible and the problem is large.
+    Returns a dict with instances, md, design/prior arrays and the
+    banded-path decision.
     """
     data = _as_dict_of_arrays(data)
 
@@ -183,6 +178,49 @@ def model_fit(formula=None, data=None, method: str = "aghq",
     if method == "nlminb" and theta_count != 0:
         raise ValueError(
             "For model with hyper-parameter, the method should be aghq or MCMC.")
+
+    return dict(instances=instances, md=md, use_banded=use_banded,
+                design_mat_fixed=design_mat_fixed, fixed_names=fixed_names,
+                bf_prec=bf_prec, bf_mean=bf_mean,
+                control_family=control_family_n,
+                control_fixed=control_fixed_n, family=family)
+
+
+def model_fit(formula=None, data=None, method: str = "aghq",
+              family: str = "Gaussian", control_family=None,
+              control_fixed=None, aghq_k: int = 4, size=None, cens=None,
+              weight=None, strata=None, M: int = 3000, env=None,
+              customized_re=None, customized_template=None,
+              option_list=None, seed: int = 0,
+              terms=None, fixed=None, response=None,
+              engine: str = "auto") -> FitResult:
+    """Fit a Bayesian hierarchical GP model.
+
+    Either pass `formula` (string) + `data`, or `response=`/`fixed=`/
+    `terms=` explicitly (terms = list of RandomEffectCall or TermDesign).
+    `size`/`cens`/`weight`/`strata` name columns in `data` (Binomial /
+    Coxph / case-crossover extras).
+
+    engine: 'auto' | 'dense' | 'banded'. 'banded' is the TPU fast path
+    (single IWP term, elementwise family, nonnegative knots): sparse-row
+    design + block-tridiagonal Cholesky instead of dense O(n w^2 + w^3).
+    'auto' picks it when eligible and the problem is large.
+    """
+    asm = assemble_model(
+        formula=formula, data=data, method=method, family=family,
+        control_family=control_family, control_fixed=control_fixed,
+        size=size, cens=cens, weight=weight, strata=strata, env=env,
+        customized_re=customized_re,
+        customized_template=customized_template, terms=terms, fixed=fixed,
+        response=response, engine=engine)
+    instances = asm["instances"]
+    md = asm["md"]
+    use_banded = asm["use_banded"]
+    design_mat_fixed = asm["design_mat_fixed"]
+    fixed_names = asm["fixed_names"]
+    bf_prec, bf_mean = asm["bf_prec"], asm["bf_mean"]
+    control_family_n = asm["control_family"]
+    control_fixed_n = asm["control_fixed"]
 
     key = jax.random.PRNGKey(seed)
     mod = None

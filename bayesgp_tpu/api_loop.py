@@ -4,14 +4,15 @@
 Refits the model for each value of the looping variable, collects log
 marginal likelihoods, and normalizes exp(log_ml + log prior) over the grid
 by the trapezoid rule. The reference parallelizes with a PSOCK process
-cluster; fits here are independent JAX programs (batched/sharded variants
-live in bayesgp_tpu.parallel).
+cluster; here `parallel=True` runs the whole grid as ONE vmapped program
+sharded over the device mesh (bayesgp_tpu.parallel.loop) — the TPU-native
+replacement for the cluster.
 """
 from __future__ import annotations
 
 import numpy as np
 
-from .api import model_fit
+from .api import model_fit, assemble_model
 
 
 def _trapezoid(x, y):
@@ -20,25 +21,48 @@ def _trapezoid(x, y):
 
 
 def model_fit_loop(loop_values, formula=None, data=None, loop_holder="LOOP",
-                   prior_func=None, **kwargs):
+                   prior_func=None, parallel=False, mesh=None, **kwargs):
     """Fit the model once per value of the loop variable.
 
     The loop value is exposed to the formula's f() options under the name
     `loop_holder` via the evaluation env (the reference rewrites default
     args/environments, R/02_model_fit.R:745-752).
 
+    parallel=True stacks the per-value models and evaluates every grid
+    value's AGHQ lognormconst in one vmapped JAX program; pass `mesh`
+    (jax.sharding.Mesh with a 'fits' axis, see parallel.mesh.make_mesh)
+    to shard the grid over devices — the reference's PSOCK cluster
+    (R/02_model_fit.R:754-769) gone SPMD.
+
     Returns dict(var=grid, post=normalized posterior, log_ml=log marginal
     likelihoods).
     """
     if prior_func is None:
         prior_func = lambda x: np.ones_like(np.asarray(x, float))
-    log_ml = []
-    for v in loop_values:
-        env = dict(kwargs.pop("env", None) or {})
-        env[loop_holder] = v
-        fit = model_fit(formula=formula, data=data, env=env, **kwargs)
-        log_ml.append(fit.mod.lognormconst)
-    log_ml = np.asarray(log_ml)
+    base_env = dict(kwargs.pop("env", None) or {})
+    aghq_k = kwargs.get("aghq_k", 4)
+
+    if parallel:
+        from .parallel.loop import parallel_lognormconst
+        asm_kwargs = {k: v for k, v in kwargs.items()
+                      if k not in ("aghq_k", "M", "seed", "option_list")}
+        mds = []
+        for v in loop_values:
+            env = dict(base_env)
+            env[loop_holder] = v
+            asm = assemble_model(formula=formula, data=data, env=env,
+                                 engine="dense", **asm_kwargs)
+            mds.append(asm["md"])
+        log_ml = parallel_lognormconst(mds, k=aghq_k, mesh=mesh)
+    else:
+        log_ml = []
+        for v in loop_values:
+            env = dict(base_env)
+            env[loop_holder] = v
+            fit = model_fit(formula=formula, data=data, env=env, **kwargs)
+            log_ml.append(fit.mod.lognormconst)
+        log_ml = np.asarray(log_ml)
+
     log_joint = log_ml + np.log(prior_func(np.asarray(loop_values, float)))
     log_joint = log_joint - log_joint.max()
     post = np.exp(log_joint)

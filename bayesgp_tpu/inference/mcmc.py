@@ -36,6 +36,8 @@ def default_option_list(option_list=None):
     opts.setdefault("warmup", 10000)
     opts.setdefault("num_leapfrog", 32)
     opts.setdefault("target_accept", 0.8)
+    opts.setdefault("algorithm", "NUTS")   # tmbstan's sampler; or "HMC"
+    opts.setdefault("max_treedepth", 10)
     return opts
 
 
@@ -195,14 +197,29 @@ def mcmc_fit(md, M=3000, options=None):
     else:
         z0 = jnp.zeros((chains, dim), dtype)
 
-    run = jax.jit(jax.vmap(
-        partial(run_chain, logp, n_warmup=int(opts["warmup"]),
-                n_samples=int(M), n_leapfrog=int(opts["num_leapfrog"]),
-                target_accept=float(opts["target_accept"]))))
-    zs, acc = run(z0, keys[:chains])          # (chains, M, dim)
+    algo = str(opts["algorithm"]).upper()
+    if algo == "NUTS":
+        from .nuts import run_chain_nuts
+        run = jax.jit(jax.vmap(
+            partial(run_chain_nuts, logp, n_warmup=int(opts["warmup"]),
+                    n_samples=int(M),
+                    max_depth=int(opts["max_treedepth"]),
+                    target_accept=float(opts["target_accept"]))))
+        zs, (acc, ndiv, nleap, eps) = run(z0, keys[:chains])
+        mod = {"accept_rate": np.asarray(acc), "chains": chains,
+               "warmup": opts["warmup"], "algorithm": "NUTS",
+               "divergences": np.asarray(ndiv),
+               "mean_leapfrogs": np.asarray(nleap),
+               "step_size": np.asarray(eps)}
+    else:
+        run = jax.jit(jax.vmap(
+            partial(run_chain, logp, n_warmup=int(opts["warmup"]),
+                    n_samples=int(M), n_leapfrog=int(opts["num_leapfrog"]),
+                    target_accept=float(opts["target_accept"]))))
+        zs, acc = run(z0, keys[:chains])      # (chains, M, dim)
+        mod = {"accept_rate": np.asarray(acc), "chains": chains,
+               "warmup": opts["warmup"], "algorithm": "adaptive-HMC"}
     zs = np.asarray(zs).reshape(chains * M, dim)
-    mod = {"accept_rate": np.asarray(acc), "chains": chains,
-           "warmup": opts["warmup"], "algorithm": "adaptive-HMC"}
     samps = zs[:, :w].T                       # (w, M_total)
     theta_samps = zs[:, w:]                   # (M_total, s)
     return mod, samps, theta_samps
