@@ -83,17 +83,22 @@ def assemble_model(formula=None, data=None, method: str = "aghq",
 
     # banded fast-path candidacy (decided pre-build to skip the dense B)
     fam_elementwise = family in ("Gaussian", "Poisson", "Binomial")
-    def _is_iwp_call(c):
+    def _call_model(c):
         if isinstance(c, terms_mod.TermDesign):
-            return c.kind == "IWP"
-        return c.options.get("model") == "IWP"
+            return c.kind
+        return c.options.get("model")
+    has_banded_driver = any(_call_model(c) in ("IWP", "sGP")
+                            for c in re_calls)
     candidate_banded = (engine in ("auto", "banded") and method == "aghq"
-                        and fam_elementwise and len(re_calls) == 1
-                        and _is_iwp_call(re_calls[0]))
+                        and fam_elementwise and has_banded_driver)
     if engine == "banded" and not candidate_banded:
         raise ValueError(
             "engine='banded' requires method='aghq', an elementwise "
-            "family (Gaussian/Poisson/Binomial) and exactly one IWP term")
+            "family (Gaussian/Poisson/Binomial) and at least one IWP or "
+            "sGP term")
+    # the big design B is only skippable for IWP terms (sparse-row path);
+    # sGP drivers and tail terms materialize theirs lazily via ensure_B
+    single_iwp = (len(re_calls) == 1 and _call_model(re_calls[0]) == "IWP")
 
     if family_is_coxph:
         # reference sorts the data by the response (R/02_model_fit.R:346-350)
@@ -105,19 +110,33 @@ def assemble_model(formula=None, data=None, method: str = "aghq",
         if isinstance(call, terms_mod.TermDesign):
             instances.append(call)
         else:
+            # IWP design B is skippable on the banded path (sparse rows)
+            mat = not (candidate_banded and _call_model(call) == "IWP"
+                       and single_iwp)
             instances.append(terms_mod.build_term_from_call(
                 call, data, env=env, customized_re=customized_re,
-                materialize_B=not candidate_banded))
+                materialize_B=mat))
 
-    if candidate_banded and instances[0].knots.min() < 0:
+    # driver eligibility: IWP drivers need nonnegative knots
+    def _driver_ok(t):
+        if t.kind == "sGP":
+            return t.k >= 6
+        if t.kind == "IWP":
+            return np.asarray(t.knots).min() >= 0
+        return False
+    drivers = [t for t in instances if t.kind in ("IWP", "sGP")
+               and _driver_ok(t)]
+    if candidate_banded and not drivers:
         if engine == "banded":
-            raise ValueError("engine='banded' requires nonnegative knots")
+            raise ValueError(
+                "engine='banded' needs an eligible driver term (sGP with "
+                "k>=6 or IWP with nonnegative knots)")
         candidate_banded = False
     if engine == "auto":
         # dense is exact and cheap for small problems; banded wins at scale
+        drv_nb = max((t.num_basis for t in drivers), default=0)
         use_banded = candidate_banded and (
-            len(data[response]) * instances[0].num_basis > 2_000_000
-            or instances[0].num_basis > 300)
+            len(data[response]) * drv_nb > 2_000_000 or drv_nb > 300)
     else:
         use_banded = candidate_banded and engine == "banded"
 
@@ -227,7 +246,8 @@ def model_fit(formula=None, data=None, method: str = "aghq",
     samps = None
     theta_samps = None
     if method == "aghq":
-        if use_banded:
+        if use_banded and len(instances) == 1 and instances[0].kind == "IWP":
+            # single-IWP: the specialized reparametrized backend
             from .fast.iwp import build_fast_iwp
             inst = instances[0]
             xf_dense = np.concatenate([inst.X] + [np.asarray(c) for c in
@@ -239,6 +259,11 @@ def model_fit(formula=None, data=None, method: str = "aghq",
                 np.full(p - 1, inst.boundary_prior["mean"]), bf_mean])
             backend = build_fast_iwp(inst, md, xf_dense, prior_diag_tail,
                                      prior_mean_tail, inst.x_data)
+        elif use_banded:
+            # sGP driver / multi-term generalized banded arrowhead
+            from .fast.banded import build_banded_backend
+            backend = build_banded_backend(instances, md, design_mat_fixed,
+                                           bf_prec, bf_mean)
         else:
             backend = aghq_mod.DenseBackend(md)
         mod = aghq_mod.aghq_fit(backend, k=aghq_k)

@@ -1,0 +1,906 @@
+"""Generalized banded backend: ONE banded "driver" term + dense tail.
+
+Extends the single-IWP fast path (fast/iwp.py) to sGP driver terms and
+multi-term models. The latent is split as
+
+    [ V (driver coefficients, banded coupling) | tail t ]
+    tail t = [ other terms' U blocks | boundary betas | fixed effects ]
+
+with the conditional Hessian an arrowhead system
+
+    H = [[ Bd^T D Bd + e^{th_drv} P_drv   (band W),   C ],
+         [ C^T,                            Hd(theta)     ]]
+
+factored by the block-tridiagonal + Schur machinery of
+linalg/block_tridiag.py.
+
+Driver structures:
+  - IWP  — O-spline space reparametrized to compact-support B-splines
+    (basis/reparam.py): window p+1, stride 1, latent U = T V with
+    constant log|det T| subtracted for parity (same as fast/iwp.py).
+  - sGP  — the sB design [B cos | B sin | B] x m harmonics is reordered
+    by INTERLEAVING the G = 3m groups per B-spline index: every data row
+    then touches a CONTIGUOUS window of W = 4G columns, and the
+    (block-diagonal-over-harmonics) precision Q becomes banded with the
+    same bandwidth. No coordinate change (Q is full-rank): V = U in
+    interleaved order, recovered at sample time by the inverse
+    permutation.
+
+The tail prior is theta-dependent when other smooth terms live in it:
+Hd(theta) = Xd-Gram + diag(boundary/fixed precs) + sum_r e^{th_r} P_r
+(+ e^{th_drv} Z0'P Z0 from the orthogonalization change of coordinates).
+
+Numerical design (measured on TPU v5, see fast/iwp.py and BENCH_NOTES):
+mixed precision (O(n) data work in compute_dtype, O(d) solver state in
+solve_dtype), two-level chunked segment sums, penalized tail
+orthogonalization V' = V + Z0 t, Jacobi equilibration before
+factorization. Reference semantics: src/BayesGP.cpp:155-246.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..basis import reparam
+from ..model import families
+from ..linalg import block_tridiag as btl
+
+LOG2PI = math.log(2.0 * math.pi)
+
+
+def _choose_block(d: int, bw: int) -> int:
+    """Block size >= bandwidth + 1, MXU-shaped when d is large."""
+    lo = bw + 1
+    if d >= 1024:
+        return max(128, lo)
+    if d >= 256:
+        return max(32, lo)
+    return max(8, lo)
+
+
+# ---------------------------------------------------------------------------
+# driver construction
+# ---------------------------------------------------------------------------
+
+def _sgp_interleave_perm(kb: int, G: int) -> np.ndarray:
+    """perm[j_inter] = j_group for the group->interleaved reorder.
+
+    Group order (reference layout): column g*kb + b (g = 3*(i-1)+{cos,sin,
+    plain}, b = B-spline index). Interleaved: column b*G + g.
+    """
+    j_group = np.arange(kb * G).reshape(G, kb)      # [g, b]
+    return j_group.T.reshape(-1)                    # [b*G + g]
+
+
+def _band_from_dense(P: np.ndarray, bw: int) -> np.ndarray:
+    """(bw+1, d) lower band storage; asserts bandedness."""
+    d = P.shape[0]
+    band = np.zeros((bw + 1, d))
+    for o in range(bw + 1):
+        band[o, :d - o] = np.diagonal(P, -o)
+    if d > bw + 1:
+        tail = np.tril(P, -(bw + 1))
+        assert np.abs(tail).max() <= 1e-9 * max(1.0, np.abs(P).max()), \
+            "driver precision is not banded at the declared bandwidth"
+    return band
+
+
+def _sgp_sparse_rows(term):
+    """Sparse-window rows of the interleaved sB design.
+
+    Returns (vals (n, W), start (n,), kb, G) with row i of the
+    interleaved design equal to vals[i] at columns
+    start[i]..start[i]+W-1. Windows are derived from the materialized
+    dense B (term.B, group order): all 3m groups share the B-spline
+    support, so the plain-B block of harmonic 1 locates the 4-wide active
+    B-spline window; interleaving makes it one contiguous 4G window.
+    """
+    Bg = np.asarray(term.ensure_B(), np.float64)   # (n, 3m*kb), group order
+    m = term.m
+    G = 3 * m
+    kb = Bg.shape[1] // G
+    if kb < 4:
+        raise ValueError("sGP banded driver needs k >= 6 (kb >= 4)")
+    perm = _sgp_interleave_perm(kb, G)
+    Bi = Bg[:, perm]                                # interleaved
+    W = 4 * G
+    n = Bi.shape[0]
+    # first active B-spline index per row, from the plain block (group 2)
+    plain = Bg[:, 2 * kb:3 * kb]
+    nz = plain != 0.0
+    first = np.where(nz.any(axis=1), nz.argmax(axis=1), 0)
+    start_b = np.clip(first, 0, kb - 4)
+    start = (start_b * G).astype(np.int64)
+    cols = start[:, None] + np.arange(W)[None, :]
+    vals = Bi[np.arange(n)[:, None], cols]
+    # exactness: windows must cover every nonzero of the design
+    total = np.abs(Bi).sum()
+    covered = np.abs(vals).sum()
+    assert abs(total - covered) <= 1e-9 * max(total, 1.0), \
+        "sGP window extraction missed design mass"
+    return vals, start, kb, G
+
+
+@dataclass
+class TailTermBlock:
+    """A non-driver smooth term living in the dense tail."""
+    offset: int          # offset of its U block within the tail vector
+    size: int
+    theta_idx: int       # index into theta
+    P: Any               # (size, size) penalty
+    logPdet: float
+    d_size: int          # = size (for the 0.5*d*theta term)
+
+
+@dataclass
+class BandedBackend:
+    """Generalized banded arrowhead backend. Interface-compatible with
+    aghq.DenseBackend / fast.iwp.FastIWPBackend (init_state, nll_warm,
+    val_grad_warm_fn, hess_warm_fn, vmap_nll_warm_fn, node_eval, sample).
+    """
+    md: Any
+    drv_theta: int    # driver's theta index
+    Wl: int           # window length
+    G: int            # column stride of window starts
+    d: int
+    dpad: int
+    s: int
+    nb: int
+    q: int
+
+    valsT: Any        # (Wl, n)
+    start: Any        # (n,) nondecreasing multiples of G
+    seg_lo: Any       # (n_seg,) static row-range boundaries per segment
+    seg_hi: Any
+    n_seg: int        # dpad // G segments (some empty)
+
+    XFpT: Any         # (q, n) orthogonalized tail design, transposed
+    Z0: Any           # (d, q)
+    PZ0: Any          # (d, q) = P_drv Z0
+    Z0PZ0: Any        # (q, q)
+    P_band: Any       # (Wl, d) driver prior band
+    logPdet_drv: float
+    d_drv: int        # rank/dimension entering 0.5*d*theta
+
+    # IWP driver extras (identity for sGP)
+    Tdiags: Any       # (p+1, d) or None
+    logdetT: float
+
+    prior_diag_tail: Any   # (q,) boundary/fixed precisions (0 on U blocks)
+    prior_mean_tail: Any   # (q,)
+    tail_terms: tuple      # TailTermBlock tuple
+    ref_perm: Any          # (w_ref,) backend->reference row permutation
+    solve_dtype: Any = None
+
+    @property
+    def n_theta(self):
+        return self.md.n_theta
+
+    @property
+    def compute_dtype(self):
+        return self.valsT.dtype
+
+    @property
+    def dtype(self):
+        return self.solve_dtype or self.valsT.dtype
+
+    # -- chunked mixed-precision reductions (see fast/iwp.py) ----------
+    _CHUNK = 1024
+
+    def _segsum(self, rows):
+        """(..., n) -> (..., n_seg) two-level chunked segment sums."""
+        ch = self._CHUNK
+        n = rows.shape[-1]
+        nc = -(-n // ch)
+        pad = nc * ch - n
+        if pad:
+            rows = jnp.pad(rows, ((0, 0),) * (rows.ndim - 1) + ((0, pad),))
+        r = rows.reshape(rows.shape[:-1] + (nc, ch))
+        c32 = jnp.cumsum(r, axis=-1)
+        tot = c32[..., -1].astype(self.dtype)
+        pre64 = jnp.cumsum(tot, axis=-1)
+        flat32 = c32.reshape(rows.shape[:-1] + (nc * ch,))
+
+        def prefix(idx):
+            ci = idx // ch
+            base = jnp.where(jnp.asarray(ci > 0),
+                             pre64[..., np.maximum(ci - 1, 0)], 0.0)
+            intra_mask = (idx % ch) > 0
+            intra = jnp.where(jnp.asarray(intra_mask),
+                              flat32[..., np.maximum(idx - 1, 0)].astype(
+                                  self.dtype), 0.0)
+            return base + intra
+
+        return prefix(np.asarray(self.seg_hi)) - prefix(np.asarray(self.seg_lo))
+
+    def _gram64(self, A, B):
+        ch = self._CHUNK
+        q, n = A.shape
+        nc = -(-n // ch)
+        pad = nc * ch - n
+        if pad:
+            A = jnp.pad(A, ((0, 0), (0, pad)))
+            B = jnp.pad(B, ((0, 0), (0, pad)))
+        Ar = A.reshape(q, nc, ch).swapaxes(0, 1)
+        Br = B.reshape(q, nc, ch).swapaxes(0, 1)
+        partial = jnp.einsum("cqn,crn->cqr", Ar, Br)
+        return jnp.sum(partial.astype(self.dtype), axis=0)
+
+    # -- banded products ------------------------------------------------
+    def _place(self, col, b, out):
+        """Add col (n_seg,) into out (dpad,) at positions seg*G + b."""
+        G = self.G
+        grid = out.reshape(self.dpad // G, G)
+        shift = b // G
+        sub = b % G
+        L = min(self.n_seg, self.dpad // G - shift)
+        grid = grid.at[shift:shift + L, sub].add(col[:L])
+        return grid.reshape(self.dpad)
+
+    def eta(self, Vp, tail):
+        cd = self.compute_dtype
+        Vc = Vp.astype(cd)
+        e = jnp.zeros((self.start.shape[0],), cd)
+        for a in range(self.Wl):
+            e = e + self.valsT[a] * Vc[self.start + a]
+        if self.q:
+            e = e + tail.astype(cd) @ self.XFpT
+        return e
+
+    def to_V(self, Vp, tail):
+        if not self.q:
+            return Vp
+        return Vp.at[..., :self.d].add(-(self.Z0 @ tail))
+
+    def Bt(self, u):
+        """B^T u -> (dpad,) in solve_dtype."""
+        seg = self._segsum(self.valsT * u[None, :]).astype(self.dtype)
+        out = jnp.zeros((self.dpad,), self.dtype)
+        for a in range(self.Wl):
+            out = self._place(seg[a], a, out)
+        return out
+
+    def band_H(self, wts, theta):
+        """(Wl, dpad) lower band of B^T diag(wts) B + e^th P, identity-
+        padded beyond d."""
+        Wl = self.Wl
+        outersT = (wts[None, None, :] * self.valsT[:, None, :]
+                   * self.valsT[None, :, :])
+        M = self._segsum(outersT).astype(self.dtype)   # (Wl, Wl, n_seg)
+        rows = []
+        for o in range(Wl):
+            row = jnp.zeros((self.dpad,), self.dtype)
+            for b in range(Wl - o):
+                a = b + o
+                row = self._place(M[a, b], b, row)
+            rows.append(row)
+        band = jnp.stack(rows)
+        band = band.at[:, :self.d].add(
+            jnp.exp(theta[self.drv_theta]) * self.P_band)
+        if self.dpad > self.d:
+            band = band.at[0, self.d:].set(1.0)
+        return band
+
+    def C_block(self, wts, theta):
+        if not self.q:
+            return jnp.zeros((self.dpad, 0), self.dtype)
+        wXFT = wts[None, :] * self.XFpT
+        M = self._segsum(
+            self.valsT[:, None, :] * wXFT[None, :, :]).astype(self.dtype)
+        C = jnp.zeros((self.dpad, self.q), self.dtype)
+        for a in range(self.Wl):
+            # place M[a] (q, n_seg) rows at seg*G + a
+            Cg = C.reshape(self.dpad // self.G, self.G, self.q)
+            shift, sub = a // self.G, a % self.G
+            L = min(self.n_seg, self.dpad // self.G - shift)
+            Cg = Cg.at[shift:shift + L, sub, :].add(M[a][:, :L].T)
+            C = Cg.reshape(self.dpad, self.q)
+        C = C.at[:self.d].add(-jnp.exp(theta[self.drv_theta]) * self.PZ0)
+        return C
+
+    # -- priors ----------------------------------------------------------
+    def prior_quad_V(self, V):
+        q = self.P_band[0, :self.d] * V[:self.d] ** 2
+        total = jnp.sum(q)
+        for o in range(1, self.Wl):
+            total = total + 2.0 * jnp.sum(
+                self.P_band[o, :self.d - o] * V[o:self.d] * V[:self.d - o])
+        return total
+
+    def _applyP(self, Vd):
+        pv = self.P_band[0, :self.d] * Vd
+        for o in range(1, self.Wl):
+            pv = pv.at[o:].add(self.P_band[o, :self.d - o] * Vd[:-o])
+            pv = pv.at[:-o].add(self.P_band[o, :self.d - o] * Vd[o:])
+        return pv
+
+    def apply_T(self, V):
+        """IWP driver: U = T V; identity for sGP."""
+        if self.Tdiags is None:
+            return V
+        U = self.Tdiags[0] * V
+        for o in range(1, self.Tdiags.shape[0]):
+            U = U.at[..., o:].add(self.Tdiags[o, o:] * V[..., :-o])
+        return U
+
+    def _tail_prior_mat(self, theta):
+        """Hd_prior(theta) = diag + sum_r e^{th_r} P_r (q, q)."""
+        Hd = jnp.diag(self.prior_diag_tail)
+        for tb in self.tail_terms:
+            blk = jnp.exp(theta[tb.theta_idx]) * jnp.asarray(tb.P, self.dtype)
+            Hd = Hd.at[tb.offset:tb.offset + tb.size,
+                       tb.offset:tb.offset + tb.size].add(blk)
+        return Hd
+
+    def _tail_prior_quad(self, tail, theta):
+        """-2 log prior (quad parts) of the tail, EXCLUDING driver terms:
+        sum_r e^{th_r} t_r' P_r t_r + diag part, minus the logdet/theta
+        constants (added in neg_log_post)."""
+        quad = jnp.sum(self.prior_diag_tail
+                       * (tail - self.prior_mean_tail) ** 2)
+        for tb in self.tail_terms:
+            tr = jax.lax.dynamic_slice(tail, (tb.offset,), (tb.size,))
+            quad = quad + jnp.exp(theta[tb.theta_idx]) * (
+                tr @ (jnp.asarray(tb.P, self.dtype) @ tr))
+        return quad
+
+    def _tail_prior_grad(self, tail, theta):
+        g = self.prior_diag_tail * (tail - self.prior_mean_tail)
+        for tb in self.tail_terms:
+            tr = jax.lax.dynamic_slice(tail, (tb.offset,), (tb.size,))
+            gr = jnp.exp(theta[tb.theta_idx]) * (
+                jnp.asarray(tb.P, self.dtype) @ tr)
+            g = jax.lax.dynamic_update_slice(
+                g, jax.lax.dynamic_slice(g, (tb.offset,), (tb.size,)) + gr,
+                (tb.offset,))
+        return g
+
+    # -- objective/grad/hessian ------------------------------------------
+    def neg_log_post(self, Vp, tail, theta):
+        md = self.md
+        e = self.eta(Vp, tail)
+        ll = families.log_lik(e, md, theta.astype(self.compute_dtype))
+        ll = ll.astype(self.dtype)
+        Vd = Vp[:self.d]
+        quad = self.prior_quad_V(Vp)
+        if self.q:
+            quad = quad - 2.0 * jnp.dot(tail, self.PZ0.T @ Vd)
+            quad = quad + tail @ (self.Z0PZ0 @ tail)
+        lp = -0.5 * jnp.exp(theta[self.drv_theta]) * quad
+        lp = lp + 0.5 * (self.d_drv * theta[self.drv_theta]
+                         + self.logPdet_drv)
+        if self.q:
+            lp = lp - 0.5 * self._tail_prior_quad(tail, theta)
+            for tb in self.tail_terms:
+                lp = lp + 0.5 * (tb.d_size * theta[tb.theta_idx]
+                                 + tb.logPdet)
+        phi = -jnp.log(md.alpha) / md.u
+        lpT = jnp.sum(jnp.log(0.5 * phi) - phi * jnp.exp(-0.5 * theta)
+                      - 0.5 * theta)
+        return -(ll + lp + lpT)
+
+    def grad_W(self, Vp, tail, theta):
+        md = self.md
+        e = self.eta(Vp, tail)
+        th_c = theta.astype(self.compute_dtype)
+        r = jax.grad(lambda ee: -families.log_lik(ee, md, th_c))(e)
+        gV = self.Bt(r)
+        lam = jnp.exp(theta[self.drv_theta])
+        Vd = Vp[:self.d]
+        pv = self._applyP(Vd)
+        if self.q:
+            pv = pv - self.PZ0 @ tail
+        gV = gV.at[:self.d].add(lam * pv)
+        if self.q:
+            gt = ((self.XFpT @ r).astype(self.dtype)
+                  + lam * (self.Z0PZ0 @ tail - self.PZ0.T @ Vd)
+                  + self._tail_prior_grad(tail, theta))
+        else:
+            gt = jnp.zeros((0,), self.dtype)
+        return gV, gt
+
+    def hessian_factor(self, V, tail, theta):
+        md = self.md
+        e = self.eta(V, tail)
+        wts = families.eta_weights(e, md, theta.astype(self.compute_dtype))
+        band = self.band_H(wts, theta)
+        C = self.C_block(wts, theta)
+        if self.q:
+            Hd = (self._gram64(self.XFpT * wts[None, :], self.XFpT)
+                  + jnp.exp(theta[self.drv_theta]) * self.Z0PZ0
+                  + self._tail_prior_mat(theta))
+            sd = jax.lax.rsqrt(jnp.diagonal(Hd))
+            Hd = Hd * sd[:, None] * sd[None, :]
+        else:
+            Hd = jnp.zeros((0, 0), self.dtype)
+            sd = jnp.zeros((0,), self.dtype)
+        sc = jax.lax.rsqrt(band[0])
+        band_s = band.at[0].multiply(sc * sc)
+        for o in range(1, self.Wl):
+            band_s = band_s.at[o, :self.dpad - o].multiply(
+                sc[o:] * sc[:self.dpad - o])
+        C_s = (C * sc[:, None] * sd[None, :]) if self.q else C
+        D, E = btl.band_to_blocks(band_s, self.s)
+        af = btl.arrow_factor(D, E, C_s.reshape(self.nb, self.s, self.q), Hd)
+        return af, sc, sd
+
+    def solve_H(self, factor, gV, gt):
+        af, sc, sd = factor
+        zb, zd = btl.arrow_solve(af, (gV * sc).reshape(self.nb, self.s),
+                                 gt * sd)
+        return zb.reshape(self.dpad) * sc, zd * sd
+
+    def half_logdet_H(self, factor):
+        af, sc, sd = factor
+        return (btl.arrow_half_logdet(af) - jnp.sum(jnp.log(sc))
+                - jnp.sum(jnp.log(sd)))
+
+    # -- Newton / Laplace (same scheme as fast/iwp.py) --------------------
+    def newton_step(self, V, tail, theta, eta_cap=8.0):
+        gV, gt = self.grad_W(V, tail, theta)
+        factor = self.hessian_factor(V, tail, theta)
+        step_V, step_t = self.solve_H(factor, gV, gt)
+        d_eta = self.eta(step_V, step_t)
+        max_de = jnp.max(jnp.abs(d_eta))
+        alpha0 = jnp.minimum(1.0, eta_cap / jnp.maximum(max_de, 1e-30))
+        cands = alpha0 * jnp.asarray([1.0, 0.3, 0.1, 0.03], self.dtype)
+        f0 = self.neg_log_post(V, tail, theta)
+        fs = jnp.stack([self.neg_log_post(V - a * step_V, tail - a * step_t,
+                                          theta) for a in cands])
+        fs = jnp.where(jnp.isnan(fs), jnp.inf, fs)
+        best = jnp.argmin(fs)
+        # prefer the largest alpha within fp noise of the best (see
+        # fast/iwp.py newton_step)
+        eps_c = 1e-12 if self.compute_dtype == jnp.float64 else 3e-7
+        noise = eps_c * (1.0 + jnp.abs(f0))
+        idx = jnp.argmax(fs <= fs[best] + noise)
+        alpha = jnp.where(fs[best] <= f0 + noise, cands[idx], 0.01 * alpha0)
+        smax = jnp.max(jnp.abs(step_V))
+        if self.q:
+            smax = jnp.maximum(smax, jnp.max(jnp.abs(step_t)))
+        return V - alpha * step_V, tail - alpha * step_t, smax
+
+    def newton_solve(self, theta, max_iter=100, warm=None):
+        if warm is None:
+            V0, t0 = self.init_state()
+        else:
+            V0, t0 = warm
+        steptol = 1e-9 if self.compute_dtype == jnp.float64 else 3e-6
+
+        def cond(state):
+            V, tail, it, smax = state
+            small = smax < steptol * (1.0 + jnp.max(jnp.abs(V)))
+            return jnp.logical_and(~small, it < max_iter)
+
+        def body(state):
+            V, tail, it, _ = state
+            V2, t2, smax = self.newton_step(V, tail, theta)
+            return V2, t2, it + 1, smax
+
+        big = jnp.asarray(1e30, self.dtype)
+        V, tail, _, _ = jax.lax.while_loop(cond, body, (V0, t0, 0, big))
+        return V, tail
+
+    def _refine(self, V, tail, theta):
+        gV, gt = self.grad_W(V, tail, theta)
+        factor = self.hessian_factor(V, tail, theta)
+        step_V, step_t = self.solve_H(factor, gV, gt)
+        return V - step_V, tail - step_t
+
+    def solve_W_star(self, theta, n_refine=1, warm=None):
+        if warm is not None:
+            warm = jax.lax.stop_gradient(warm)
+        V, tail = self.newton_solve(jax.lax.stop_gradient(theta), warm=warm)
+        V = jax.lax.stop_gradient(V)
+        tail = jax.lax.stop_gradient(tail)
+        for _ in range(n_refine):
+            V, tail = self._refine(V, tail, theta)
+        return jax.lax.stop_gradient(V), jax.lax.stop_gradient(tail)
+
+    def _laplace_value(self, V, tail, theta):
+        factor = self.hessian_factor(V, tail, theta)
+        half_logdet = self.half_logdet_H(factor)
+        w_count = self.d + self.q
+        return (self.neg_log_post(V, tail, theta) + half_logdet
+                - 0.5 * w_count * LOG2PI - self.logdetT)
+
+    def laplace_nll(self, theta, warm=None):
+        val, (V, tail) = self._nll_custom(theta, warm if warm is not None
+                                          else self.init_state())
+        return val, (V, tail)
+
+    def nll(self, theta):
+        return self.laplace_nll(theta)[0]
+
+    @property
+    def _nll_custom(self):
+        if hasattr(self, "_nll_cvjp"):
+            return self._nll_cvjp
+
+        @jax.custom_vjp
+        def nll_fn(theta, warm):
+            V, tail = self.solve_W_star(theta, warm=warm)
+            return self._laplace_value(V, tail, theta), (V, tail)
+
+        def fwd(theta, warm):
+            V, tail = self.solve_W_star(theta, warm=warm)
+            val = self._laplace_value(V, tail, theta)
+            return (val, (V, tail)), (theta, V, tail)
+
+        def bwd(res, cts):
+            theta, V, tail = res
+            ct_val = cts[0]
+            gF_V, gF_t, gF_th = jax.grad(self._laplace_value,
+                                         argnums=(0, 1, 2))(V, tail, theta)
+            factor = self.hessian_factor(V, tail, theta)
+            vV, vt = self.solve_H(factor, gF_V, gF_t)
+
+            def gdotv(th):
+                gV, gt = self.grad_W(V, tail, th)
+                out = jnp.dot(gV, vV)
+                if self.q:
+                    out = out + jnp.dot(gt, vt)
+                return out
+
+            term2 = jax.grad(gdotv)(theta)
+            dth = (gF_th - term2) * ct_val
+            return dth, jax.tree_util.tree_map(jnp.zeros_like, (V, tail))
+
+        nll_fn.defvjp(fwd, bwd)
+        self._nll_cvjp = nll_fn
+        return nll_fn
+
+    # -- outer-optimizer interface ----------------------------------------
+    def init_state(self):
+        return (jnp.zeros((self.dpad,), self.dtype),
+                jnp.zeros((self.q,), self.dtype))
+
+    def nll_warm(self, theta, warm):
+        return self.laplace_nll(theta, warm=warm)
+
+    def val_grad_fn(self):
+        if not hasattr(self, "_vg"):
+            self._vg = jax.jit(jax.value_and_grad(self.nll))
+        return self._vg
+
+    def hess_fn(self):
+        if not hasattr(self, "_hess"):
+            hw = self.hess_warm_fn()
+            self._hess = lambda th: hw(th, self.init_state())
+        return self._hess
+
+    def vmap_nll_fn(self):
+        if not hasattr(self, "_vnll"):
+            one = jax.jit(self.nll)
+            self._vnll = lambda ths: jnp.stack(
+                [one(ths[j]) for j in range(ths.shape[0])])
+        return self._vnll
+
+    def val_grad_warm_fn(self):
+        if not hasattr(self, "_vgw"):
+            self._vgw = jax.jit(
+                jax.value_and_grad(self.nll_warm, has_aux=True))
+        return self._vgw
+
+    def hess_warm_fn(self):
+        """Outer Hessian: central differences of the exact implicit
+        gradient (see fast/iwp.py)."""
+        if not hasattr(self, "_hessw"):
+            grad_fn = jax.grad(lambda th, st: self.nll_warm(th, st)[0])
+
+            def hess(theta, st):
+                s = theta.shape[0]
+                # f32: FD step large enough that H*h >> gradient noise
+                # (see fast/iwp.py hess_warm_fn)
+                h = 1e-4 if self.compute_dtype == jnp.float64 else 0.3
+                eye = jnp.eye(s, dtype=theta.dtype)
+
+                def col(i):
+                    gp = grad_fn(theta + h * eye[i], st)
+                    gm = grad_fn(theta - h * eye[i], st)
+                    return (gp - gm) / (2 * h)
+
+                H = jnp.stack([col(i) for i in range(s)])
+                return 0.5 * (H + H.T)
+
+            self._hessw = jax.jit(hess)
+        return self._hessw
+
+    def vmap_nll_warm_fn(self):
+        # host loop over nodes (vmap over the solver kernels faults the
+        # TPU worker at large d — see fast/iwp.py)
+        if not hasattr(self, "_vnllw"):
+            one = jax.jit(lambda th, wm: self.nll_warm(th, wm)[0])
+
+            def run(ths, wm):
+                return jnp.stack([one(ths[j], wm)
+                                  for j in range(ths.shape[0])])
+
+            self._vnllw = run
+        return self._vnllw
+
+    def node_eval(self, thetas, warm=None):
+        if not hasattr(self, "_node_eval_fn"):
+            def one(th, wm):
+                nll, (V, tail) = self.laplace_nll(th, warm=wm)
+                factor = self.hessian_factor(V, tail, th)
+                return nll, (V, tail, factor)
+
+            self._node_eval_fn = jax.jit(one)
+        if warm is None:
+            warm = self.init_state()
+        outs = [self._node_eval_fn(thetas[j], warm)
+                for j in range(thetas.shape[0])]
+        nlls = jnp.stack([o[0] for o in outs])
+        states = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[o[1] for o in outs])
+        return nlls, states
+
+    def sample(self, key, states, idx, M):
+        """(w_ref, M) posterior samples in REFERENCE coordinates/order."""
+        V, tail, factor = states
+
+        def run(key, idx):
+            k1, k2 = jax.random.split(key)
+            zb = jax.random.normal(k1, (self.nb, self.s, M), self.dtype)
+            zd = jax.random.normal(k2, (self.q, M), self.dtype)
+
+            def one_node(fi):
+                af, sc, sd = fi
+                xb, xd = btl.arrow_sample_multi(af, zb, zd)
+                return (xb.reshape(self.dpad, M) * sc[:, None],
+                        xd * sd[:, None] if self.q else xd)
+
+            xbs, xds = jax.lax.map(one_node, factor)
+            m_ar = jnp.arange(M)
+            devV = xbs[idx, :, m_ar]
+            devt = xds[idx, :, m_ar]
+            Vs = V[idx] + devV
+            ts = tail[idx] + devt
+            Vact = jax.vmap(self.to_V)(Vs, ts)
+            U = self.apply_T(Vact[:, :self.d])
+            full = jnp.concatenate([U, ts], axis=1)      # backend order
+            return full[:, self.ref_perm]                # reference order
+
+        samps = jax.jit(run)(key, idx)
+        return np.asarray(samps).T
+
+
+# ---------------------------------------------------------------------------
+# construction
+# ---------------------------------------------------------------------------
+
+def build_banded_backend(instances, md, design_mat_fixed, bf_prec, bf_mean,
+                         dtype=None, driver_idx: Optional[int] = None):
+    """Build a BandedBackend for a multi-term / sGP model.
+
+    instances: list of TermDesign (any mix of IWP/sGP/IID/Customized);
+    the driver is the largest IWP or sGP term (or `driver_idx`).
+    """
+    import dataclasses as _dc
+    from scipy.linalg import solveh_banded
+
+    # ---- choose driver ----
+    eligible = [i for i, t in enumerate(instances)
+                if t.kind in ("IWP", "sGP")
+                and (t.kind != "IWP" or np.asarray(t.knots).min() >= 0)]
+    if driver_idx is None:
+        if not eligible:
+            raise ValueError("banded backend needs an IWP or sGP term")
+        driver_idx = max(eligible, key=lambda i: instances[i].num_basis)
+    drv = instances[driver_idx]
+
+    # ---- driver banded structures ----
+    if drv.kind == "IWP":
+        p = drv.order
+        knots = np.asarray(drv.knots, np.float64)
+        if knots.min() < 0:
+            raise ValueError("banded IWP driver requires nonnegative knots")
+        d = len(knots) - 1
+        G, Wl = 1, p + 1
+        vals, start = reparam.sparse_rows(drv.x_data, knots, p)
+        P_band_d, logdetT, T = reparam.prior_band(knots, p)
+        P_band = np.zeros((Wl, d))
+        P_band[:P_band_d.shape[0]] = P_band_d
+        Tdiags = np.zeros((p + 1, d))
+        for o in range(p + 1):
+            Tdiags[o, o:] = np.diagonal(T, -o)
+        logPdet_drv = float(md.logPdet[driver_idx])
+        d_drv = d
+        inv_perm = np.arange(d)      # U (ref) index for each V index via T
+    else:  # sGP
+        vals, start, kb, G = _sgp_sparse_rows(drv)
+        Wl = 4 * G
+        d = kb * G
+        perm = _sgp_interleave_perm(kb, G)
+        Q_group = np.asarray(drv.P, np.float64)
+        Qi = Q_group[np.ix_(perm, perm)]
+        P_band = _band_from_dense(Qi, Wl - 1)
+        Tdiags = None
+        logdetT = 0.0
+        logPdet_drv = float(md.logPdet[driver_idx])
+        d_drv = d
+        inv_perm = perm              # ref column index of interleaved col j
+
+    bw = Wl - 1
+    s = _choose_block(d, bw)
+    # round the block size to a multiple of G so dpad is G-aligned (the
+    # strided band assembly views band rows as a (dpad/G, G) grid)
+    s = -(-s // G) * G
+    nb = -(-d // s)
+    dpad = nb * s
+
+    # ---- sort rows by segment ----
+    order = np.argsort(start, kind="stable")
+    vals = vals[order]
+    start = start[order]
+    n = len(start)
+
+    # segments = start // G; n_seg = dpad // G
+    n_seg = dpad // G
+    seg_ids = start // G
+    counts = np.bincount(seg_ids, minlength=n_seg)[:n_seg]
+    seg_hi = np.cumsum(counts)
+    seg_lo = seg_hi - counts
+
+    # ---- tail assembly: [other U blocks | boundary betas | fixed] ----
+    tail_cols = []
+    tail_terms = []
+    off = 0
+    for i, t in enumerate(instances):
+        if i == driver_idx:
+            continue
+        Bt_ = t.ensure_B()
+        tail_cols.append(np.asarray(Bt_, np.float64))
+        tail_terms.append(TailTermBlock(
+            offset=off, size=Bt_.shape[1], theta_idx=i,
+            P=np.asarray(t.P, np.float64),
+            logPdet=float(md.logPdet[i]), d_size=Bt_.shape[1]))
+        off += Bt_.shape[1]
+    diag_list = [np.zeros(off)]
+    mean_list = [np.zeros(off)]
+    for i, t in enumerate(instances):
+        if t.X.shape[1] > 0:
+            tail_cols.append(np.asarray(t.X, np.float64))
+            diag_list.append(np.full(t.X.shape[1],
+                                     t.boundary_prior["prec"]))
+            mean_list.append(np.full(t.X.shape[1],
+                                     t.boundary_prior["mean"]))
+    for c in design_mat_fixed:
+        tail_cols.append(np.asarray(c, np.float64))
+    diag_list.append(np.asarray(bf_prec, np.float64))
+    mean_list.append(np.asarray(bf_mean, np.float64))
+    xf_dense = (np.concatenate(tail_cols, axis=1) if tail_cols
+                else np.zeros((n, 0)))
+    xf_dense = xf_dense[order]
+    prior_diag_tail = np.concatenate(diag_list)
+    prior_mean_tail = np.concatenate(mean_list)
+    q = xf_dense.shape[1]
+
+    md_perm = _dc.replace(
+        md, y=np.asarray(md.y)[order],
+        size=(np.asarray(md.size)[order] if np.ndim(md.size) and
+              np.shape(md.size)[0] == n else md.size))
+
+    # ---- penalized tail orthogonalization (host, float64) ----
+    if q:
+        Gband = np.zeros((Wl, d))
+        for o in range(Wl):
+            for b in range(Wl - o):
+                a = b + o
+                w_ = vals[:, a] * vals[:, b]
+                Gband[o] += np.bincount(start + b, weights=w_,
+                                        minlength=d)[:d]
+        BX = np.zeros((d, q))
+        for a in range(Wl):
+            cols = np.clip(start + a, 0, d - 1)
+            for c in range(q):
+                BX[:, c] += np.bincount(cols, weights=vals[:, a]
+                                        * xf_dense[:, c], minlength=d)[:d]
+        tau = 1e2 * (Gband[0].mean() / max(P_band[0].mean(), 1e-30))
+        Gb = Gband + tau * P_band
+        Gb[0] += 1e-9 * max(Gband[0].max(), 1.0)
+        Z0 = solveh_banded(Gb, BX, lower=True)
+        XFp = xf_dense.copy()
+        for a in range(Wl):
+            XFp -= vals[:, a, None] * Z0[np.clip(start + a, 0, d - 1), :]
+        # P Z0 and Z0' P Z0 via factored forms where available
+        if drv.kind == "IWP":
+            wk = np.diff(np.asarray(drv.knots, np.float64))
+            Tdiags_np = Tdiags
+            G0 = Tdiags_np[0][:, None] * Z0
+            for o in range(1, Wl):
+                G0[o:] += Tdiags_np[o, o:, None] * Z0[:-o]
+            wG0 = wk[:, None] * G0
+            PZ0 = Tdiags_np[0][:, None] * wG0
+            for o in range(1, Wl):
+                PZ0[:-o] += Tdiags_np[o, o:, None] * wG0[o:]
+            Z0PZ0 = ((np.sqrt(wk)[:, None] * G0).T
+                     @ (np.sqrt(wk)[:, None] * G0))
+        else:
+            # sGP precision is well-conditioned full-rank: direct banded
+            # products in float64 suffice (no 1e8-scale null-space
+            # cancellation — Q has no polynomial null space)
+            Pd = np.zeros((d, d))
+            for o in range(Wl):
+                diag_vals = P_band[o, :d - o]
+                Pd[np.arange(o, d), np.arange(d - o)] = diag_vals
+                if o:
+                    Pd[np.arange(d - o), np.arange(o, d)] = diag_vals
+            PZ0 = Pd @ Z0
+            Z0PZ0 = Z0.T @ PZ0
+            Z0PZ0 = 0.5 * (Z0PZ0 + Z0PZ0.T)
+    else:
+        Z0 = np.zeros((d, 0))
+        PZ0 = np.zeros((d, 0))
+        Z0PZ0 = np.zeros((0, 0))
+        XFp = xf_dense
+
+    # ---- reference-order permutation ----
+    # backend order: [driver U (d) | other U blocks | betas | fixed]
+    # reference order: [U_1..U_r | beta_1..beta_rX | fixed]
+    w_ref = sum(md.d_sizes) + sum(md.x_sizes) + md.xf_count
+    ref_of_backend = np.zeros(d + q, dtype=np.int64)
+    # driver U block -> its reference slot, through inv_perm for sGP
+    drv_off = int(np.sum(np.asarray(md.d_sizes)[:driver_idx]))
+    if drv.kind == "sGP":
+        # backend col j holds U[inv_perm[j]]
+        ref_of_backend[:d] = drv_off + inv_perm
+    else:
+        ref_of_backend[:d] = drv_off + np.arange(d)
+    pos = d
+    for i, t in enumerate(instances):
+        if i == driver_idx:
+            continue
+        off_r = int(np.sum(np.asarray(md.d_sizes)[:i]))
+        ref_of_backend[pos:pos + t.num_basis] = off_r + np.arange(t.num_basis)
+        pos += t.num_basis
+    beta_off = sum(md.d_sizes)
+    for i, t in enumerate(instances):
+        xc = t.X.shape[1]
+        if xc > 0:
+            ref_of_backend[pos:pos + xc] = beta_off + np.arange(xc)
+            beta_off += xc
+            pos += xc
+    nfix = md.xf_count
+    fix_off = sum(md.d_sizes) + sum(md.x_sizes)
+    ref_of_backend[pos:pos + nfix] = fix_off + np.arange(nfix)
+    pos += nfix
+    assert pos == d + q == w_ref
+    # sample() produces backend-order rows [U_drv | tail]; we need
+    # full[:, ref_perm][j] = column that lands at reference j:
+    ref_perm = np.argsort(ref_of_backend)
+
+    x64 = bool(jax.config.read("jax_enable_x64"))
+    dt = dtype or (np.float64 if x64 else np.float32)
+    if not x64:
+        dt = np.float32
+    sdt = jnp.float64 if x64 else jnp.float32
+    md_perm = _dc.replace(
+        md_perm, y=np.asarray(md_perm.y, dt),
+        size=np.asarray(md_perm.size, dt))
+
+    return BandedBackend(
+        md=md_perm, drv_theta=driver_idx, Wl=Wl, G=G, d=d, dpad=dpad,
+        s=s, nb=nb, q=q,
+        valsT=jnp.asarray(np.ascontiguousarray(vals.T), dt),
+        start=jnp.asarray(start),
+        seg_lo=np.asarray(seg_lo, np.int64),
+        seg_hi=np.asarray(seg_hi, np.int64), n_seg=n_seg,
+        XFpT=jnp.asarray(np.ascontiguousarray(XFp.T), dt),
+        Z0=jnp.asarray(Z0, sdt), PZ0=jnp.asarray(PZ0, sdt),
+        Z0PZ0=jnp.asarray(Z0PZ0, sdt),
+        P_band=jnp.asarray(P_band, sdt),
+        logPdet_drv=logPdet_drv, d_drv=d_drv,
+        Tdiags=(jnp.asarray(Tdiags, sdt) if Tdiags is not None else None),
+        logdetT=float(logdetT),
+        prior_diag_tail=jnp.asarray(prior_diag_tail, sdt),
+        prior_mean_tail=jnp.asarray(prior_mean_tail, sdt),
+        tail_terms=tuple(tail_terms),
+        ref_perm=jnp.asarray(ref_perm),
+        solve_dtype=sdt)

@@ -394,8 +394,18 @@ class FastIWPBackend:
                                           theta) for a in cands])
         fs = jnp.where(jnp.isnan(fs), jnp.inf, fs)
         best = jnp.argmin(fs)
+        # near the optimum all candidates tie within the fp noise of the
+        # O(n) f32 likelihood sum; picking argmin then selects a small
+        # alpha at random and terminal convergence becomes a creep
+        # (measured: 10+ warm inner iterations instead of 2-3). Prefer
+        # the LARGEST alpha within noise of the best — far from the
+        # optimum differences exceed the noise and this reduces to plain
+        # backtracking.
+        eps_c = 1e-12 if self.compute_dtype == jnp.float64 else 3e-7
+        noise = eps_c * (1.0 + jnp.abs(f0))
+        idx = jnp.argmax(fs <= fs[best] + noise)
         # if no candidate improves, creep with a tiny step (never NaN)
-        alpha = jnp.where(fs[best] <= f0, cands[best], 0.01 * alpha0)
+        alpha = jnp.where(fs[best] <= f0 + noise, cands[idx], 0.01 * alpha0)
         smax = jnp.max(jnp.abs(step_V))
         if self.q:
             smax = jnp.maximum(smax, jnp.max(jnp.abs(step_t)))
@@ -551,9 +561,12 @@ class FastIWPBackend:
 
             def hess(theta, st):
                 s = theta.shape[0]
-                # step sized to the gradient's fp noise: the O(n) data
-                # side sets it (f32 gradients carry ~1e-3 noise)
-                h = 1e-4 if self.compute_dtype == jnp.float64 else 3e-2
+                # FD step sized so the curvature SIGNAL beats the
+                # gradient's fp noise: f32 gradients at n=1e5 carry O(1)
+                # absolute noise while H ~ 1e2, so H*h must be >> noise
+                # (h=3e-2 gave H*h ~ noise and garbage adaptations —
+                # measured 5x node_eval blowup from misplaced nodes)
+                h = 1e-4 if self.compute_dtype == jnp.float64 else 0.3
                 eye = jnp.eye(s, dtype=theta.dtype)
 
                 def col(i):

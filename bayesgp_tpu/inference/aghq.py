@@ -161,16 +161,111 @@ class AGHQFit:
         return -self.lognll - self.lognormconst
 
 
+def _optimize_theta_1d(backend, theta0, tol, max_iter, verbose):
+    """Secant-Newton on the GRADIENT root for a single hyperparameter.
+
+    At f32 compute precision the nll VALUE carries ~3e-7|f| noise (a
+    noise pit of ~0.05 at n=1e5 scales) which defeats f-based line
+    searches near the mode, while the implicit-function gradient is far
+    cleaner — so drive theta by the gradient's zero crossing: secant
+    curvature h_k = (g_k - g_{k-1}) / (th_k - th_{k-1}), steps capped at
+    2.0, a loose f-guard only against genuine divergence. Superlinear;
+    typically 6-10 warm-started Laplace evaluations per fit.
+    """
+    dtype = backend.dtype
+    val_grad = backend.val_grad_warm_fn()
+    hess = backend.hess_warm_fn()
+    state = backend.init_state()
+    cdt = getattr(backend, "compute_dtype", backend.dtype)
+    f_noise = 1e-9 if cdt in (np.float64, jnp.float64) else 3e-7
+
+    th = float(np.asarray(theta0)[0])
+    (f, state), g = val_grad(jnp.asarray([th], dtype), state)
+    f, g = float(f), float(np.asarray(g)[0])
+    th_prev, g_prev = None, None
+    h_est = None
+    cap, last_dir = 2.0, 0.0
+    for it in range(max_iter):
+        if abs(g) < tol:
+            break
+        # fine-scale gradient sign flip: the root is bracketed within the
+        # gradient's fp noise resolution — one secant interpolation, then
+        # stop (otherwise f32 paths churn ~20 evals wobbling in the
+        # noise floor; measured on TPU)
+        if (g_prev is not None and np.sign(g) != np.sign(g_prev)
+                and abs(th - th_prev) < 0.05 * (1.0 + abs(th))):
+            denom = g - g_prev
+            if abs(denom) > 1e-300:
+                th_root = th - g * (th - th_prev) / denom
+                (f_r, state_r), g_r = val_grad(
+                    jnp.asarray([th_root], dtype), state)
+                f_r, g_r = float(f_r), float(np.asarray(g_r)[0])
+                if np.isfinite(f_r):
+                    th, f, g, state = th_root, f_r, g_r, state_r
+            if verbose:
+                print(f"  1d it={it} bracket stop th={th:.8f} g={g:.3e}")
+            break
+        if th_prev is not None and abs(th - th_prev) > 1e-12:
+            h_new = (g - g_prev) / (th - th_prev)
+            if np.isfinite(h_new) and h_new > 0:
+                h_est = h_new
+        h = h_est if (h_est is not None and h_est > 0) else max(abs(g), 1.0)
+        step = np.clip(g / h, -cap, cap)
+        # expanding cap: consecutive full-cap steps in one direction mean
+        # the mode is far — double the trust radius (long cold marches)
+        if abs(step) >= cap * 0.999:
+            if np.sign(step) == last_dir:
+                cap = min(cap * 2.0, 16.0)
+            last_dir = float(np.sign(step))
+        else:
+            cap, last_dir = 2.0, 0.0
+        if abs(step) < 1e-10 * (1.0 + abs(th)):
+            break
+        accepted = False
+        for _ in range(8):
+            cand = th - step
+            (f_try, state_try), g_try = val_grad(
+                jnp.asarray([cand], dtype), state)
+            f_try, g_try = float(f_try), float(np.asarray(g_try)[0])
+            # loose guard: reject only genuine blow-ups (f worse by much
+            # more than fp noise), not noise-pit wobble
+            if np.isfinite(f_try) and f_try <= f + max(
+                    1e3 * f_noise * (1.0 + abs(f)), 1e-8):
+                th_prev, g_prev = th, g
+                th, f, g, state = cand, f_try, g_try, state_try
+                accepted = True
+                break
+            step *= 0.25
+        if not accepted:
+            break
+        if verbose:
+            print(f"  1d it={it} th={th:.8f} f={f:.8f} g={g:.3e} h={h:.3e}")
+        # converged when the Newton correction is tiny on the theta scale
+        if h_est is not None and abs(g / max(h_est, 1e-12)) < 1e-4:
+            break
+    theta = jnp.asarray([th], dtype)
+    H = hess(theta, state)
+    return np.asarray(theta), np.asarray(H), float(f), state
+
+
 def optimize_theta(backend, s: int, theta0=None, tol=1e-9, max_iter=100,
                    verbose=False):
-    """Damped-Newton optimization of the Laplace marginal nll.
+    """Gradient-only BFGS optimization of the Laplace marginal nll,
+    matching the reference's `optim(method="BFGS")` inside
+    aghq::marginal_laplace_tmb (R/02_model_fit.R:284). The common s=1
+    case uses secant-Newton on the gradient root (_optimize_theta_1d).
 
-    The reference uses optim BFGS inside aghq (R/02_model_fit.R:284) and a
-    numDeriv Hessian; here gradients and Hessians are exact via autodiff
-    through the refined inner solve.
+    Each nll+gradient evaluation is a warm-started inner Newton solve —
+    the dominant cost of a fit at scale — so curvature comes FREE from
+    gradient differences (BFGS secant updates); the exact Hessian is
+    evaluated exactly ONCE, at the mode, for the quadrature adaptation
+    (profiled on TPU: FD Hessians during iteration were ~95% of total
+    fit time under the previous damped-Newton scheme).
     """
     if theta0 is None:
         theta0 = np.zeros(s)
+    if s == 1:
+        return _optimize_theta_1d(backend, theta0, tol, max_iter, verbose)
     theta = jnp.asarray(theta0, backend.dtype)
 
     # warm-started evaluation: the inner Newton for each nll call starts
@@ -188,67 +283,57 @@ def optimize_theta(backend, s: int, theta0=None, tol=1e-9, max_iter=100,
     f_eps = 1e-9 if cdt in (np.float64, jnp.float64) else 3e-7
 
     (f, state), g = val_grad(theta, state)
+    f = float(f)
+    g_np = np.asarray(g, np.float64)
+    Hinv = np.eye(s) / max(float(np.abs(g_np).max()), 1.0)  # cautious init
     stall = 0
-    H = None
-    H_age = 0
     for it in range(max_iter):
-        gmax = float(jnp.max(jnp.abs(g)))
+        gmax = float(np.abs(g_np).max())
         if gmax < tol:
             break
-        # tiny s x s system: solve on host (TPU lacks f64 LU).
-        # The Laplace-marginal Hessian varies slowly — reuse it for up to
-        # 3 accepted steps (each FD Hessian costs 2*s gradient evals,
-        # the dominant cost of a fit at large n)
-        if H is None or H_age >= 3:
-            H = np.asarray(hess(theta, state), np.float64)
-            H_age = 0
-        g_np = np.asarray(g, np.float64)
-        # ensure a descent direction: ridge up if needed
-        ridge = 0.0
-        step = None
-        for _ in range(12):
-            try:
-                Hr = H + ridge * np.eye(s)
-                cand = np.linalg.solve(Hr, g_np)
-                if np.dot(cand, g_np) > 0 and np.all(np.isfinite(cand)):
-                    step = cand
-                    break
-            except np.linalg.LinAlgError:
-                pass
-            ridge = max(ridge * 10.0, 1e-6)
-        if step is None:
-            step = g_np / max(np.abs(np.diag(H)).max(), 1.0)
-        step = jnp.asarray(step, theta.dtype)
-        # Newton decrement below fp resolution of f: converged (the
-        # Laplace nll carries ~1e-5-level fp noise, see PARITY.md — an
-        # absolute gradient threshold is not always reachable)
-        dec = float(jnp.dot(g, step))
-        if dec < 1e-13 * (1.0 + abs(float(f))):
+        step = Hinv @ g_np                     # descent dir (minimize f)
+        dec = float(np.dot(step, g_np))
+        if not np.isfinite(dec) or dec <= 0:
+            # reset curvature if the update lost positive-definiteness
+            Hinv = np.eye(s) / max(gmax, 1.0)
+            step = Hinv @ g_np
+            dec = float(np.dot(step, g_np))
+        if dec < 1e-13 * (1.0 + abs(f)):
             break
         alpha = 1.0
         accepted = False
         for _ in range(25):
-            (f_try, state_try), g_try = val_grad(theta - alpha * step, state)
-            if jnp.isfinite(f_try) and f_try <= f + 1e-12 * (1.0 + abs(float(f))):
-                improved = (f - f_try) > f_eps * (1.0 + abs(float(f)))
-                theta = theta - alpha * step
-                f, g, state = f_try, g_try, state_try
+            cand = theta - alpha * jnp.asarray(step, theta.dtype)
+            (f_try, state_try), g_try = val_grad(cand, state)
+            f_try = float(f_try)
+            if np.isfinite(f_try) and f_try <= f + 1e-12 * (1.0 + abs(f)):
+                improved = (f - f_try) > f_eps * (1.0 + abs(f))
+                g_new = np.asarray(g_try, np.float64)
+                sk = -alpha * step
+                yk = g_new - g_np
+                sy = float(np.dot(sk, yk))
+                if sy > 1e-12 * float(np.linalg.norm(sk)
+                                      * np.linalg.norm(yk) + 1e-300):
+                    # BFGS inverse update (Sherman-Morrison form)
+                    rho = 1.0 / sy
+                    I = np.eye(s)
+                    V = I - rho * np.outer(sk, yk)
+                    Hinv = V @ Hinv @ V.T + rho * np.outer(sk, sk)
+                theta = cand
+                f, g_np, state = f_try, g_new, state_try
                 accepted = True
                 break
             alpha *= 0.5
         if not accepted:
             break
-        H_age += 1
-        if alpha < 1.0:
-            H = None   # backtracking => stale curvature, refresh
         # two consecutive noise-floor steps => converged within fp noise
         stall = 0 if improved else stall + 1
         if stall >= 2:
             break
         if verbose:
-            print(f"  outer it={it} f={float(f):.10f} "
-                  f"|g|={float(jnp.max(jnp.abs(g))):.2e} dec={dec:.2e}")
-    H = hess(theta, state)
+            print(f"  outer it={it} f={f:.10f} "
+                  f"|g|={float(np.abs(g_np).max()):.2e} dec={dec:.2e}")
+    H = hess(theta, state)   # exact Hessian ONCE, at the mode
     return np.asarray(theta), np.asarray(H), float(f), state
 
 

@@ -1,0 +1,160 @@
+"""Generalized banded backend (fast/banded.py): sGP drivers and
+multi-term models. The Laplace marginal must EQUAL the dense backend's
+(same objective, same Laplace value; the V-coordinate change is
+unit-determinant up to the subtracted log|det T|)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import bayesgp_tpu as bg
+from bayesgp_tpu import terms as T
+from bayesgp_tpu.model import build as B
+from bayesgp_tpu.inference.aghq import DenseBackend, aghq_fit
+from bayesgp_tpu.fast.banded import build_banded_backend
+
+
+def _sgp_problem(n=150, k=20, m=1, family="Poisson", seed=0, with_fixed=True):
+    rng = np.random.default_rng(seed)
+    x = np.sort(rng.uniform(0.0, 40.0, n))
+    eta = 0.6 * np.sin(2 * np.pi * x / 10.0) + 1.2
+    y = rng.poisson(np.exp(eta)).astype(np.float64)
+    inst = T.build_sgp_term("x", x, period=10.0, k=k, m=m)
+    dmf = [np.ones((n, 1))]
+    fixed_names = ["intercept"]
+    if with_fixed:
+        dmf.append(rng.normal(0, 1, (n, 1)))
+        fixed_names.append("z")
+    bf_prec = np.full(len(dmf), 0.01)
+    bf_mean = np.zeros(len(dmf))
+    md = B.build_model_data([inst], dmf, y, family,
+                            control_fixed_prec=bf_prec,
+                            control_fixed_mean=bf_mean)
+    return [inst], md, dmf, bf_prec, bf_mean
+
+
+def _multiterm_problem(n=200, seed=1):
+    """IWP + IID on a Poisson response."""
+    rng = np.random.default_rng(seed)
+    x = np.sort(rng.uniform(0.0, 10.0, n))
+    g = rng.integers(0, 5, n)
+    eta = 0.5 * np.sin(x) + 0.2 * g + 0.5
+    y = rng.poisson(np.exp(eta)).astype(np.float64)
+    t1 = T.build_iwp_term("x", x, order=2, k=15)
+    t2 = T.build_iid_term("g", g)
+    dmf = [np.ones((n, 1))]
+    bf_prec = np.array([0.01])
+    bf_mean = np.zeros(1)
+    md = B.build_model_data([t1, t2], dmf, y, "Poisson",
+                            control_fixed_prec=bf_prec,
+                            control_fixed_mean=bf_mean)
+    return [t1, t2], md, dmf, bf_prec, bf_mean
+
+
+def _compare_nll(instances, md, dmf, bf_prec, bf_mean, thetas, tol=1e-6):
+    dense = DenseBackend(md)
+    banded = build_banded_backend(instances, md, dmf, bf_prec, bf_mean)
+    nll_d = jax.jit(dense.nll)
+    nll_b = jax.jit(banded.nll)
+    for th in thetas:
+        th = jnp.asarray(th, jnp.float64)
+        v_d = float(nll_d(th))
+        v_b = float(nll_b(th))
+        assert abs(v_d - v_b) < tol * (1.0 + abs(v_d)), (
+            f"theta={th}: dense={v_d} banded={v_b}")
+    return banded
+
+
+def test_sgp_driver_nll_matches_dense():
+    prob = _sgp_problem()
+    _compare_nll(*prob, thetas=[[0.0], [2.0], [-2.0], [4.0]])
+
+
+def test_sgp_driver_m2_nll_matches_dense():
+    prob = _sgp_problem(k=12, m=2)
+    _compare_nll(*prob, thetas=[[0.0], [2.0]])
+
+
+def test_sgp_driver_gaussian_family():
+    prob = _sgp_problem(family="Gaussian")
+    # theta = [theta_sgp, theta_noise]
+    _compare_nll(*prob, thetas=[[0.0, 0.0], [2.0, 1.0], [-1.0, 2.0]])
+
+
+def test_multiterm_iwp_iid_nll_matches_dense():
+    prob = _multiterm_problem()
+    _compare_nll(*prob, thetas=[[0.0, 0.0], [2.0, -1.0], [-1.0, 1.0]])
+
+
+def test_banded_gradient_matches_dense():
+    instances, md, dmf, bf_prec, bf_mean = _sgp_problem()
+    dense = DenseBackend(md)
+    banded = build_banded_backend(instances, md, dmf, bf_prec, bf_mean)
+    th = jnp.asarray([1.0], jnp.float64)
+    g_d = np.asarray(jax.grad(dense.nll)(th))
+    g_b = np.asarray(jax.grad(banded.nll)(th))
+    np.testing.assert_allclose(g_b, g_d, rtol=1e-4, atol=1e-6)
+
+
+def test_banded_aghq_fit_and_samples_match_dense():
+    """Full AGHQ through the banded backend: lognormconst and posterior
+    sample moments (reference coordinate order) match the dense fit."""
+    instances, md, dmf, bf_prec, bf_mean = _sgp_problem(n=120, k=15)
+    fit_d = aghq_fit(DenseBackend(md), k=4)
+    banded = build_banded_backend(instances, md, dmf, bf_prec, bf_mean)
+    fit_b = aghq_fit(banded, k=4)
+    assert abs(fit_d.lognormconst - fit_b.lognormconst) < 1e-4
+    np.testing.assert_allclose(fit_b.mode, fit_d.mode, atol=1e-4)
+
+    from bayesgp_tpu.inference.sampling import sample_marginal
+    key = jax.random.PRNGKey(0)
+    M = 6000
+    s_d, _, _ = sample_marginal(key, fit_d, M)
+    s_b, _, _ = sample_marginal(key, fit_b, M)
+    assert s_d.shape == s_b.shape
+    mu_d, mu_b = s_d.mean(axis=1), s_b.mean(axis=1)
+    sd_d = s_d.std(axis=1)
+    # same posterior => means agree within MC error
+    assert np.max(np.abs(mu_d - mu_b) / (sd_d + 1e-3)) < 0.15
+    np.testing.assert_allclose(s_b.std(axis=1), sd_d, rtol=0.15, atol=5e-3)
+
+
+def test_model_fit_engine_banded_sgp():
+    """model_fit(engine='banded') on an sGP+fixed model reproduces the
+    dense fit's posterior through the full public API (summary/predict)."""
+    rng = np.random.default_rng(4)
+    n = 150
+    x = np.sort(rng.uniform(0.0, 40.0, n))
+    y = rng.poisson(np.exp(0.6 * np.sin(2 * np.pi * x / 10.0) + 1.2))
+    data = {"y": y.astype(float), "x": x}
+    f = "y ~ f(x=x, model='sGP', period=10, k=20)"
+    fit_d = bg.model_fit(f, data=data, family="Poisson", engine="dense",
+                         M=4000, seed=0)
+    fit_b = bg.model_fit(f, data=data, family="Poisson", engine="banded",
+                         M=4000, seed=0)
+    assert abs(fit_d.mod.lognormconst - fit_b.mod.lognormconst) < 1e-4
+    p_d = fit_d.predict("x")
+    p_b = fit_b.predict("x")
+    scale = np.abs(p_d["mean"]).max()
+    assert np.max(np.abs(p_d["mean"] - p_b["mean"])) < 0.1 * scale
+    th_d = fit_d.theta_summary()["theta(x)"]["mean"]
+    th_b = fit_b.theta_summary()["theta(x)"]["mean"]
+    assert abs(th_d - th_b) < 1e-3
+
+
+def test_multiterm_fit_samples_reference_order():
+    """Multi-term: posterior means per block line up with the dense fit
+    (checks the backend->reference permutation)."""
+    instances, md, dmf, bf_prec, bf_mean = _multiterm_problem()
+    fit_d = aghq_fit(DenseBackend(md), k=3)
+    banded = build_banded_backend(instances, md, dmf, bf_prec, bf_mean)
+    fit_b = aghq_fit(banded, k=3)
+    assert abs(fit_d.lognormconst - fit_b.lognormconst) < 1e-4
+
+    from bayesgp_tpu.inference.sampling import sample_marginal
+    key = jax.random.PRNGKey(1)
+    s_d, _, _ = sample_marginal(key, fit_d, 6000)
+    s_b, _, _ = sample_marginal(key, fit_b, 6000)
+    mu_d, mu_b = s_d.mean(axis=1), s_b.mean(axis=1)
+    sd_d = s_d.std(axis=1) + 1e-3
+    assert np.max(np.abs(mu_d - mu_b) / sd_d) < 0.15
