@@ -48,7 +48,7 @@ import jax.numpy as jnp
 
 from ..basis import reparam
 from ..model import families
-from ..linalg import block_tridiag as btl
+from ..linalg import band_arrow
 
 LOG2PI = math.log(2.0 * math.pi)
 
@@ -176,6 +176,7 @@ class BandedBackend:
     tail_terms: tuple      # TailTermBlock tuple
     ref_perm: Any          # (w_ref,) backend->reference row permutation
     solve_dtype: Any = None
+    engine: Any = None     # linalg.band_arrow engine (Pallas on TPU)
 
     @property
     def n_theta(self):
@@ -404,7 +405,7 @@ class BandedBackend:
             gt = jnp.zeros((0,), self.dtype)
         return gV, gt
 
-    def hessian_factor(self, V, tail, theta):
+    def _assemble_scaled(self, V, tail, theta):
         md = self.md
         e = self.eta(V, tail)
         wts = families.eta_weights(e, md, theta.astype(self.compute_dtype))
@@ -425,19 +426,21 @@ class BandedBackend:
             band_s = band_s.at[o, :self.dpad - o].multiply(
                 sc[o:] * sc[:self.dpad - o])
         C_s = (C * sc[:, None] * sd[None, :]) if self.q else C
-        D, E = btl.band_to_blocks(band_s, self.s)
-        af = btl.arrow_factor(D, E, C_s.reshape(self.nb, self.s, self.q), Hd)
+        return band_s, C_s, Hd, sc, sd
+
+    def hessian_factor(self, V, tail, theta):
+        band_s, C_s, Hd, sc, sd = self._assemble_scaled(V, tail, theta)
+        af = self.engine.factor(band_s, C_s, Hd)
         return af, sc, sd
 
     def solve_H(self, factor, gV, gt):
         af, sc, sd = factor
-        zb, zd = btl.arrow_solve(af, (gV * sc).reshape(self.nb, self.s),
-                                 gt * sd)
-        return zb.reshape(self.dpad) * sc, zd * sd
+        zb, zd = self.engine.solve(af, gV * sc, gt * sd)
+        return zb * sc, zd * sd
 
     def half_logdet_H(self, factor):
         af, sc, sd = factor
-        return (btl.arrow_half_logdet(af) - jnp.sum(jnp.log(sc))
+        return (self.engine.half_logdet(af) - jnp.sum(jnp.log(sc))
                 - jnp.sum(jnp.log(sd)))
 
     # -- Newton / Laplace (same scheme as fast/iwp.py) --------------------
@@ -503,8 +506,11 @@ class BandedBackend:
         return jax.lax.stop_gradient(V), jax.lax.stop_gradient(tail)
 
     def _laplace_value(self, V, tail, theta):
-        factor = self.hessian_factor(V, tail, theta)
-        half_logdet = self.half_logdet_H(factor)
+        # arrow_half_logdet: Takahashi custom VJP on the Pallas engine
+        # (see fast/iwp.py._laplace_value)
+        band_s, C_s, Hd, sc, sd = self._assemble_scaled(V, tail, theta)
+        half_logdet = (self.engine.arrow_half_logdet(band_s, C_s, Hd)
+                       - jnp.sum(jnp.log(sc)) - jnp.sum(jnp.log(sd)))
         w_count = self.d + self.q
         return (self.neg_log_post(V, tail, theta) + half_logdet
                 - 0.5 * w_count * LOG2PI - self.logdetT)
@@ -645,18 +651,25 @@ class BandedBackend:
         """(w_ref, M) posterior samples in REFERENCE coordinates/order."""
         V, tail, factor = states
 
+        J = jax.tree_util.tree_leaves(factor)[0].shape[0]
+
         def run(key, idx):
             k1, k2 = jax.random.split(key)
-            zb = jax.random.normal(k1, (self.nb, self.s, M), self.dtype)
+            zb = jax.random.normal(k1, (self.dpad, M), self.dtype)
             zd = jax.random.normal(k2, (self.q, M), self.dtype)
 
             def one_node(fi):
                 af, sc, sd = fi
-                xb, xd = btl.arrow_sample_multi(af, zb, zd)
-                return (xb.reshape(self.dpad, M) * sc[:, None],
+                xb, xd = self.engine.sample_multi(af, zb, zd)
+                return (xb * sc[:, None],
                         xd * sd[:, None] if self.q else xd)
 
-            xbs, xds = jax.lax.map(one_node, factor)
+            # static unroll over quadrature nodes (lax.map over the
+            # solver kernels is a TPU-worker landmine at large d)
+            outs = [one_node(jax.tree_util.tree_map(lambda x: x[j], factor))
+                    for j in range(J)]
+            xbs = jnp.stack([o[0] for o in outs])
+            xds = jnp.stack([o[1] for o in outs])
             m_ar = jnp.arange(M)
             devV = xbs[idx, :, m_ar]
             devt = xds[idx, :, m_ar]
@@ -903,4 +916,5 @@ def build_banded_backend(instances, md, design_mat_fixed, bf_prec, bf_mean,
         prior_mean_tail=jnp.asarray(prior_mean_tail, sdt),
         tail_terms=tuple(tail_terms),
         ref_perm=jnp.asarray(ref_perm),
-        solve_dtype=sdt)
+        solve_dtype=sdt,
+        engine=band_arrow.make_engine(dpad, Wl - 1, q, s))

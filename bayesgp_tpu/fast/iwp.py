@@ -29,7 +29,7 @@ from jax.scipy.linalg import solve_triangular
 
 from ..basis import reparam
 from ..model import families
-from ..linalg import block_tridiag as btl
+from ..linalg import band_arrow
 
 LOG2PI = math.log(2.0 * math.pi)
 
@@ -93,6 +93,7 @@ class FastIWPBackend:
     prior_diag_tail: Any   # (q,) prior precision of tail coords
     prior_mean_tail: Any   # (q,)
     solve_dtype: Any = None   # dtype of band/factor/latent state
+    engine: Any = None     # linalg.band_arrow engine (Pallas on TPU)
 
     @property
     def n_theta(self):
@@ -299,16 +300,14 @@ class FastIWPBackend:
             gt = jnp.zeros((0,), self.dtype)
         return gV, gt
 
-    def hessian_factor(self, V, tail, theta):
-        """Jacobi-equilibrated arrowhead factorization of the exact
-        Hessian at (V, tail).
+    def _assemble_scaled(self, V, tail, theta):
+        """Jacobi-equilibrated arrowhead system at (V, tail):
+        (band_s, C_s, Hd_s, sc, sd) with H~ = S H S, S = diag(sc, sd).
 
-        The system is scaled to unit diagonal before factorization
-        (H~ = S H S): essential for float32 on TPU, where the raw
-        band mixes likelihood curvature with weak 0.01 priors (condition
-        numbers ~1e6-1e9). Returns (ArrowFactor, sc, sd) with the scale
-        vectors; use solve_H / half_logdet_H / sample_dev_H.
-        """
+        Equilibration to unit diagonal is essential on TPU, where the
+        raw band mixes likelihood curvature with weak 0.01 priors
+        (condition numbers ~1e6-1e9). Pure parallel XLA — AD-friendly
+        (the factorization itself is behind the engine)."""
         md = self.md
         e = self.eta(V, tail)
         wts = families.eta_weights(e, md, theta.astype(self.compute_dtype))
@@ -330,8 +329,15 @@ class FastIWPBackend:
             band_s = band_s.at[o, :self.dpad - o].multiply(
                 sc[o:] * sc[:self.dpad - o])
         C_s = (C * sc[:, None] * sd[None, :]) if self.q else C
-        D, E = btl.band_to_blocks(band_s, self.s)
-        af = btl.arrow_factor(D, E, C_s.reshape(self.nb, self.s, self.q), Hd)
+        return band_s, C_s, Hd, sc, sd
+
+    def hessian_factor(self, V, tail, theta):
+        """Factor the equilibrated arrowhead Hessian via the band-arrow
+        engine (Pallas double-float kernels on TPU; block-tridiagonal
+        scan on CPU). Returns (factor, sc, sd) with the scale vectors;
+        use solve_H / half_logdet_H / sample_dev_H."""
+        band_s, C_s, Hd, sc, sd = self._assemble_scaled(V, tail, theta)
+        af = self.engine.factor(band_s, C_s, Hd)
         return af, sc, sd
 
     def _gram64(self, A, B):
@@ -354,20 +360,21 @@ class FastIWPBackend:
     def solve_H(self, factor, gV, gt):
         """Solve H [zV; zt] = [gV; gt] via the equilibrated factor."""
         af, sc, sd = factor
-        zb, zd = btl.arrow_solve(af, (gV * sc).reshape(self.nb, self.s),
-                                 gt * sd)
-        return zb.reshape(self.dpad) * sc, zd * sd
+        zb, zd = self.engine.solve(af, gV * sc, gt * sd)
+        return zb * sc, zd * sd
 
     def half_logdet_H(self, factor):
         af, sc, sd = factor
-        return (btl.arrow_half_logdet(af) - jnp.sum(jnp.log(sc))
+        return (self.engine.half_logdet(af) - jnp.sum(jnp.log(sc))
                 - jnp.sum(jnp.log(sd)))
 
     def sample_dev_H(self, factor, zb_noise, zd_noise):
-        """S L~^{-T} z has covariance S H~^{-1} S = H^{-1}."""
+        """S L~^{-T} z has covariance S H~^{-1} S = H^{-1}.
+        zb_noise: (dpad,), zd_noise: (q,)."""
         af, sc, sd = factor
-        xb, xd = btl.arrow_sample(af, zb_noise, zd_noise)
-        return xb.reshape(self.dpad) * sc, xd * sd
+        xb, xd = self.engine.sample_multi(af, zb_noise[:, None],
+                                          zd_noise[:, None])
+        return xb[:, 0] * sc, xd[:, 0] * sd
 
     # ------------------------------------------------------------------
     def newton_step(self, V, tail, theta, eta_cap=8.0):
@@ -455,9 +462,16 @@ class FastIWPBackend:
         return jax.lax.stop_gradient(V), jax.lax.stop_gradient(tail)
 
     def _laplace_value(self, V, tail, theta):
-        """F(W, theta) = f + 1/2 log|H| - w/2 log(2 pi) - log|det T|."""
-        factor = self.hessian_factor(V, tail, theta)
-        half_logdet = self.half_logdet_H(factor)
+        """F(W, theta) = f + 1/2 log|H| - w/2 log(2 pi) - log|det T|.
+
+        The log-det goes through engine.arrow_half_logdet: on the
+        Pallas engine that carries a Takahashi-selected-inverse custom
+        VJP, so jax.grad of this value (the implicit-function backward
+        pass) never differentiates through the factorization
+        recurrence; the equilibration chain is plain parallel XLA AD."""
+        band_s, C_s, Hd, sc, sd = self._assemble_scaled(V, tail, theta)
+        half_logdet = (self.engine.arrow_half_logdet(band_s, C_s, Hd)
+                       - jnp.sum(jnp.log(sc)) - jnp.sum(jnp.log(sd)))
         w_count = self.d + self.q
         return (self.neg_log_post(V, tail, theta) + half_logdet
                 - 0.5 * w_count * LOG2PI - self.logdetT)
@@ -629,18 +643,25 @@ class FastIWPBackend:
         crash the TPU worker at large d and are far slower anyway."""
         V, tail, factor = states
 
+        J = jax.tree_util.tree_leaves(factor)[0].shape[0]
+
         def run(key, idx):
             k1, k2 = jax.random.split(key)
-            zb = jax.random.normal(k1, (self.nb, self.s, M), self.dtype)
+            zb = jax.random.normal(k1, (self.dpad, M), self.dtype)
             zd = jax.random.normal(k2, (self.q, M), self.dtype)
 
             def one_node(fi):
                 af, sc, sd = fi
-                xb, xd = btl.arrow_sample_multi(af, zb, zd)
-                return (xb.reshape(self.dpad, M) * sc[:, None],
+                xb, xd = self.engine.sample_multi(af, zb, zd)
+                return (xb * sc[:, None],
                         xd * sd[:, None] if self.q else xd)
 
-            xbs, xds = jax.lax.map(one_node, factor)      # (J, dpad, M) ...
+            # static unroll over the handful of quadrature nodes (lax.map
+            # over the solver kernels is a TPU-worker landmine at large d)
+            outs = [one_node(jax.tree_util.tree_map(lambda x: x[j], factor))
+                    for j in range(J)]
+            xbs = jnp.stack([o[0] for o in outs])         # (J, dpad, M)
+            xds = jnp.stack([o[1] for o in outs])
             m_ar = jnp.arange(M)
             devV = xbs[idx, :, m_ar]                      # (M, dpad)
             devt = xds[idx, :, m_ar]                      # (M, q)
@@ -784,4 +805,5 @@ def build_fast_iwp(term, md, xf_dense, prior_diag_tail, prior_mean_tail,
         logdetT=float(logdetT),
         prior_diag_tail=jnp.asarray(prior_diag_tail, sdt),
         prior_mean_tail=jnp.asarray(prior_mean_tail, sdt),
-        solve_dtype=sdt)
+        solve_dtype=sdt,
+        engine=band_arrow.make_engine(dpad, p, q, s))

@@ -1,0 +1,274 @@
+"""Arrowhead (banded + dense tail) SPD linear algebra with two engines.
+
+The conditional Hessian of every model in this framework has the form
+
+    H = [[Hb (banded, bw small), C], [C^T, Hd (dense q x q)]]
+
+(SURVEY.md §7 layer 3). This module provides factor / solve /
+half-logdet / precision-sampling on that structure behind one API with
+two interchangeable engines:
+
+  - PallasEngine (TPU): double-float band kernels from band_kernels.py
+    — one on-core loop per factorization instead of XLA's ~d
+    dispatched while-iterations (the measured 100x overhead,
+    BENCH_NOTES.md). The dense q x q tail algebra runs as unrolled
+    f64 XLA (chol_kernels.py) so no sequential while-loops remain.
+  - BlockEngine (CPU/fallback): the block-tridiagonal scan path of
+    block_tridiag.py (float64; used by the CPU test suite and whenever
+    q > 128 or bw > 31).
+
+`arrow_half_logdet` is the AD entry point for Laplace values: on the
+Pallas engine it carries a custom VJP computed from the TAKAHASHI
+selected inverse (band of H^{-1} from one extra O(d bw^2) kernel pass)
+— the gradient of log|H| never differentiates through the
+factorization recurrence. d(0.5 log|H|)/dH = 0.5 H^{-1}, restricted to
+the band / cross / dense blocks that parameterize H. (Reference
+counterpart: TMB's inner-problem log-det derivatives via CHOLMOD's
+selected inverse.)
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import band_kernels as bk
+from . import block_tridiag as btl
+from . import chol_kernels as ck
+from . import dd
+
+
+# -- small dense helpers (unrolled; no sequential while-loops on TPU) -------
+
+def _pad_dim(q: int) -> int:
+    if q <= 16:
+        return q
+    for cand in (32, 64, 128):
+        if q <= cand:
+            return cand
+    raise ValueError(f"tail dimension {q} > 128")
+
+
+def small_chol(S):
+    """Lower Cholesky of a (q, q) SPD matrix via the unrolled/blocked
+    kernels (identity-padded to a supported size)."""
+    q = S.shape[0]
+    if q == 0:
+        return S
+    m = _pad_dim(q)
+    if m != q:
+        Sp = jnp.eye(m, dtype=S.dtype).at[:q, :q].set(S)
+        return ck.cholesky_blocked(Sp)[:q, :q]
+    return ck.cholesky_blocked(S)
+
+
+def small_solve_L(L, b):
+    q = L.shape[0]
+    if q == 0:
+        return b
+    m = _pad_dim(q)
+    if m != q:
+        Lp = jnp.eye(m, dtype=L.dtype).at[:q, :q].set(L)
+        bp = jnp.zeros((m,) + b.shape[1:], b.dtype).at[:q].set(b)
+        return ck.trsm_left_lower(Lp, bp)[:q]
+    return ck.trsm_left_lower(L, b)
+
+
+def small_solve_Lt(L, b):
+    q = L.shape[0]
+    if q == 0:
+        return b
+    m = _pad_dim(q)
+    if m != q:
+        Lp = jnp.eye(m, dtype=L.dtype).at[:q, :q].set(L)
+        bp = jnp.zeros((m,) + b.shape[1:], b.dtype).at[:q].set(b)
+        return ck.trsm_left_lower_t(Lp, bp)[:q]
+    return ck.trsm_left_lower_t(L, b)
+
+
+# ---------------------------------------------------------------------------
+
+class PallasFactor(NamedTuple):
+    Lh: jnp.ndarray      # (R, 128) f32 band of L + 1/Ljj stash
+    Ll: jnp.ndarray      # (R, 128) f32
+    Y: jnp.ndarray       # (d, q) f64: L^{-1} C
+    Ls: jnp.ndarray      # (q, q) f64: lower chol of Schur complement
+    hld_b: jnp.ndarray   # () f64: half log-det of the banded part
+
+
+class PallasEngine:
+    """Statics (d, bw, q) fixed per model; methods are traceable."""
+
+    def __init__(self, d: int, bw: int, q: int, interpret: bool = False):
+        self.d, self.bw, self.q = d, bw, q
+        self.interpret = interpret
+        self.W, self.R = bk.plan_rows(d, bw)
+        self._hld = None
+
+    # -- core ----------------------------------------------------------
+    def factor(self, band, C, Hd):
+        d, bw, q = self.d, self.bw, self.q
+        bh, bl = bk.pack_band(band.astype(jnp.float64), d, bw)
+        if q:
+            ch, cl = bk.pack_rhs(C.astype(jnp.float64), d, bw)
+        else:
+            z = jnp.zeros((self.R, bk.LANES), jnp.float32)
+            ch, cl = z, z
+        Lh, Ll, Yh, Yl, misc = bk.factor_fn(d, bw, self.interpret)(
+            bh, bl, ch, cl)
+        hld_b = 0.5 * (misc[0, 0].astype(jnp.float64)
+                       + misc[0, 1].astype(jnp.float64))
+        if q:
+            Y = bk.unpack((Yh, Yl), d, bw, q)
+            S = Hd - Y.T @ Y
+            Ls = small_chol(S)
+        else:
+            Y = jnp.zeros((d, 0), jnp.float64)
+            Ls = jnp.zeros((0, 0), jnp.float64)
+        return PallasFactor(Lh, Ll, Y, Ls, hld_b)
+
+    def half_logdet(self, f: PallasFactor):
+        if self.q:
+            return f.hld_b + jnp.sum(jnp.log(jnp.diagonal(f.Ls)))
+        return f.hld_b
+
+    def solve(self, f: PallasFactor, rb, rd):
+        """H [zb; zd] = [rb; rd]; rb (d,), rd (q,)."""
+        d, bw, q = self.d, self.bw, self.q
+        rh, rl = bk.pack_rhs(rb, d, bw)
+        u = bk.unpack(bk.fwd_solve_fn(d, bw, self.interpret)(
+            f.Lh, f.Ll, rh, rl), d, bw)
+        if q:
+            rhs_d = rd - f.Y.T @ u
+            zd = small_solve_Lt(f.Ls, small_solve_L(f.Ls, rhs_d))
+            u = u - f.Y @ zd
+        else:
+            zd = rd
+        uh, ul = bk.pack_rhs(u, d, bw)
+        zb = bk.unpack(bk.bwd_solve_fn(d, bw, self.interpret)(
+            f.Lh, f.Ll, uh, ul), d, bw)
+        return zb, zd
+
+    def solve_Lt_dd(self, f: PallasFactor, B):
+        """L^{-T} B for (d, r<=128) f64 B (used for W = Hb^{-1} C)."""
+        d, bw = self.d, self.bw
+        r = B.shape[1]
+        bh, bl = bk.pack_rhs(B, d, bw)
+        return bk.unpack(bk.bwd_solve_fn(d, bw, self.interpret)(
+            f.Lh, f.Ll, bh, bl), d, bw, r)
+
+    def sample_multi(self, f: PallasFactor, zb, zd):
+        """x = L_full^{-T} z: each column ~ N(0, H^{-1}).
+        zb (d, M), zd (q, M); f32 arithmetic (Monte-Carlo use)."""
+        d, bw, q = self.d, self.bw, self.q
+        M = zb.shape[1]
+        if q:
+            xd = small_solve_Lt(f.Ls, zd.astype(jnp.float64))
+            rhs = zb.astype(jnp.float32) - (
+                f.Y.astype(jnp.float32) @ xd.astype(jnp.float32))
+        else:
+            xd = zd
+            rhs = zb.astype(jnp.float32)
+        tile = 512
+        mt = -(-M // tile)
+        W, R = self.W, self.R
+        pad = jnp.zeros((R, mt * tile), jnp.float32)
+        pad = pad.at[W:W + d, :M].set(rhs)
+        xb = bk.bwd_multi_fn(d, bw, mt, tile, self.interpret)(f.Lh, pad)
+        return xb[W:W + d, :M].astype(zb.dtype), xd.astype(zd.dtype)
+
+    # -- AD entry point --------------------------------------------------
+    def arrow_half_logdet(self, band, C, Hd):
+        if self._hld is None:
+            d, bw, q = self.d, self.bw, self.q
+
+            @jax.custom_vjp
+            def hld(band, C, Hd):
+                return self.half_logdet(self.factor(band, C, Hd))
+
+            def fwd(band, C, Hd):
+                f = self.factor(band, C, Hd)
+                return self.half_logdet(f), f
+
+            def bwd(f, ct):
+                # d(0.5 log|H|)/dH = 0.5 H^{-1}; selected entries:
+                # Hinv_bb|band = Takahashi(Hb) + band(W S^{-1} W^T),
+                # Hinv_bd = -W S^{-1}, Hinv_dd = S^{-1}.
+                W_, R = self.W, self.R
+                Z = bk.takahashi_fn(d, bw, self.interpret)(f.Lh)
+                Zb = Z[W_:W_ + d, :bw + 1].astype(jnp.float64)  # (d, bw+1)
+                if q:
+                    Wm = self.solve_Lt_dd(f, f.Y)               # (d, q)
+                    Sinv = small_solve_Lt(
+                        f.Ls, small_solve_L(f.Ls, jnp.eye(q, dtype=f.Ls.dtype)))
+                    A = Wm @ Sinv                               # (d, q)
+                    rows = []
+                    for o in range(bw + 1):
+                        v = jnp.sum(A[o:] * Wm[:d - o], axis=1)
+                        rows.append(jnp.pad(v, (0, o)))
+                    corr = jnp.stack(rows)                      # (bw+1, d)
+                    ct_C = (-ct) * A
+                    ct_Hd = (0.5 * ct) * Sinv
+                else:
+                    corr = 0.0
+                    ct_C = jnp.zeros((d, 0), jnp.float64)
+                    ct_Hd = jnp.zeros((0, 0), jnp.float64)
+                hinv_band = Zb.T + corr
+                w = jnp.concatenate([
+                    jnp.full((1, d), 0.5), jnp.ones((bw, d))])
+                ct_band = ct * w * hinv_band
+                return ct_band.astype(band.dtype if hasattr(band, "dtype")
+                                      else jnp.float64), ct_C, ct_Hd
+
+            hld.defvjp(fwd, bwd)
+            self._hld = hld
+        return self._hld(band, C, Hd)
+
+
+class BlockEngine:
+    """block_tridiag-based fallback (CPU tests, oversize q/bw)."""
+
+    def __init__(self, d: int, bw: int, q: int, s: int):
+        assert d % s == 0 and s > bw
+        self.d, self.bw, self.q, self.s = d, bw, q, s
+        self.nb = d // s
+
+    def factor(self, band, C, Hd):
+        D, E = btl.band_to_blocks(band, self.s)
+        return btl.arrow_factor(D, E, C.reshape(self.nb, self.s, self.q), Hd)
+
+    def half_logdet(self, af):
+        return btl.arrow_half_logdet(af)
+
+    def solve(self, af, rb, rd):
+        zb, zd = btl.arrow_solve(af, rb.reshape(self.nb, self.s), rd)
+        return zb.reshape(self.d), zd
+
+    def sample_multi(self, af, zb, zd):
+        M = zb.shape[1]
+        xb, xd = btl.arrow_sample_multi(
+            af, zb.reshape(self.nb, self.s, M), zd)
+        return xb.reshape(self.d, M), xd
+
+    def arrow_half_logdet(self, band, C, Hd):
+        # plain composition: XLA AD through the factorization scan is
+        # fine on CPU float64
+        return self.half_logdet(self.factor(band, C, Hd))
+
+
+def make_engine(d: int, bw: int, q: int, s: int, force: str = None):
+    """Pick the engine: Pallas on TPU (within kernel limits), blocks
+    otherwise. force in {None, 'pallas', 'pallas_interpret', 'block'}."""
+    if force == "pallas":
+        return PallasEngine(d, bw, q)
+    if force == "pallas_interpret":
+        return PallasEngine(d, bw, q, interpret=True)
+    if force == "block":
+        return BlockEngine(d, bw, q, s)
+    if (jax.default_backend() == "tpu" and q <= 128 and bw <= 31
+            and bw >= 1):
+        return PallasEngine(d, bw, q)
+    return BlockEngine(d, bw, q, s)
