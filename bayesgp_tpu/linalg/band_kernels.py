@@ -44,6 +44,18 @@ from . import dd
 LANES = 128
 
 
+def _push(win, row):
+    """Shift the (W, LANES) window up one row and append `row` (1, LANES)
+    at the bottom. (jnp .at[].set lowers to `scatter`, which Mosaic does
+    not implement — concatenation lowers cleanly.)"""
+    return jnp.concatenate([win[1:], row], axis=0)
+
+
+def _push_front(win, row):
+    """Shift the window down one row and place `row` at the top."""
+    return jnp.concatenate([row, win[:-1]], axis=0)
+
+
 def plan_rows(d: int, bw: int):
     """(W, R): window size and padded row count for a d-column band."""
     W = 8
@@ -88,10 +100,10 @@ def _factor_kernel(bw, W, R, bh, bl, ch, cl, Lh, Ll, yh, yl, misc):
         Ll[pl.ds(j, 1), :] = Lcol[1]
         yh[pl.ds(j, 1), :] = ynew[0]
         yl[pl.ds(j, 1), :] = ynew[1]
-        wh = jnp.roll(wh, -1, axis=0).at[W - 1].set(Lcol[0][0])
-        wl = jnp.roll(wl, -1, axis=0).at[W - 1].set(Lcol[1][0])
-        ywh = jnp.roll(ywh, -1, axis=0).at[W - 1].set(ynew[0][0])
-        ywl = jnp.roll(ywl, -1, axis=0).at[W - 1].set(ynew[1][0])
+        wh = _push(wh, Lcol[0])
+        wl = _push(wl, Lcol[1])
+        ywh = _push(ywh, ynew[0])
+        ywl = _push(ywl, ynew[1])
         return wh, wl, ywh, ywl, ldh, ldl
 
     z = jnp.zeros((W, LANES), jnp.float32)
@@ -134,10 +146,10 @@ def _fwd_kernel(bw, W, R, Lh, Ll, bh, bl, xh, xl):
         ynew = dd.mul(acc, rs)
         xh[pl.ds(j, 1), :] = ynew[0]
         xl[pl.ds(j, 1), :] = ynew[1]
-        lwh = jnp.roll(lwh, -1, axis=0).at[W - 1].set(Lrow[0][0])
-        lwl = jnp.roll(lwl, -1, axis=0).at[W - 1].set(Lrow[1][0])
-        ywh = jnp.roll(ywh, -1, axis=0).at[W - 1].set(ynew[0][0])
-        ywl = jnp.roll(ywl, -1, axis=0).at[W - 1].set(ynew[1][0])
+        lwh = _push(lwh, Lrow[0])
+        lwl = _push(lwl, Lrow[1])
+        ywh = _push(ywh, ynew[0])
+        ywl = _push(ywl, ynew[1])
         return lwh, lwl, ywh, ywl
 
     z = jnp.zeros((W, LANES), jnp.float32)
@@ -164,20 +176,26 @@ def fwd_solve_fn(d: int, bw: int, interpret: bool = False):
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(bw, W, R, Lh, Ll, bh, bl, xh, xl):
-    def body(i, carry):
+    """Backward substitution as a FORWARD loop over row-FLIPPED inputs
+    (Mosaic lowers the fori index as i32 while tracing it as i64, so
+    reverse index arithmetic cannot be expressed in-kernel; the caller
+    flips rows with an XLA reverse instead). Flipped row j holds
+    original column R-1-j; the multipliers L[orig+t, orig] sit on lanes
+    t of that row, and x[orig+t] is the window row W-t."""
+    def body(j, carry):
         xwh, xwl = carry
-        j = R - 1 - i
         Lrow = (Lh[pl.ds(j, 1), :], Ll[pl.ds(j, 1), :])
         rs = (Lrow[0][0, bw + 1], Lrow[0][0, bw + 2])
         acc = (bh[pl.ds(j, 1), :], bl[pl.ds(j, 1), :])
         for t in range(1, bw + 1):
-            s = (Lrow[0][0, t], Lrow[1][0, t])     # L[j+t, j]
-            acc = dd.sub(acc, dd.mul((xwh[t - 1:t, :], xwl[t - 1:t, :]), s))
+            r = W - t
+            s = (Lrow[0][0, t], Lrow[1][0, t])     # L[orig+t, orig]
+            acc = dd.sub(acc, dd.mul((xwh[r:r + 1, :], xwl[r:r + 1, :]), s))
         xnew = dd.mul(acc, rs)
         xh[pl.ds(j, 1), :] = xnew[0]
         xl[pl.ds(j, 1), :] = xnew[1]
-        xwh = jnp.roll(xwh, 1, axis=0).at[0].set(xnew[0][0])
-        xwl = jnp.roll(xwl, 1, axis=0).at[0].set(xnew[1][0])
+        xwh = _push(xwh, xnew[0])
+        xwl = _push(xwl, xnew[1])
         return xwh, xwl
 
     z = jnp.zeros((W, LANES), jnp.float32)
@@ -196,7 +214,13 @@ def bwd_solve_fn(d: int, bw: int, interpret: bool = False):
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         interpret=interpret,
     )
-    return jax.jit(call)
+
+    def run(Lh, Ll, bh, bl):
+        fl = lambda a: jnp.flip(a, axis=0)
+        xh, xl = call(fl(Lh), fl(Ll), fl(bh), fl(bl))
+        return fl(xh), fl(xl)
+
+    return jax.jit(run)
 
 
 # ---------------------------------------------------------------------------
@@ -205,41 +229,47 @@ def bwd_solve_fn(d: int, bw: int, interpret: bool = False):
 # ---------------------------------------------------------------------------
 
 def _bwd_multi_kernel(bw, W, R, Lh, b, x):
-    def body(i, xw):
-        j = R - 1 - i
+    # forward loop over row-flipped inputs (see _bwd_kernel)
+    def body(j, xw):
         Lrow = Lh[pl.ds(j, 1), :]
         rs = Lrow[0, bw + 1]
         acc = b[pl.ds(j, 1), :]
         for t in range(1, bw + 1):
-            acc = acc - Lrow[0, t] * xw[t - 1:t, :]
+            acc = acc - Lrow[0, t] * xw[W - t:W - t + 1, :]
         xnew = acc * rs
         x[pl.ds(j, 1), :] = xnew
-        return jnp.roll(xw, 1, axis=0).at[0].set(xnew[0])
+        return _push(xw, xnew)
 
     tile = b.shape[-1]
-    jax.lax.fori_loop(0, R, body, jnp.zeros((W, tile), jnp.float32))
+    jax.lax.fori_loop(0, R, body,
+                      jnp.zeros((W, tile), jnp.float32))
 
 
 @functools.lru_cache(maxsize=None)
 def bwd_multi_fn(d: int, bw: int, m_tiles: int, tile: int = 512,
                  interpret: bool = False):
+    """Backward solve with m_tiles*tile f32 RHS. Tiles run as separate
+    grid-less pallas calls inside one jitted program (a pallas grid
+    index_map traces i64 under x64, which Mosaic cannot legalize)."""
     W, R = plan_rows(d, bw)
     kern = functools.partial(_bwd_multi_kernel, bw, W, R)
     call = pl.pallas_call(
         kern,
-        grid=(m_tiles,),
-        out_shape=jax.ShapeDtypeStruct((R, m_tiles * tile), jnp.float32),
-        in_specs=[
-            pl.BlockSpec((R, LANES), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((R, tile), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, tile), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
     )
-    return jax.jit(call)
+
+    def run(Lh, b):
+        fl = lambda a: jnp.flip(a, axis=0)
+        Lf = fl(Lh)
+        bf = fl(b)
+        outs = [call(Lf, bf[:, i * tile:(i + 1) * tile])
+                for i in range(m_tiles)]
+        return fl(jnp.concatenate(outs, axis=1))
+
+    return jax.jit(run)
 
 
 # ---------------------------------------------------------------------------
@@ -251,9 +281,18 @@ def _takahashi_kernel(bw, W, R, Lh, Z):
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
     f0 = jnp.float32(0.0)
     col_mask = jnp.logical_and(lane >= 1, lane <= bw)
+    # iota-generated masks (pallas kernels cannot capture array consts,
+    # and Mosaic has no scatter — masked selects lower cleanly)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (W, LANES), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (W, LANES), 1)
+    row0 = rr == 0
+    col0 = jnp.logical_and(cc == 0,
+                           jnp.logical_and(rr >= 1, rr <= bw))
+    keep = jnp.logical_not(jnp.logical_or(row0, col0))
+    onehot = [jnp.logical_and(rr == r, cc == 0) for r in range(1, bw + 1)]
 
-    def body(i, zblk):
-        j = R - 1 - i
+    # forward loop over row-flipped inputs (see _bwd_kernel)
+    def body(j, zblk):
         Lrow = Lh[pl.ds(j, 1), :]
         rs = Lrow[0, bw + 1]
         m = jnp.zeros((1, LANES), jnp.float32)
@@ -265,11 +304,15 @@ def _takahashi_kernel(bw, W, R, Lh, Z):
             zjj = zjj + (Lrow[0, t] * rs) * m[0, t - 1]
         outrow = jnp.where(lane == 0, zjj, zc)
         Z[pl.ds(j, 1), :] = outrow
-        zblk = jnp.roll(jnp.roll(zblk, 1, axis=0), 1, axis=1)
-        zblk = zblk.at[0:1, :].set(outrow)
+        # window block for j-1: interior shifts down-right; row 0 is the
+        # new column written as a row; column 0 mirrors it (symmetry)
+        zero_row = jnp.zeros((1, LANES), jnp.float32)
+        shifted = jnp.roll(_push_front(zblk, zero_row), 1, axis=1)
+        new = jnp.where(keep, shifted, f0)
+        new = new + jnp.where(row0, outrow, f0)
         for r in range(1, bw + 1):
-            zblk = zblk.at[r, 0].set(zc[0, r])
-        return zblk
+            new = new + jnp.where(onehot[r - 1], zc[0, r], f0)
+        return new
 
     jax.lax.fori_loop(0, R, body, jnp.zeros((W, LANES), jnp.float32))
 
@@ -285,7 +328,12 @@ def takahashi_fn(d: int, bw: int, interpret: bool = False):
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
     )
-    return jax.jit(call)
+
+    def run(Lh):
+        fl = lambda a: jnp.flip(a, axis=0)
+        return fl(call(fl(Lh)))
+
+    return jax.jit(run)
 
 
 # ---------------------------------------------------------------------------
