@@ -362,11 +362,10 @@ class BandedBackend:
         return g
 
     # -- objective/grad/hessian ------------------------------------------
-    def neg_log_post(self, Vp, tail, theta):
+    def _prior_neg(self, Vp, tail, theta):
+        """Non-likelihood part of neg_log_post — quadratic in (V', t)
+        for fixed theta (see fast/iwp.py)."""
         md = self.md
-        e = self.eta(Vp, tail)
-        ll = families.log_lik(e, md, theta.astype(self.compute_dtype))
-        ll = ll.astype(self.dtype)
         Vd = Vp[:self.d]
         quad = self.prior_quad_V(Vp)
         if self.q:
@@ -383,11 +382,16 @@ class BandedBackend:
         phi = -jnp.log(md.alpha) / md.u
         lpT = jnp.sum(jnp.log(0.5 * phi) - phi * jnp.exp(-0.5 * theta)
                       - 0.5 * theta)
-        return -(ll + lp + lpT)
+        return -(lp + lpT)
 
-    def grad_W(self, Vp, tail, theta):
-        md = self.md
+    def neg_log_post(self, Vp, tail, theta):
         e = self.eta(Vp, tail)
+        ll = families.log_lik(e, self.md, theta.astype(self.compute_dtype))
+        return -ll.astype(self.dtype) + self._prior_neg(Vp, tail, theta)
+
+    def grad_W(self, Vp, tail, theta, eta=None):
+        md = self.md
+        e = self.eta(Vp, tail) if eta is None else eta
         th_c = theta.astype(self.compute_dtype)
         r = jax.grad(lambda ee: -families.log_lik(ee, md, th_c))(e)
         gV = self.Bt(r)
@@ -405,9 +409,9 @@ class BandedBackend:
             gt = jnp.zeros((0,), self.dtype)
         return gV, gt
 
-    def _assemble_scaled(self, V, tail, theta):
+    def _assemble_scaled(self, V, tail, theta, eta=None):
         md = self.md
-        e = self.eta(V, tail)
+        e = self.eta(V, tail) if eta is None else eta
         wts = families.eta_weights(e, md, theta.astype(self.compute_dtype))
         band = self.band_H(wts, theta)
         C = self.C_block(wts, theta)
@@ -428,8 +432,9 @@ class BandedBackend:
         C_s = (C * sc[:, None] * sd[None, :]) if self.q else C
         return band_s, C_s, Hd, sc, sd
 
-    def hessian_factor(self, V, tail, theta):
-        band_s, C_s, Hd, sc, sd = self._assemble_scaled(V, tail, theta)
+    def hessian_factor(self, V, tail, theta, eta=None):
+        band_s, C_s, Hd, sc, sd = self._assemble_scaled(V, tail, theta,
+                                                        eta=eta)
         af = self.engine.factor(band_s, C_s, Hd)
         return af, sc, sd
 
@@ -445,17 +450,30 @@ class BandedBackend:
 
     # -- Newton / Laplace (same scheme as fast/iwp.py) --------------------
     def newton_step(self, V, tail, theta, eta_cap=8.0):
-        gV, gt = self.grad_W(V, tail, theta)
-        factor = self.hessian_factor(V, tail, theta)
+        # one shared eta pass + batched line-search likelihoods + exact
+        # quadratic prior expansion (see fast/iwp.py newton_step)
+        e0 = self.eta(V, tail)
+        gV, gt = self.grad_W(V, tail, theta, eta=e0)
+        factor = self.hessian_factor(V, tail, theta, eta=e0)
         step_V, step_t = self.solve_H(factor, gV, gt)
         d_eta = self.eta(step_V, step_t)
         max_de = jnp.max(jnp.abs(d_eta))
         alpha0 = jnp.minimum(1.0, eta_cap / jnp.maximum(max_de, 1e-30))
         cands = alpha0 * jnp.asarray([1.0, 0.3, 0.1, 0.03], self.dtype)
-        f0 = self.neg_log_post(V, tail, theta)
-        fs = jnp.stack([self.neg_log_post(V - a * step_V, tail - a * step_t,
-                                          theta) for a in cands])
-        fs = jnp.where(jnp.isnan(fs), jnp.inf, fs)
+        alphas = jnp.concatenate([jnp.zeros((1,), self.dtype), cands])
+        md, cdt = self.md, self.compute_dtype
+        th_c = theta.astype(cdt)
+        etas = e0[None, :] - alphas[:, None].astype(cdt) * d_eta[None, :]
+        lls = jax.vmap(lambda ee: families.log_lik(ee, md, th_c))(etas)
+        p_0 = self._prior_neg(V, tail, theta)
+        p_p = self._prior_neg(V - step_V, tail - step_t, theta)
+        p_m = self._prior_neg(V + step_V, tail + step_t, theta)
+        c2 = 0.5 * (p_p + p_m) - p_0
+        c1 = 0.5 * (p_p - p_m)
+        fall = -lls.astype(self.dtype) + (p_0 + c1 * alphas
+                                          + c2 * alphas ** 2)
+        f0 = fall[0]
+        fs = jnp.where(jnp.isnan(fall[1:]), jnp.inf, fall[1:])
         best = jnp.argmin(fs)
         # prefer the largest alpha within fp noise of the best (see
         # fast/iwp.py newton_step)
@@ -490,8 +508,9 @@ class BandedBackend:
         return V, tail
 
     def _refine(self, V, tail, theta):
-        gV, gt = self.grad_W(V, tail, theta)
-        factor = self.hessian_factor(V, tail, theta)
+        e0 = self.eta(V, tail)
+        gV, gt = self.grad_W(V, tail, theta, eta=e0)
+        factor = self.hessian_factor(V, tail, theta, eta=e0)
         step_V, step_t = self.solve_H(factor, gV, gt)
         return V - step_V, tail - step_t
 
@@ -508,12 +527,15 @@ class BandedBackend:
     def _laplace_value(self, V, tail, theta):
         # arrow_half_logdet: Takahashi custom VJP on the Pallas engine
         # (see fast/iwp.py._laplace_value)
-        band_s, C_s, Hd, sc, sd = self._assemble_scaled(V, tail, theta)
+        e0 = self.eta(V, tail)
+        band_s, C_s, Hd, sc, sd = self._assemble_scaled(V, tail, theta,
+                                                        eta=e0)
         half_logdet = (self.engine.arrow_half_logdet(band_s, C_s, Hd)
                        - jnp.sum(jnp.log(sc)) - jnp.sum(jnp.log(sd)))
+        ll = families.log_lik(e0, self.md, theta.astype(self.compute_dtype))
+        f = -ll.astype(self.dtype) + self._prior_neg(V, tail, theta)
         w_count = self.d + self.q
-        return (self.neg_log_post(V, tail, theta) + half_logdet
-                - 0.5 * w_count * LOG2PI - self.logdetT)
+        return (f + half_logdet - 0.5 * w_count * LOG2PI - self.logdetT)
 
     def laplace_nll(self, theta, warm=None):
         val, (V, tail) = self._nll_custom(theta, warm if warm is not None

@@ -252,15 +252,11 @@ class FastIWPBackend:
         return pv
 
     # ------------------------------------------------------------------
-    def neg_log_post(self, Vp, tail, theta):
-        """Joint negative log posterior at primed coords (V', t); equals
-        the reference objective at W = [T(V'-Z0 t), t] exactly (same
-        logPdet_U constant, src/BayesGP.cpp:219-246)."""
+    def _prior_neg(self, Vp, tail, theta):
+        """Non-likelihood part of the joint neg log posterior — a
+        QUADRATIC function of (V', t) for fixed theta (used by the
+        batched line search to expand along the step direction)."""
         md = self.md
-        e = self.eta(Vp, tail)
-        ll = families.log_lik(e, md, theta.astype(self.compute_dtype))
-        ll = ll.astype(self.dtype)
-        # (V'-Z0 t)' P (V'-Z0 t), expanded to avoid the conversion
         Vd = Vp[:self.d]
         quad = self.prior_quad_V(Vp)
         if self.q:
@@ -274,14 +270,22 @@ class FastIWPBackend:
         phi = -jnp.log(md.alpha) / md.u
         lpT = jnp.sum(jnp.log(0.5 * phi) - phi * jnp.exp(-0.5 * theta)
                       - 0.5 * theta)
-        return -(ll + lp + lpT)
+        return -(lp + lpT)
 
-    def grad_W(self, Vp, tail, theta):
+    def neg_log_post(self, Vp, tail, theta):
+        """Joint negative log posterior at primed coords (V', t); equals
+        the reference objective at W = [T(V'-Z0 t), t] exactly (same
+        logPdet_U constant, src/BayesGP.cpp:219-246)."""
+        e = self.eta(Vp, tail)
+        ll = families.log_lik(e, self.md, theta.astype(self.compute_dtype))
+        return -ll.astype(self.dtype) + self._prior_neg(Vp, tail, theta)
+
+    def grad_W(self, Vp, tail, theta, eta=None):
         """Gradient of neg_log_post in primed coords via hand-assembled
         sparse products (autodiff of the gather would emit scatter-adds,
         which compile pathologically on TPU)."""
         md = self.md
-        e = self.eta(Vp, tail)
+        e = self.eta(Vp, tail) if eta is None else eta
         # d(-ll)/deta, in compute_dtype
         th_c = theta.astype(self.compute_dtype)
         r = jax.grad(lambda ee: -families.log_lik(ee, md, th_c))(e)
@@ -300,7 +304,7 @@ class FastIWPBackend:
             gt = jnp.zeros((0,), self.dtype)
         return gV, gt
 
-    def _assemble_scaled(self, V, tail, theta):
+    def _assemble_scaled(self, V, tail, theta, eta=None):
         """Jacobi-equilibrated arrowhead system at (V, tail):
         (band_s, C_s, Hd_s, sc, sd) with H~ = S H S, S = diag(sc, sd).
 
@@ -309,7 +313,7 @@ class FastIWPBackend:
         (condition numbers ~1e6-1e9). Pure parallel XLA — AD-friendly
         (the factorization itself is behind the engine)."""
         md = self.md
-        e = self.eta(V, tail)
+        e = self.eta(V, tail) if eta is None else eta
         wts = families.eta_weights(e, md, theta.astype(self.compute_dtype))
         band = self.band_H(wts, theta)
         C = self.C_block(wts, theta)
@@ -331,12 +335,13 @@ class FastIWPBackend:
         C_s = (C * sc[:, None] * sd[None, :]) if self.q else C
         return band_s, C_s, Hd, sc, sd
 
-    def hessian_factor(self, V, tail, theta):
+    def hessian_factor(self, V, tail, theta, eta=None):
         """Factor the equilibrated arrowhead Hessian via the band-arrow
         engine (Pallas double-float kernels on TPU; block-tridiagonal
         scan on CPU). Returns (factor, sc, sd) with the scale vectors;
         use solve_H / half_logdet_H / sample_dev_H."""
-        band_s, C_s, Hd, sc, sd = self._assemble_scaled(V, tail, theta)
+        band_s, C_s, Hd, sc, sd = self._assemble_scaled(V, tail, theta,
+                                                        eta=eta)
         af = self.engine.factor(band_s, C_s, Hd)
         return af, sc, sd
 
@@ -388,18 +393,38 @@ class FastIWPBackend:
         evaluation) globalizes convergence — pure capped steps can
         oscillate/diverge at large exp(theta) from cold starts.
 
-        Returns (V', tail', max|step|) for step-based termination."""
-        gV, gt = self.grad_W(V, tail, theta)
-        factor = self.hessian_factor(V, tail, theta)
+        Returns (V', tail', max|step|) for step-based termination.
+
+        COST SHAPE: one eta pass is computed ONCE and shared by the
+        gradient, the Hessian assembly, and the line search; the 4
+        step candidates evaluate the likelihood in a single batched
+        (5, n) pass on eta0 - a*d_eta, and the prior part (an exact
+        quadratic in alpha) from three O(d) evaluations — the previous
+        per-candidate neg_log_post calls were 5 full O(n) gather+reduce
+        passes per Newton step."""
+        e0 = self.eta(V, tail)
+        gV, gt = self.grad_W(V, tail, theta, eta=e0)
+        factor = self.hessian_factor(V, tail, theta, eta=e0)
         step_V, step_t = self.solve_H(factor, gV, gt)
         d_eta = self.eta(step_V, step_t)
         max_de = jnp.max(jnp.abs(d_eta))
         alpha0 = jnp.minimum(1.0, eta_cap / jnp.maximum(max_de, 1e-30))
         cands = alpha0 * jnp.asarray([1.0, 0.3, 0.1, 0.03], self.dtype)
-        f0 = self.neg_log_post(V, tail, theta)
-        fs = jnp.stack([self.neg_log_post(V - a * step_V, tail - a * step_t,
-                                          theta) for a in cands])
-        fs = jnp.where(jnp.isnan(fs), jnp.inf, fs)
+        alphas = jnp.concatenate([jnp.zeros((1,), self.dtype), cands])
+        md, cdt = self.md, self.compute_dtype
+        th_c = theta.astype(cdt)
+        etas = e0[None, :] - alphas[:, None].astype(cdt) * d_eta[None, :]
+        lls = jax.vmap(lambda ee: families.log_lik(ee, md, th_c))(etas)
+        # prior part: exact quadratic in alpha from 3 O(d) evaluations
+        p_0 = self._prior_neg(V, tail, theta)
+        p_p = self._prior_neg(V - step_V, tail - step_t, theta)
+        p_m = self._prior_neg(V + step_V, tail + step_t, theta)
+        c2 = 0.5 * (p_p + p_m) - p_0
+        c1 = 0.5 * (p_p - p_m)
+        fall = -lls.astype(self.dtype) + (p_0 + c1 * alphas
+                                          + c2 * alphas ** 2)
+        f0 = fall[0]
+        fs = jnp.where(jnp.isnan(fall[1:]), jnp.inf, fall[1:])
         best = jnp.argmin(fs)
         # near the optimum all candidates tie within the fp noise of the
         # O(n) f32 likelihood sum; picking argmin then selects a small
@@ -446,8 +471,9 @@ class FastIWPBackend:
         return V, tail
 
     def _refine(self, V, tail, theta):
-        gV, gt = self.grad_W(V, tail, theta)
-        factor = self.hessian_factor(V, tail, theta)
+        e0 = self.eta(V, tail)
+        gV, gt = self.grad_W(V, tail, theta, eta=e0)
+        factor = self.hessian_factor(V, tail, theta, eta=e0)
         step_V, step_t = self.solve_H(factor, gV, gt)
         return V - step_V, tail - step_t
 
@@ -469,12 +495,15 @@ class FastIWPBackend:
         VJP, so jax.grad of this value (the implicit-function backward
         pass) never differentiates through the factorization
         recurrence; the equilibration chain is plain parallel XLA AD."""
-        band_s, C_s, Hd, sc, sd = self._assemble_scaled(V, tail, theta)
+        e0 = self.eta(V, tail)
+        band_s, C_s, Hd, sc, sd = self._assemble_scaled(V, tail, theta,
+                                                        eta=e0)
         half_logdet = (self.engine.arrow_half_logdet(band_s, C_s, Hd)
                        - jnp.sum(jnp.log(sc)) - jnp.sum(jnp.log(sd)))
+        ll = families.log_lik(e0, self.md, theta.astype(self.compute_dtype))
+        f = -ll.astype(self.dtype) + self._prior_neg(V, tail, theta)
         w_count = self.d + self.q
-        return (self.neg_log_post(V, tail, theta) + half_logdet
-                - 0.5 * w_count * LOG2PI - self.logdetT)
+        return (f + half_logdet - 0.5 * w_count * LOG2PI - self.logdetT)
 
     def laplace_nll(self, theta, warm=None):
         """Laplace marginal nll, EQUAL to the dense/reference value:
