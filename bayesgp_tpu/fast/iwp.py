@@ -34,6 +34,37 @@ from ..linalg import band_arrow
 LOG2PI = math.log(2.0 * math.pi)
 
 
+@dataclass
+class ChunkDesign:
+    """Dense per-chunk windowed design: the MXU formulation of the
+    sparse (p+1 nnz/row) design products.
+
+    Rows are sorted by `start`, so each chunk of CH consecutive rows
+    touches only a narrow window [base_c, base_c + w) of V columns.
+    The sparse gathers (eta) and segment-sum reductions (B^T r, Gram
+    band) then become dense batched (CH, w) matmuls + static-offset
+    window slices/accumulations — measured ~30x faster than gathers on
+    TPU at n=1e5 (gathers run ~1 elem/lane-cycle; matmuls on the MXU).
+    """
+    D: Any          # (nc, CH, w) windowed design values, compute dtype
+    XFp_rows: Any   # (nc, CH, q) dense tail rows, compute dtype
+    bases: Any      # (nc,) static np ints: window start per chunk
+    nc: int
+    CH: int
+    w: int
+    n: int          # true row count (rows beyond are zero padding)
+
+
+def _acc_window(buf, vals, start):
+    """buf[..., start:start+w] += vals with STATIC start (explicit
+    slice+add+update; .at[].add can lower to scatter, a TPU landmine)."""
+    w = vals.shape[-1]
+    nd = buf.ndim
+    starts = (0,) * (nd - 1) + (start,)
+    cur = jax.lax.dynamic_slice(buf, starts, buf.shape[:-1] + (w,))
+    return jax.lax.dynamic_update_slice(buf, cur + vals, starts)
+
+
 def _choose_block(d: int, p: int) -> int:
     """Block size for the block-tridiagonal solver: few sequential steps
     on TPU (MXU-shaped blocks) while never below bandwidth + 1."""
@@ -94,6 +125,7 @@ class FastIWPBackend:
     prior_mean_tail: Any   # (q,)
     solve_dtype: Any = None   # dtype of band/factor/latent state
     engine: Any = None     # linalg.band_arrow engine (Pallas on TPU)
+    chunks: Any = None     # ChunkDesign (MXU path) or None (gather path)
 
     @property
     def n_theta(self):
@@ -158,15 +190,28 @@ class FastIWPBackend:
                          + ((0, 0),) * (col.ndim - 1))
         return padded[:out_len]
 
+    def _v_windows(self, Vc):
+        """(nc, w) per-chunk V windows via static slices."""
+        ck = self.chunks
+        return jnp.stack([
+            jax.lax.dynamic_slice(Vc, (int(b),), (ck.w,))
+            for b in ck.bases])
+
     def eta(self, Vp, tail):
         """Linear predictor from PRIMED coords: eta = B V' + XFp t
         (== B V + XF t with V = V' - Z0 t). Vp: (dpad,), tail: (q,).
-        Output in compute_dtype (the O(n) axis)."""
+        Output in compute_dtype (the O(n) axis). MXU path: batched
+        (CH, w) matmuls against per-chunk V windows."""
         cd = self.compute_dtype
         Vc = Vp.astype(cd)
-        e = jnp.zeros((self.start.shape[0],), cd)
-        for a in range(self.p + 1):
-            e = e + self.valsT[a] * Vc[self.start + a]
+        if self.chunks is not None:
+            ck = self.chunks
+            Vw = self._v_windows(jnp.pad(Vc, (0, ck.w)))
+            e = jnp.einsum("cnw,cw->cn", ck.D, Vw).reshape(-1)[:ck.n]
+        else:
+            e = jnp.zeros((self.start.shape[0],), cd)
+            for a in range(self.p + 1):
+                e = e + self.valsT[a] * Vc[self.start + a]
         if self.q:
             e = e + tail.astype(cd) @ self.XFpT
         return e
@@ -178,8 +223,25 @@ class FastIWPBackend:
             return Vp
         return Vp.at[..., :self.d].add(-(self.Z0 @ tail))
 
+    def _rows_chunked(self, u):
+        """(n,) -> (nc, CH) zero-padded row chunks."""
+        ck = self.chunks
+        pad = ck.nc * ck.CH - ck.n
+        return jnp.pad(u, (0, pad)).reshape(ck.nc, ck.CH)
+
     def Bt(self, u):
-        """B^T u -> (dpad,) in solve_dtype."""
+        """B^T u -> (dpad,) in solve_dtype. MXU path: per-chunk
+        (w, CH)@(CH,) products in compute dtype, f64 overlap-add of the
+        ~nc window contributions (the two-level precision scheme)."""
+        if self.chunks is not None:
+            ck = self.chunks
+            uc = self._rows_chunked(u)
+            contrib = jnp.einsum("cnw,cn->cw", ck.D, uc)   # (nc, w) f32
+            c64 = contrib.astype(self.dtype)
+            out = jnp.zeros((self.dpad + ck.w,), self.dtype)
+            for c in range(ck.nc):
+                out = _acc_window(out, c64[c], int(ck.bases[c]))
+            return out[:self.dpad]
         seg = self._segsum(self.valsT * u[None, :])     # (p+1, d)
         seg = seg.astype(self.dtype)
         out = jnp.zeros((self.dpad,), self.dtype)
@@ -193,21 +255,41 @@ class FastIWPBackend:
         compute_dtype; returned band in solve_dtype (the factorization
         needs the full dynamic range)."""
         p = self.p
-        # outersT[a, b, :] = wts * vals_a * vals_b over n (n is lane dim).
-        # Products in compute dtype (one rounding, ~6e-8 relative); the
-        # two-level _segsum accumulates in solve dtype.
-        outersT = (wts[None, None, :] * self.valsT[:, None, :]
-                   * self.valsT[None, :, :])
-        M = self._segsum(outersT)                       # (p+1, p+1, d)
-        rows = []
-        for o in range(p + 1):
-            # band[o, j] = sum_{a-b=o} M[a, b, g] at j = g + b
-            row = jnp.zeros((self.dpad,), self.dtype)
-            for b in range(p + 1 - o):
-                a = b + o
-                row = row + self._shift(M[a, b], b, self.dpad)
-            rows.append(row)
-        band = jnp.stack(rows)
+        if self.chunks is not None:
+            # per-chunk local Gram G_c = D_c^T diag(w_c) D_c on the MXU
+            # (f32; one rounding per chunk), f64 overlap-add across
+            # chunks. G_c is itself banded with bandwidth p: only the
+            # p+1 lower diagonals are accumulated.
+            ck = self.chunks
+            wc = self._rows_chunked(wts)
+            WD = wc[:, :, None] * ck.D
+            G = jnp.einsum("cnw,cnv->cwv", ck.D, WD)    # (nc, w, w)
+            G64 = G.astype(self.dtype)
+            pieces = []
+            for o in range(p + 1):
+                dg = jnp.diagonal(G64, offset=-o, axis1=1, axis2=2)
+                pieces.append(jnp.pad(dg, ((0, 0), (0, o))))
+            piece = jnp.stack(pieces, axis=1)           # (nc, p+1, w)
+            band = jnp.zeros((p + 1, self.dpad + ck.w), self.dtype)
+            for c in range(ck.nc):
+                band = _acc_window(band, piece[c], int(ck.bases[c]))
+            band = band[:, :self.dpad]
+        else:
+            # outersT[a, b, :] = wts * vals_a * vals_b over n (n is the
+            # lane dim). Products in compute dtype (one rounding,
+            # ~6e-8 relative); two-level _segsum accumulates in f64.
+            outersT = (wts[None, None, :] * self.valsT[:, None, :]
+                       * self.valsT[None, :, :])
+            M = self._segsum(outersT)                   # (p+1, p+1, d)
+            rows = []
+            for o in range(p + 1):
+                # band[o, j] = sum_{a-b=o} M[a, b, g] at j = g + b
+                row = jnp.zeros((self.dpad,), self.dtype)
+                for b in range(p + 1 - o):
+                    a = b + o
+                    row = row + self._shift(M[a, b], b, self.dpad)
+                rows.append(row)
+            band = jnp.stack(rows)
         band = band.at[:, :self.d].add(jnp.exp(theta[0]) * self.P_band)
         if self.dpad > self.d:
             band = band.at[0, self.d:].set(1.0)
@@ -218,11 +300,24 @@ class FastIWPBackend:
         -> (dpad, q) in solve_dtype."""
         if not self.q:
             return jnp.zeros((self.dpad, 0), self.dtype)
-        wXFT = wts[None, :] * self.XFpT                 # (q, n)
-        M = self._segsum(self.valsT[:, None, :] * wXFT[None, :, :])
-        C = jnp.zeros((self.dpad, self.q), self.dtype)
-        for a in range(self.p + 1):
-            C = C + self._shift(M[a].T, a, self.dpad)   # M[a]: (q, d)
+        if self.chunks is not None:
+            ck = self.chunks
+            wc = self._rows_chunked(wts)
+            WX = wc[:, :, None] * ck.XFp_rows           # (nc, CH, q)
+            CC = jnp.einsum("cnw,cnq->cwq", ck.D, WX)   # (nc, w, q)
+            C64 = CC.astype(self.dtype)
+            Cb = jnp.zeros((self.dpad + ck.w, self.q), self.dtype)
+            for c in range(ck.nc):
+                b = int(ck.bases[c])
+                cur = jax.lax.dynamic_slice(Cb, (b, 0), (ck.w, self.q))
+                Cb = jax.lax.dynamic_update_slice(Cb, cur + C64[c], (b, 0))
+            C = Cb[:self.dpad]
+        else:
+            wXFT = wts[None, :] * self.XFpT             # (q, n)
+            M = self._segsum(self.valsT[:, None, :] * wXFT[None, :, :])
+            C = jnp.zeros((self.dpad, self.q), self.dtype)
+            for a in range(self.p + 1):
+                C = C + self._shift(M[a].T, a, self.dpad)   # M[a]: (q, d)
         C = C.at[:self.d].add(-jnp.exp(theta[0]) * self.PZ0)
         return C
 
@@ -818,6 +913,36 @@ def build_fast_iwp(term, md, xf_dense, prior_diag_tail, prior_mean_tail,
     if not x64:
         dt = np.float32
     sdt = jnp.float64 if x64 else jnp.float32
+
+    # ---- dense per-chunk windowed design (MXU path) ----
+    # Sorted rows => each CH-row chunk touches a narrow V window; the
+    # window width is data-dependent (uniform-ish x gives ~d*CH/n + p).
+    # Clustered data can blow it up — fall back to gathers then.
+    CH = 1024
+    nc = -(-n // CH)
+    chunks = None
+    if n:
+        bases_w = []
+        wmax = 0
+        for c in range(nc):
+            lo, hi = c * CH, min((c + 1) * CH, n)
+            b = int(start[lo])
+            wmax = max(wmax, int(start[hi - 1]) - b + p + 1)
+            bases_w.append(b)
+        w_win = max(8, -(-wmax // 8) * 8)
+        if w_win <= 64:
+            D = np.zeros((nc, CH, w_win), dt)
+            rows_i = np.arange(n)
+            rel = start - np.asarray(bases_w, np.int64)[rows_i // CH]
+            for a in range(p + 1):
+                D[rows_i // CH, rows_i % CH, rel + a] = vals[:, a]
+            XFp_rows = np.zeros((nc, CH, max(q, 1)), dt)
+            if q:
+                XFp_rows[rows_i // CH, rows_i % CH, :] = XFp
+            chunks = ChunkDesign(
+                D=jnp.asarray(D), XFp_rows=jnp.asarray(XFp_rows),
+                bases=np.asarray(bases_w, np.int64), nc=nc, CH=CH,
+                w=w_win, n=n)
     # likelihood-side model arrays in compute dtype (O(n) work)
     md_perm = _dc.replace(
         md_perm, y=np.asarray(md_perm.y, dt),
@@ -835,4 +960,5 @@ def build_fast_iwp(term, md, xf_dense, prior_diag_tail, prior_mean_tail,
         prior_diag_tail=jnp.asarray(prior_diag_tail, sdt),
         prior_mean_tail=jnp.asarray(prior_mean_tail, sdt),
         solve_dtype=sdt,
-        engine=band_arrow.make_engine(dpad, p, q, s))
+        engine=band_arrow.make_engine(dpad, p, q, s),
+        chunks=chunks)
