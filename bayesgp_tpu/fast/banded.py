@@ -143,6 +143,7 @@ class BandedBackend:
     aghq.DenseBackend / fast.iwp.FastIWPBackend (init_state, nll_warm,
     val_grad_warm_fn, hess_warm_fn, vmap_nll_warm_fn, node_eval, sample).
     """
+    supports_fused_1d = True   # inference/aghq.fused_fit_1d eligible
     md: Any
     drv_theta: int    # driver's theta index
     Wl: int           # window length

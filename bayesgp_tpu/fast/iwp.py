@@ -87,6 +87,7 @@ class FastIWPBackend:
     exp(theta), which float32 cannot factor). The O(d) float64 work is
     negligible next to the O(n) float32 work even under TPU emulation.
     """
+    supports_fused_1d = True   # inference/aghq.fused_fit_1d eligible
     # static/host data
     term: Any
     md: Any

@@ -248,6 +248,135 @@ def _optimize_theta_1d(backend, theta0, tol, max_iter, verbose):
     return np.asarray(theta), np.asarray(H), float(f), state
 
 
+def fused_fit_1d(backend, k: int = 4, theta0: float = 0.0,
+                 tol: float = 1e-9, max_iter: int = 40):
+    """The ENTIRE s=1 AGHQ fit as ONE jitted device program: secant-
+    Newton on the gradient root (same scheme as _optimize_theta_1d),
+    FD Hessian at the mode, GH adaptation, and the k node evaluations —
+    a single dispatch instead of ~35.
+
+    Motivation (measured): after the Pallas engine + MXU design work, a
+    full warm Laplace evaluation is ~10 ms of device time while every
+    host->device round trip through the tunnel costs ~30 ms — the fit
+    had become pure dispatch overhead. (The reference runs this loop in
+    R calling TMB per evaluation, R/02_model_fit.R:284.)
+
+    Differences from the host loop: rejected steps shrink the trust cap
+    for the next iteration instead of retrying within the iteration
+    (one vg evaluation per loop step — rejections are rare and cost one
+    extra cheap iteration), and the bracket-stop's secant evaluation
+    runs as a flagged final iteration.
+
+    Returns (mode (1,), H (1,1), nodes (k,1), nlls (k,), states) as
+    device arrays; weights/marginals are host arithmetic downstream.
+    """
+    dtype = backend.dtype
+    cdt = getattr(backend, "compute_dtype", dtype)
+    f_noise = 1e-9 if cdt in (np.float64, jnp.float64) else 3e-7
+    h_fd = 1e-4 if cdt in (np.float64, jnp.float64) else 0.3
+    z1, _ = ghe_rule(k)
+
+    if not hasattr(backend, "_fused_fit"):
+        def vg(th_scalar, state):
+            (f, st), g = jax.value_and_grad(
+                backend.nll_warm, has_aux=True)(
+                    jnp.reshape(th_scalar, (1,)).astype(dtype), state)
+            return f, g[0], st
+
+        def run(th0, state0):
+            f0, g0, st0 = vg(th0, state0)
+
+            def cond(c):
+                return jnp.logical_and(~c["done"], c["it"] < max_iter)
+
+            def body(c):
+                have_h = c["h_est"] > 0
+                h = jnp.where(have_h, c["h_est"],
+                              jnp.maximum(jnp.abs(c["g"]), 1.0))
+                step = jnp.clip(c["g"] / h, -c["cap"], c["cap"])
+                full = jnp.abs(step) >= c["cap"] * 0.999
+                same_dir = jnp.sign(step) == c["last_dir"]
+                cap2 = jnp.where(full & same_dir,
+                                 jnp.minimum(c["cap"] * 2.0, 16.0),
+                                 jnp.where(full, c["cap"], 2.0))
+                ldir2 = jnp.where(full, jnp.sign(step), 0.0)
+                cand = jnp.where(c["final"], c["th_root"], c["th"] - step)
+                f_t, g_t, st_t = vg(cand, c["state"])
+                guard = jnp.maximum(1e3 * f_noise * (1.0 + jnp.abs(c["f"])),
+                                    1e-8)
+                ok = jnp.isfinite(f_t) & (f_t <= c["f"] + guard)
+                acc = ok | c["final"]
+                dth = cand - c["th"]
+                h_new = jnp.where(
+                    acc & (jnp.abs(dth) > 1e-12), (g_t - c["g"]) / dth,
+                    c["h_est"])
+                h_new = jnp.where(jnp.isfinite(h_new) & (h_new > 0),
+                                  h_new, c["h_est"])
+                # bracket: accepted fine-scale sign flip -> one secant
+                # interpolation next iteration, then stop
+                flip = (acc & ~c["final"]
+                        & (jnp.sign(g_t) != jnp.sign(c["g"]))
+                        & (jnp.abs(dth) < 0.05 * (1.0 + jnp.abs(cand))))
+                denom = g_t - c["g"]
+                th_root = jnp.where(jnp.abs(denom) > 1e-300,
+                                    cand - g_t * dth / denom, cand)
+                th2 = jnp.where(acc, cand, c["th"])
+                f2 = jnp.where(acc, f_t, c["f"])
+                g2 = jnp.where(acc, g_t, c["g"])
+                st2 = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(acc, new, old),
+                    st_t, c["state"])
+                small = (h_new > 0) & (jnp.abs(g2 / jnp.maximum(
+                    h_new, 1e-12)) < 1e-4)
+                done = (c["final"] | (jnp.abs(g2) < tol)
+                        | (~flip & acc & small))
+                return {
+                    "th": th2, "f": f2, "g": g2, "state": st2,
+                    "h_est": h_new,
+                    # rejected: shrink the trust region for the retry
+                    "cap": jnp.where(acc, cap2, c["cap"] * 0.25),
+                    "last_dir": jnp.where(acc, ldir2, c["last_dir"]),
+                    "final": flip, "th_root": th_root,
+                    "done": done, "it": c["it"] + 1,
+                }
+
+            z = jnp.asarray(0.0, dtype)
+            c0 = {"th": th0, "f": f0, "g": g0, "state": st0,
+                  "h_est": z, "cap": jnp.asarray(2.0, dtype),
+                  "last_dir": z, "final": jnp.asarray(False),
+                  "th_root": z, "done": jnp.abs(g0) < tol,
+                  "it": jnp.asarray(0)}
+            c = jax.lax.while_loop(cond, body, c0)
+            mode, st = c["th"], c["state"]
+            # FD Hessian at the mode (see hess_warm_fn for the step-size
+            # rationale vs f32 gradient noise)
+            _, gp, _ = vg(mode + h_fd, st)
+            _, gm, _ = vg(mode - h_fd, st)
+            H = (gp - gm) / (2 * h_fd)
+            Hpos = jnp.maximum(jnp.abs(H), 1e-8)
+            Lad = jax.lax.rsqrt(Hpos)
+            nodes = mode + Lad * jnp.asarray(z1, dtype)       # (k,)
+            outs = []
+            for j in range(k):
+                nllj, stj = backend.nll_warm(
+                    jnp.reshape(nodes[j], (1,)), st)
+                factor = backend.hessian_factor(stj[0], stj[1],
+                                                jnp.reshape(nodes[j], (1,)))
+                outs.append((nllj, (stj[0], stj[1], factor)))
+            nlls = jnp.stack([o[0] for o in outs])
+            states = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *[o[1] for o in outs])
+            return mode, H, nodes, nlls, states
+
+        backend._fused_fit = jax.jit(run)
+
+    th0 = jnp.asarray(float(np.atleast_1d(theta0)[0]), dtype)
+    mode, H, nodes, nlls, states = backend._fused_fit(
+        th0, backend.init_state())
+    return (np.asarray(mode).reshape(1), np.asarray(H).reshape(1, 1),
+            np.asarray(nodes).reshape(k, 1), np.asarray(nlls), states)
+
+
 def optimize_theta(backend, s: int, theta0=None, tol=1e-9, max_iter=100,
                    verbose=False):
     """Gradient-only BFGS optimization of the Laplace marginal nll,
@@ -344,6 +473,26 @@ def aghq_fit(md_or_backend, k: int = 4, theta0=None, verbose=False) -> AGHQFit:
     s = backend.n_theta
     if s == 0:
         raise ValueError("aghq requires at least one hyperparameter")
+
+    if s == 1 and getattr(backend, "supports_fused_1d", False):
+        # single-dispatch fused fit (fast backends): optimize + adapt +
+        # node evaluation all inside one device program
+        th0 = 0.0 if theta0 is None else float(np.atleast_1d(theta0)[0])
+        mode, H, nodes, nlls, states = fused_fit_1d(backend, k=k,
+                                                    theta0=th0)
+        Lad = 1.0 / np.sqrt(np.maximum(np.abs(H[0, 0]), 1e-8))
+        z, logw_base = product_grid(k, 1)
+        logw = logw_base + np.log(Lad)
+        logpost_w = -np.asarray(nlls) + logw
+        m = logpost_w.max()
+        lognormconst = float(m + np.log(np.sum(np.exp(logpost_w - m))))
+        fit = AGHQFit(mode=mode, hessian=H, L=np.asarray([[Lad]]),
+                      nodes=nodes, logw=logw, lognll=np.asarray(nlls),
+                      lognormconst=lognormconst, states=states, k=k,
+                      backend=backend)
+        fit.marginals = [marginal_posterior(fit, backend, 0)]
+        return fit
+
     mode, H, _, warm = optimize_theta(backend, s, theta0=theta0,
                                       verbose=verbose)
 
