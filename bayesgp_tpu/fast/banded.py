@@ -49,6 +49,7 @@ import jax.numpy as jnp
 from ..basis import reparam
 from ..model import families
 from ..linalg import band_arrow
+from .iwp import ChunkDesign, _acc_window
 
 LOG2PI = math.log(2.0 * math.pi)
 
@@ -178,6 +179,7 @@ class BandedBackend:
     ref_perm: Any          # (w_ref,) backend->reference row permutation
     solve_dtype: Any = None
     engine: Any = None     # linalg.band_arrow engine (Pallas on TPU)
+    chunks: Any = None     # ChunkDesign (MXU path) or None (gather path)
 
     @property
     def n_theta(self):
@@ -244,12 +246,28 @@ class BandedBackend:
         grid = grid.at[shift:shift + L, sub].add(col[:L])
         return grid.reshape(self.dpad)
 
+    def _v_windows(self, Vc):
+        ck = self.chunks
+        return jnp.stack([
+            jax.lax.dynamic_slice(Vc, (int(b),), (ck.w,))
+            for b in ck.bases])
+
+    def _rows_chunked(self, u):
+        ck = self.chunks
+        pad = ck.nc * ck.CH - ck.n
+        return jnp.pad(u, (0, pad)).reshape(ck.nc, ck.CH)
+
     def eta(self, Vp, tail):
         cd = self.compute_dtype
         Vc = Vp.astype(cd)
-        e = jnp.zeros((self.start.shape[0],), cd)
-        for a in range(self.Wl):
-            e = e + self.valsT[a] * Vc[self.start + a]
+        if self.chunks is not None:
+            ck = self.chunks
+            Vw = self._v_windows(jnp.pad(Vc, (0, ck.w)))
+            e = jnp.einsum("cnw,cw->cn", ck.D, Vw).reshape(-1)[:ck.n]
+        else:
+            e = jnp.zeros((self.start.shape[0],), cd)
+            for a in range(self.Wl):
+                e = e + self.valsT[a] * Vc[self.start + a]
         if self.q:
             e = e + tail.astype(cd) @ self.XFpT
         return e
@@ -261,6 +279,15 @@ class BandedBackend:
 
     def Bt(self, u):
         """B^T u -> (dpad,) in solve_dtype."""
+        if self.chunks is not None:
+            ck = self.chunks
+            uc = self._rows_chunked(u)
+            contrib = jnp.einsum("cnw,cn->cw", ck.D, uc)
+            c64 = contrib.astype(self.dtype)
+            out = jnp.zeros((self.dpad + ck.w,), self.dtype)
+            for c in range(ck.nc):
+                out = _acc_window(out, c64[c], int(ck.bases[c]))
+            return out[:self.dpad]
         seg = self._segsum(self.valsT * u[None, :]).astype(self.dtype)
         out = jnp.zeros((self.dpad,), self.dtype)
         for a in range(self.Wl):
@@ -271,17 +298,34 @@ class BandedBackend:
         """(Wl, dpad) lower band of B^T diag(wts) B + e^th P, identity-
         padded beyond d."""
         Wl = self.Wl
-        outersT = (wts[None, None, :] * self.valsT[:, None, :]
-                   * self.valsT[None, :, :])
-        M = self._segsum(outersT).astype(self.dtype)   # (Wl, Wl, n_seg)
-        rows = []
-        for o in range(Wl):
-            row = jnp.zeros((self.dpad,), self.dtype)
-            for b in range(Wl - o):
-                a = b + o
-                row = self._place(M[a, b], b, row)
-            rows.append(row)
-        band = jnp.stack(rows)
+        if self.chunks is not None:
+            # per-chunk local Gram on the MXU (see fast/iwp.py band_H)
+            ck = self.chunks
+            wc = self._rows_chunked(wts)
+            WD = wc[:, :, None] * ck.D
+            G = jnp.einsum("cnw,cnv->cwv", ck.D, WD)    # (nc, w, w)
+            G64 = G.astype(self.dtype)
+            pieces = []
+            for o in range(Wl):
+                dg = jnp.diagonal(G64, offset=-o, axis1=1, axis2=2)
+                pieces.append(jnp.pad(dg, ((0, 0), (0, o))))
+            piece = jnp.stack(pieces, axis=1)           # (nc, Wl, w)
+            band = jnp.zeros((Wl, self.dpad + ck.w), self.dtype)
+            for c in range(ck.nc):
+                band = _acc_window(band, piece[c], int(ck.bases[c]))
+            band = band[:, :self.dpad]
+        else:
+            outersT = (wts[None, None, :] * self.valsT[:, None, :]
+                       * self.valsT[None, :, :])
+            M = self._segsum(outersT).astype(self.dtype)  # (Wl, Wl, n_seg)
+            rows = []
+            for o in range(Wl):
+                row = jnp.zeros((self.dpad,), self.dtype)
+                for b in range(Wl - o):
+                    a = b + o
+                    row = self._place(M[a, b], b, row)
+                rows.append(row)
+            band = jnp.stack(rows)
         band = band.at[:, :self.d].add(
             jnp.exp(theta[self.drv_theta]) * self.P_band)
         if self.dpad > self.d:
@@ -291,17 +335,30 @@ class BandedBackend:
     def C_block(self, wts, theta):
         if not self.q:
             return jnp.zeros((self.dpad, 0), self.dtype)
-        wXFT = wts[None, :] * self.XFpT
-        M = self._segsum(
-            self.valsT[:, None, :] * wXFT[None, :, :]).astype(self.dtype)
-        C = jnp.zeros((self.dpad, self.q), self.dtype)
-        for a in range(self.Wl):
-            # place M[a] (q, n_seg) rows at seg*G + a
-            Cg = C.reshape(self.dpad // self.G, self.G, self.q)
-            shift, sub = a // self.G, a % self.G
-            L = min(self.n_seg, self.dpad // self.G - shift)
-            Cg = Cg.at[shift:shift + L, sub, :].add(M[a][:, :L].T)
-            C = Cg.reshape(self.dpad, self.q)
+        if self.chunks is not None:
+            ck = self.chunks
+            wc = self._rows_chunked(wts)
+            WX = wc[:, :, None] * ck.XFp_rows
+            CC = jnp.einsum("cnw,cnq->cwq", ck.D, WX)
+            C64 = CC.astype(self.dtype)
+            Cb = jnp.zeros((self.dpad + ck.w, self.q), self.dtype)
+            for c in range(ck.nc):
+                b = int(ck.bases[c])
+                cur = jax.lax.dynamic_slice(Cb, (b, 0), (ck.w, self.q))
+                Cb = jax.lax.dynamic_update_slice(Cb, cur + C64[c], (b, 0))
+            C = Cb[:self.dpad]
+        else:
+            wXFT = wts[None, :] * self.XFpT
+            M = self._segsum(
+                self.valsT[:, None, :] * wXFT[None, :, :]).astype(self.dtype)
+            C = jnp.zeros((self.dpad, self.q), self.dtype)
+            for a in range(self.Wl):
+                # place M[a] (q, n_seg) rows at seg*G + a
+                Cg = C.reshape(self.dpad // self.G, self.G, self.q)
+                shift, sub = a // self.G, a % self.G
+                L = min(self.n_seg, self.dpad // self.G - shift)
+                Cg = Cg.at[shift:shift + L, sub, :].add(M[a][:, :L].T)
+                C = Cg.reshape(self.dpad, self.q)
         C = C.at[:self.d].add(-jnp.exp(theta[self.drv_theta]) * self.PZ0)
         return C
 
@@ -703,8 +760,12 @@ class BandedBackend:
             full = jnp.concatenate([U, ts], axis=1)      # backend order
             return full[:, self.ref_perm]                # reference order
 
-        samps = jax.jit(run)(key, idx)
-        return np.asarray(samps).T
+        # f32 device->host transfer: the draws carry Monte-Carlo
+        # error >> 1e-7, and the f64 transfer (48 MB at M=3000)
+        # dominated sampling wall time through the tunnel
+        samps = jax.jit(lambda k, i: run(k, i).astype(jnp.float32))(
+            key, idx)
+        return np.asarray(samps, np.float64).T
 
 
 # ---------------------------------------------------------------------------
@@ -921,6 +982,33 @@ def build_banded_backend(instances, md, design_mat_fixed, bf_prec, bf_mean,
         md_perm, y=np.asarray(md_perm.y, dt),
         size=np.asarray(md_perm.size, dt))
 
+    # dense per-chunk windowed design (MXU path; see fast/iwp.py)
+    CH = 1024
+    nchk = -(-n // CH)
+    chunks = None
+    if n:
+        bases_w = []
+        wmax = 0
+        for c in range(nchk):
+            lo, hi = c * CH, min((c + 1) * CH, n)
+            b = int(start[lo])
+            wmax = max(wmax, int(start[hi - 1]) - b + Wl)
+            bases_w.append(b)
+        w_win = max(8, -(-wmax // 8) * 8)
+        if w_win <= 128:
+            Dm = np.zeros((nchk, CH, w_win), dt)
+            rows_i = np.arange(n)
+            rel = start - np.asarray(bases_w, np.int64)[rows_i // CH]
+            for a in range(Wl):
+                Dm[rows_i // CH, rows_i % CH, rel + a] = vals[:, a]
+            XFp_rows = np.zeros((nchk, CH, max(q, 1)), dt)
+            if q:
+                XFp_rows[rows_i // CH, rows_i % CH, :] = XFp
+            chunks = ChunkDesign(
+                D=jnp.asarray(Dm), XFp_rows=jnp.asarray(XFp_rows),
+                bases=np.asarray(bases_w, np.int64), nc=nchk, CH=CH,
+                w=w_win, n=n)
+
     return BandedBackend(
         md=md_perm, drv_theta=driver_idx, Wl=Wl, G=G, d=d, dpad=dpad,
         s=s, nb=nb, q=q,
@@ -940,4 +1028,5 @@ def build_banded_backend(instances, md, design_mat_fixed, bf_prec, bf_mean,
         tail_terms=tuple(tail_terms),
         ref_perm=jnp.asarray(ref_perm),
         solve_dtype=sdt,
-        engine=band_arrow.make_engine(dpad, Wl - 1, q, s))
+        engine=band_arrow.make_engine(dpad, Wl - 1, q, s),
+        chunks=chunks)

@@ -796,8 +796,12 @@ class FastIWPBackend:
             U = self.apply_T(Vact[:, :self.d])            # batched over M
             return jnp.concatenate([U, ts], axis=1)       # (M, w_ref)
 
-        samps = jax.jit(run)(key, idx)
-        return np.asarray(samps).T
+        # f32 device->host transfer: the draws carry Monte-Carlo
+        # error >> 1e-7, and the f64 transfer (48 MB at M=3000)
+        # dominated sampling wall time through the tunnel
+        samps = jax.jit(lambda k, i: run(k, i).astype(jnp.float32))(
+            key, idx)
+        return np.asarray(samps, np.float64).T
 
 
 def build_fast_iwp(term, md, xf_dense, prior_diag_tail, prior_mean_tail,
