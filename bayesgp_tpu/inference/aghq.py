@@ -270,13 +270,27 @@ def fused_fit_1d(backend, k: int = 4, theta0: float = 0.0,
     Returns (mode (1,), H (1,1), nodes (k,1), nlls (k,), states) as
     device arrays; weights/marginals are host arithmetic downstream.
     """
+    if not hasattr(backend, "_fused_fit"):
+        backend._fused_fit = build_fused_run_1d(backend, k, tol, max_iter)
+
+    th0 = jnp.asarray(float(np.atleast_1d(theta0)[0]), backend.dtype)
+    mode, H, nodes, nlls, states = backend._fused_fit(
+        th0, backend.init_state())
+    return (np.asarray(mode).reshape(1), np.asarray(H).reshape(1, 1),
+            np.asarray(nodes).reshape(k, 1), np.asarray(nlls), states)
+
+
+def build_fused_run_1d(backend, k: int, tol: float = 1e-9,
+                       max_iter: int = 40):
+    """Construct (without executing) the jitted fused-fit program of
+    fused_fit_1d."""
     dtype = backend.dtype
     cdt = getattr(backend, "compute_dtype", dtype)
     f_noise = 1e-9 if cdt in (np.float64, jnp.float64) else 3e-7
     h_fd = 1e-4 if cdt in (np.float64, jnp.float64) else 0.3
     z1, _ = ghe_rule(k)
 
-    if not hasattr(backend, "_fused_fit"):
+    if True:
         def vg(th_scalar, state):
             (f, st), g = jax.value_and_grad(
                 backend.nll_warm, has_aux=True)(
@@ -356,25 +370,28 @@ def fused_fit_1d(backend, k: int = 4, theta0: float = 0.0,
             Hpos = jnp.maximum(jnp.abs(H), 1e-8)
             Lad = jax.lax.rsqrt(Hpos)
             nodes = mode + Lad * jnp.asarray(z1, dtype)       # (k,)
-            outs = []
-            for j in range(k):
+            # evaluate inner nodes first, chaining warm states outward
+            # on each side (adjacent nodes share most of the solution)
+            outs = [None] * k
+            warm_neg = warm_pos = st
+            for j in np.argsort(np.abs(z1)):
+                j = int(j)
+                warm = warm_neg if z1[j] < 0 else warm_pos
                 nllj, stj = backend.nll_warm(
-                    jnp.reshape(nodes[j], (1,)), st)
+                    jnp.reshape(nodes[j], (1,)), warm)
                 factor = backend.hessian_factor(stj[0], stj[1],
                                                 jnp.reshape(nodes[j], (1,)))
-                outs.append((nllj, (stj[0], stj[1], factor)))
+                outs[j] = (nllj, (stj[0], stj[1], factor))
+                if z1[j] < 0:
+                    warm_neg = stj
+                else:
+                    warm_pos = stj
             nlls = jnp.stack([o[0] for o in outs])
             states = jax.tree_util.tree_map(
                 lambda *xs: jnp.stack(xs), *[o[1] for o in outs])
             return mode, H, nodes, nlls, states
 
-        backend._fused_fit = jax.jit(run)
-
-    th0 = jnp.asarray(float(np.atleast_1d(theta0)[0]), dtype)
-    mode, H, nodes, nlls, states = backend._fused_fit(
-        th0, backend.init_state())
-    return (np.asarray(mode).reshape(1), np.asarray(H).reshape(1, 1),
-            np.asarray(nodes).reshape(k, 1), np.asarray(nlls), states)
+        return jax.jit(run)
 
 
 def optimize_theta(backend, s: int, theta0=None, tol=1e-9, max_iter=100,
