@@ -561,7 +561,9 @@ class BandedBackend:
             V2, t2, smax = self.newton_step(V, tail, theta)
             return V2, t2, it + 1, smax
 
-        big = jnp.asarray(1e30, self.dtype)
+        # tie the carry init to the state so its sharding 'varying'
+        # status matches the body outputs under shard_map
+        big = jnp.asarray(1e30, self.dtype) + 0.0 * V0[0]
         V, tail, _, _ = jax.lax.while_loop(cond, body, (V0, t0, 0, big))
         return V, tail
 

@@ -127,6 +127,15 @@ class FastIWPBackend:
     solve_dtype: Any = None   # dtype of band/factor/latent state
     engine: Any = None     # linalg.band_arrow engine (Pallas on TPU)
     chunks: Any = None     # ChunkDesign (MXU path) or None (gather path)
+    row_order: Any = None  # (n,) build-time row sort (raw -> internal)
+
+    def with_y(self, y):
+        """Backend for a different response on the SAME design (replicate
+        fits). `y` is in RAW data order; rows are re-permuted to the
+        internal sort. Traceable (y may be a tracer)."""
+        import dataclasses as _dc
+        y = jnp.asarray(y, self.compute_dtype)[self.row_order]
+        return _dc.replace(self, md=_dc.replace(self.md, y=y))
 
     @property
     def n_theta(self):
@@ -562,7 +571,9 @@ class FastIWPBackend:
             V2, t2, smax = self.newton_step(V, tail, theta)
             return V2, t2, it + 1, smax
 
-        big = jnp.asarray(1e30, self.dtype)
+        # tie the carry init to the state so its sharding 'varying'
+        # status matches the body outputs under shard_map
+        big = jnp.asarray(1e30, self.dtype) + 0.0 * V0[0]
         V, tail, _, _ = jax.lax.while_loop(cond, body, (V0, t0, 0, big))
         return V, tail
 
@@ -966,4 +977,5 @@ def build_fast_iwp(term, md, xf_dense, prior_diag_tail, prior_mean_tail,
         prior_mean_tail=jnp.asarray(prior_mean_tail, sdt),
         solve_dtype=sdt,
         engine=band_arrow.make_engine(dpad, p, q, s),
-        chunks=chunks)
+        chunks=chunks,
+        row_order=jnp.asarray(order))

@@ -281,9 +281,13 @@ def fused_fit_1d(backend, k: int = 4, theta0: float = 0.0,
 
 
 def build_fused_run_1d(backend, k: int, tol: float = 1e-9,
-                       max_iter: int = 40):
+                       max_iter: int = 40, jit: bool = True,
+                       return_states: bool = True):
     """Construct (without executing) the jitted fused-fit program of
-    fused_fit_1d."""
+    fused_fit_1d. jit=False returns the raw traceable function (for
+    embedding in larger programs, e.g. sharded replicate fits);
+    return_states=False drops the per-node latent/factor states (saves
+    memory when only mode/nlls are needed)."""
     dtype = backend.dtype
     cdt = getattr(backend, "compute_dtype", dtype)
     f_noise = 1e-9 if cdt in (np.float64, jnp.float64) else 3e-7
@@ -354,10 +358,13 @@ def build_fused_run_1d(backend, k: int, tol: float = 1e-9,
                     "done": done, "it": c["it"] + 1,
                 }
 
-            z = jnp.asarray(0.0, dtype)
-            c0 = {"th": th0, "f": f0, "g": g0, "state": st0,
-                  "h_est": z, "cap": jnp.asarray(2.0, dtype),
-                  "last_dir": z, "final": jnp.asarray(False),
+            # zero tied to f0 so every carry component starts with the
+            # same sharding 'varying' status as the body outputs
+            # (shard_map rejects replicated-init/varying-output carries)
+            z = jnp.asarray(0.0, dtype) * f0
+            c0 = {"th": th0 + z, "f": f0, "g": g0, "state": st0,
+                  "h_est": z, "cap": jnp.asarray(2.0, dtype) + z,
+                  "last_dir": z, "final": z > jnp.asarray(1.0, dtype),
                   "th_root": z, "done": jnp.abs(g0) < tol,
                   "it": jnp.asarray(0)}
             c = jax.lax.while_loop(cond, body, c0)
@@ -379,19 +386,24 @@ def build_fused_run_1d(backend, k: int, tol: float = 1e-9,
                 warm = warm_neg if z1[j] < 0 else warm_pos
                 nllj, stj = backend.nll_warm(
                     jnp.reshape(nodes[j], (1,)), warm)
-                factor = backend.hessian_factor(stj[0], stj[1],
-                                                jnp.reshape(nodes[j], (1,)))
-                outs[j] = (nllj, (stj[0], stj[1], factor))
+                if return_states:
+                    factor = backend.hessian_factor(
+                        stj[0], stj[1], jnp.reshape(nodes[j], (1,)))
+                    outs[j] = (nllj, (stj[0], stj[1], factor))
+                else:
+                    outs[j] = (nllj, None)
                 if z1[j] < 0:
                     warm_neg = stj
                 else:
                     warm_pos = stj
             nlls = jnp.stack([o[0] for o in outs])
+            if not return_states:
+                return mode, H, nodes, nlls
             states = jax.tree_util.tree_map(
                 lambda *xs: jnp.stack(xs), *[o[1] for o in outs])
             return mode, H, nodes, nlls, states
 
-        return jax.jit(run)
+        return jax.jit(run) if jit else run
 
 
 def optimize_theta(backend, s: int, theta0=None, tol=1e-9, max_iter=100,
