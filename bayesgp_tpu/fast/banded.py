@@ -11,8 +11,9 @@ with the conditional Hessian an arrowhead system
     H = [[ Bd^T D Bd + e^{th_drv} P_drv   (band W),   C ],
          [ C^T,                            Hd(theta)     ]]
 
-factored by the block-tridiagonal + Schur machinery of
-linalg/block_tridiag.py.
+factored by the linalg/band_arrow engine (Pallas double-float band
+kernels on TPU; block-tridiagonal + Schur scan of
+linalg/block_tridiag.py on CPU).
 
 Driver structures:
   - IWP  — O-spline space reparametrized to compact-support B-splines

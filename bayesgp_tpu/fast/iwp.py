@@ -8,12 +8,13 @@ B-spline-reparametrized formulation (basis/reparam.py):
   H      = [[B^T D B + e^th P_V  (band p+1),   C ],
             [C^T,                            Hd  ]]   (arrowhead)
 
-Band assembly is one `segment_sum` of per-row (p+1)x(p+1) outer products
-(O(n p^2), fully parallel); the factorization is the block-tridiagonal
-Cholesky of linalg/block_tridiag.py (O(d s^2) with ~d/s sequential
-steps). Everything is jit/vmap/grad-compatible; the Laplace marginal
-value matches the dense path exactly (minus the constant log|det T| of
-the coordinate change, which is subtracted for parity).
+Band assembly runs as dense per-chunk MXU matmuls (ChunkDesign; gather
+fallback for clustered data); the factorization goes through the
+linalg/band_arrow engine — Pallas double-float band kernels on TPU,
+block-tridiagonal scan (linalg/block_tridiag.py) on CPU. Everything is
+jit/grad-compatible; the Laplace marginal value matches the dense path
+exactly (minus the constant log|det T| of the coordinate change, which
+is subtracted for parity).
 """
 from __future__ import annotations
 
