@@ -93,7 +93,11 @@ def _factor_kernel(bw, W, R, bh, bl, ch, cl, Lh, Ll, yh, yl, misc):
         Lcol = (jnp.where(band_mask, Lcol[0], f0),
                 jnp.where(band_mask, Lcol[1], f0))
         ynew = dd.mul(yacc, rs)
-        ldh, ldl = dd.add((ldh, ldl), dd.log(dpair))
+        # pivot log on the whole row (Mosaic bitcast needs vectors, not
+        # scalars); only lane 0 (the pivot) is read — other lanes hold
+        # off-band values whose "logs" are garbage and ignored
+        lprow = dd.log_precise((acc[0], acc[1]))
+        ldh, ldl = dd.add((ldh, ldl), (lprow[0][0, 0], lprow[1][0, 0]))
         Lh[pl.ds(j, 1), :] = (Lcol[0]
                               + jnp.where(lane == bw + 1, rs[0], f0)
                               + jnp.where(lane == bw + 2, rs[1], f0))

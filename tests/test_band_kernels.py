@@ -49,7 +49,8 @@ def test_factor_solves_vs_numpy(d, bw):
         np.testing.assert_allclose(col, np.diag(Lnp, -o), atol=1e-12)
 
     hld = 0.5 * (float(misc[0, 0]) + float(misc[0, 1]))
-    assert abs(hld - np.sum(np.log(np.diag(Lnp)))) < 1e-5
+    # dd.log_precise keeps the accumulated pivot logs at ~2^-45 absolute
+    assert abs(hld - np.sum(np.log(np.diag(Lnp)))) < 1e-11
 
     Y = np.asarray(bk.unpack((Yh, Yl), d, bw, q))
     np.testing.assert_allclose(Y, np.linalg.solve(Lnp, C), atol=1e-10)
@@ -117,7 +118,7 @@ def test_engine_parity(q):
     fp, fb = eng_p.factor(*args), eng_b.factor(*args)
 
     hld_ref = 0.5 * np.linalg.slogdet(Hfull)[1]
-    assert abs(float(eng_p.half_logdet(fp)) - hld_ref) < 1e-5
+    assert abs(float(eng_p.half_logdet(fp)) - hld_ref) < 1e-9
     assert abs(float(eng_b.half_logdet(fb)) - hld_ref) < 1e-8
 
     rb, rd = rng.normal(size=d), rng.normal(size=q)
@@ -161,3 +162,32 @@ def test_dd_arithmetic():
                                1.0 / np.sqrt(pos), rtol=1e-13)
     np.testing.assert_allclose(np.asarray(dd.to_f64(dd.recip(p))),
                                1.0 / pos, rtol=1e-13)
+
+
+def test_dd_under_jit():
+    """REGRESSION: XLA's algebraic simplifier can silently destroy
+    error-free transformations under jit — measured failures were
+    mul(x, divide(1, x)) -> 1 inside the old recip's Newton residual
+    and sub(add(u, 2), 2) -> u inside a constant-first two_sum (see
+    dd.recip / dd.log_precise docstrings). Everything here must hold
+    COMPILED, not just eager."""
+    from bayesgp_tpu.linalg import dd
+    rng = np.random.default_rng(4)
+    x64 = np.abs(rng.normal(size=2048)) * 10.0 ** rng.uniform(-6, 6, 2048)
+    p = dd.from_f64(jnp.asarray(x64))
+    out = np.asarray(dd.to_f64(jax.jit(dd.log_precise)(p)))
+    np.testing.assert_allclose(out, np.log(x64), atol=2e-13, rtol=0)
+
+    r = np.asarray(dd.to_f64(jax.jit(dd.recip)(p)))
+    np.testing.assert_allclose(r, 1.0 / x64, rtol=1e-13)
+    rs = np.asarray(dd.to_f64(jax.jit(dd.rsqrt)(p)))
+    np.testing.assert_allclose(rs, 1.0 / np.sqrt(x64), rtol=1e-13)
+
+    mixed = rng.normal(size=2048) * 10.0 ** rng.uniform(-6, 6, 2048)
+    q = dd.from_f64(jnp.asarray(mixed))
+    rm = np.asarray(dd.to_f64(jax.jit(dd.recip)(q)))
+    np.testing.assert_allclose(rm, 1.0 / mixed, rtol=1e-13)
+
+    out2 = np.asarray(dd.to_f64(jax.jit(
+        lambda a, b: dd.mul(dd.add(a, b), b))(p, q)))
+    np.testing.assert_allclose(out2, (x64 + mixed) * mixed, rtol=5e-13)
