@@ -146,6 +146,7 @@ class BandedBackend:
     val_grad_warm_fn, hess_warm_fn, vmap_nll_warm_fn, node_eval, sample).
     """
     supports_fused_1d = True   # inference/aghq.fused_fit_1d eligible
+    supports_fused_nd = True   # fused BFGS + node programs (s > 1)
     md: Any
     drv_theta: int    # driver's theta index
     Wl: int           # window length

@@ -89,6 +89,7 @@ class FastIWPBackend:
     negligible next to the O(n) float32 work even under TPU emulation.
     """
     supports_fused_1d = True   # inference/aghq.fused_fit_1d eligible
+    supports_fused_nd = True   # fused BFGS + node programs (s > 1)
     # static/host data
     term: Any
     md: Any

@@ -406,6 +406,167 @@ def build_fused_run_1d(backend, k: int, tol: float = 1e-9,
         return jax.jit(run) if jit else run
 
 
+def build_fused_opt_nd(backend, s: int, tol: float = 1e-9,
+                       max_iter: int = 60, jit: bool = True):
+    """The s>1 outer optimization as ONE jitted device program: the
+    gradient-only BFGS of `optimize_theta` (same accept/update/stall
+    logic) inside a lax.while_loop, plus the central-difference outer
+    Hessian at the mode — a single dispatch instead of ~2 per BFGS
+    iteration plus 2s for the Hessian (each ~30 ms of tunnel overhead,
+    BENCH_NOTES.md). The reference runs this loop in R calling TMB per
+    evaluation (aghq::marginal_laplace_tmb, R/02_model_fit.R:284).
+
+    Differences from the host loop: the line search halves alpha across
+    while-loop iterations instead of inside one (a rejection costs one
+    cheap extra iteration), and a non-descent direction resets the
+    curvature for the SAME step rather than retrying.
+
+    Returns (mode (s,), H (s, s), state) — state is the warm latent
+    solution at the mode for downstream node evaluation.
+    """
+    dtype = backend.dtype
+    cdt = getattr(backend, "compute_dtype", dtype)
+    f_eps = 1e-9 if cdt in (np.float64, jnp.float64) else 3e-7
+    h_fd = 1e-4 if cdt in (np.float64, jnp.float64) else 0.3
+    eye = jnp.eye(s, dtype=dtype)
+
+    def vg(th, state):
+        (f, st), g = jax.value_and_grad(backend.nll_warm, has_aux=True)(
+            th.astype(dtype), state)
+        return f, g, st
+
+    def run(th0, state0):
+        f0, g0, st0 = vg(th0, state0)
+        gmax0 = jnp.max(jnp.abs(g0))
+        z = jnp.asarray(0.0, dtype) * f0   # sharding-varying zero
+        c0 = {"th": th0 + z, "f": f0, "g": g0, "state": st0,
+              "Hinv": eye / jnp.maximum(gmax0, 1.0),
+              "alpha": jnp.asarray(1.0, dtype) + z,
+              "stall": jnp.asarray(0),
+              "done": gmax0 < tol, "it": jnp.asarray(0)}
+
+        def cond(c):
+            return jnp.logical_and(~c["done"], c["it"] < max_iter)
+
+        def body(c):
+            g = c["g"]
+            gmax = jnp.max(jnp.abs(g))
+            step = c["Hinv"] @ g
+            dec = jnp.dot(step, g)
+            bad = ~jnp.isfinite(dec) | (dec <= 0)
+            # curvature lost positive-definiteness: cautious reset
+            Hu = jnp.where(bad, eye / jnp.maximum(gmax, 1.0), c["Hinv"])
+            step = jnp.where(bad, g / jnp.maximum(gmax, 1.0), step)
+            dec = jnp.where(bad, jnp.dot(step, g), dec)
+            cand = c["th"] - c["alpha"] * step
+            f_t, g_t, st_t = vg(cand, c["state"])
+            ok = jnp.isfinite(f_t) & (
+                f_t <= c["f"] + 1e-12 * (1.0 + jnp.abs(c["f"])))
+            sk = cand - c["th"]
+            yk = g_t - g
+            sy = jnp.dot(sk, yk)
+            good_sy = sy > 1e-12 * (jnp.linalg.norm(sk)
+                                    * jnp.linalg.norm(yk) + 1e-300)
+            rho = 1.0 / jnp.where(good_sy, sy, 1.0)
+            Vm = eye - rho * jnp.outer(sk, yk)
+            Hb = Vm @ Hu @ Vm.T + rho * jnp.outer(sk, sk)
+            H2 = jnp.where(ok & good_sy, Hb, Hu)
+            improved = (c["f"] - f_t) > f_eps * (1.0 + jnp.abs(c["f"]))
+            stall2 = jnp.where(ok & improved, 0,
+                               jnp.where(ok, c["stall"] + 1, c["stall"]))
+            alpha2 = jnp.where(ok, jnp.asarray(1.0, dtype),
+                               c["alpha"] * 0.5)
+            th2 = jnp.where(ok, cand, c["th"])
+            f2 = jnp.where(ok, f_t, c["f"])
+            g2 = jnp.where(ok, g_t, c["g"])
+            st2 = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(ok, a, b), st_t, c["state"])
+            gmax2 = jnp.max(jnp.abs(g2))
+            done = ((gmax2 < tol) | (stall2 >= 2) | (alpha2 < 1e-6)
+                    | (dec < 1e-13 * (1.0 + jnp.abs(f2))))
+            return {"th": th2, "f": f2, "g": g2, "state": st2,
+                    "Hinv": H2, "alpha": alpha2, "stall": stall2,
+                    "done": done, "it": c["it"] + 1}
+
+        c = jax.lax.while_loop(cond, body, c0)
+        mode, st = c["th"], c["state"]
+        # central-difference outer Hessian at the mode (exact implicit
+        # gradients underneath; step size rationale in hess_warm_fn)
+        cols = []
+        for i in range(s):
+            ei = jnp.zeros((s,), dtype).at[i].set(h_fd)
+            _, gp, _ = vg(mode + ei, st)
+            _, gm, _ = vg(mode - ei, st)
+            cols.append((gp - gm) / (2 * h_fd))
+        H = jnp.stack(cols)
+        return mode, 0.5 * (H + H.T), st
+
+    return jax.jit(run) if jit else run
+
+
+def _node_chain(z: np.ndarray):
+    """Static warm-start chain over quadrature nodes: evaluate in
+    |z|-ascending order, each node warm-started from the NEAREST
+    already-evaluated node (-1 = the mode's state). Adjacent nodes share
+    most of their inner solution, so chained warm starts cut the Newton
+    iterations per node (same idea as the 1d fused fit's two-sided
+    chaining, generalized to product grids)."""
+    order = np.argsort(np.linalg.norm(np.atleast_2d(z), axis=1))
+    chain, done = [], []
+    for j in order:
+        if not done:
+            chain.append((int(j), -1))
+        else:
+            d2 = [float(np.sum((z[j] - z[p]) ** 2)) for p in done]
+            chain.append((int(j), done[int(np.argmin(d2))]))
+        done.append(int(j))
+    return chain
+
+
+def build_fused_nodes(backend, chain, return_states: bool = True,
+                      jit: bool = True):
+    """One-program evaluation of J quadrature nodes (a single dispatch
+    instead of J): statically unrolled warm-chained Laplace solves, with
+    per-node Hessian factors when `return_states` (needed for posterior
+    sampling; dropped for the cheaper marginal re-adaptation evals).
+
+    `chain` is the static (node, parent) order from _node_chain."""
+    def run(nodes, warm):
+        outs = [None] * len(chain)
+        states = {}
+        for j, parent in chain:
+            wm = warm if parent < 0 else states[parent]
+            nllj, stj = backend.nll_warm(nodes[j], wm)
+            states[j] = stj
+            if return_states:
+                factor = backend.hessian_factor(stj[0], stj[1], nodes[j])
+                outs[j] = (nllj, (stj[0], stj[1], factor))
+            else:
+                outs[j] = (nllj, None)
+        nlls = jnp.stack([o[0] for o in outs])
+        if not return_states:
+            return nlls
+        st = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[o[1] for o in outs])
+        return nlls, st
+
+    return jax.jit(run) if jit else run
+
+
+def _fused_nodes_cached(backend, z: np.ndarray, return_states: bool):
+    """Per-backend cache of compiled fused node programs, keyed by node
+    count (the z grid is fixed given (k, s), so shapes and the chain are
+    static)."""
+    cache = getattr(backend, "_fused_node_progs", None)
+    if cache is None:
+        cache = backend._fused_node_progs = {}
+    key = (len(z), return_states)
+    if key not in cache:
+        cache[key] = build_fused_nodes(backend, _node_chain(z),
+                                       return_states=return_states)
+    return cache[key]
+
+
 def optimize_theta(backend, s: int, theta0=None, tol=1e-9, max_iter=100,
                    verbose=False):
     """Gradient-only BFGS optimization of the Laplace marginal nll,
@@ -522,8 +683,19 @@ def aghq_fit(md_or_backend, k: int = 4, theta0=None, verbose=False) -> AGHQFit:
         fit.marginals = [marginal_posterior(fit, backend, 0)]
         return fit
 
-    mode, H, _, warm = optimize_theta(backend, s, theta0=theta0,
-                                      verbose=verbose)
+    fused_nd = s > 1 and getattr(backend, "supports_fused_nd", False)
+    if fused_nd:
+        # fused outer optimization: BFGS + FD Hessian in one dispatch
+        if not hasattr(backend, "_fused_opt_nd"):
+            backend._fused_opt_nd = build_fused_opt_nd(backend, s)
+        th0 = (jnp.zeros((s,), backend.dtype) if theta0 is None
+               else jnp.asarray(np.atleast_1d(theta0), backend.dtype))
+        mode_d, H_d, warm = backend._fused_opt_nd(th0,
+                                                  backend.init_state())
+        mode, H = np.asarray(mode_d), np.asarray(H_d)
+    else:
+        mode, H, _, warm = optimize_theta(backend, s, theta0=theta0,
+                                          verbose=verbose)
 
     cov = np.linalg.inv(H)
     cov = 0.5 * (cov + cov.T)
@@ -543,7 +715,11 @@ def aghq_fit(md_or_backend, k: int = 4, theta0=None, verbose=False) -> AGHQFit:
     logw = logw_base + np.log(np.diag(L)).sum()
 
     nodes_j = jnp.asarray(nodes, backend.dtype)
-    nlls, states = backend.node_eval(nodes_j, warm=warm)
+    if fused_nd:
+        # all k^s warm-chained node evaluations in one dispatch
+        nlls, states = _fused_nodes_cached(backend, z, True)(nodes_j, warm)
+    else:
+        nlls, states = backend.node_eval(nodes_j, warm=warm)
     nlls = np.asarray(nlls)
 
     logpost_w = -nlls + logw
@@ -585,7 +761,12 @@ def marginal_posterior(fit: AGHQFit, backend, j: int, warm=None):
     inv = np.argsort(idx)
     nodes_orig = nodes_p[:, inv]
     nodes_dev = jnp.asarray(nodes_orig, backend.dtype)
-    if warm is not None and hasattr(backend, "vmap_nll_warm_fn"):
+    if warm is not None and getattr(backend, "supports_fused_nd", False):
+        # single-dispatch stateless node evals (same J as the main grid,
+        # so the compiled program is reused across the s marginals)
+        nlls = np.asarray(
+            _fused_nodes_cached(backend, z, False)(nodes_dev, warm))
+    elif warm is not None and hasattr(backend, "vmap_nll_warm_fn"):
         nlls = np.asarray(backend.vmap_nll_warm_fn()(nodes_dev, warm))
     else:
         nlls = np.asarray(backend.vmap_nll_fn()(nodes_dev))

@@ -158,3 +158,23 @@ def test_multiterm_fit_samples_reference_order():
     mu_d, mu_b = s_d.mean(axis=1), s_b.mean(axis=1)
     sd_d = s_d.std(axis=1) + 1e-3
     assert np.max(np.abs(mu_d - mu_b) / sd_d) < 0.15
+
+
+def test_fused_nd_matches_host_path():
+    """The fused s>1 programs (build_fused_opt_nd + build_fused_nodes)
+    must reproduce the host-loop BFGS + node_eval path: same mode,
+    Hessian, lognormconst, and marginals (CPU f64: both converge to
+    |g| < tol, so agreement is to optimizer tolerance, not fp noise)."""
+    instances, md, dmf, bf_prec, bf_mean = _multiterm_problem()
+    b_f = build_banded_backend(instances, md, dmf, bf_prec, bf_mean)
+    fit_f = aghq_fit(b_f, k=3)
+    b_h = build_banded_backend(instances, md, dmf, bf_prec, bf_mean)
+    b_h.supports_fused_nd = False        # instance override -> host path
+    fit_h = aghq_fit(b_h, k=3)
+    assert abs(fit_f.lognormconst - fit_h.lognormconst) < 1e-6
+    np.testing.assert_allclose(fit_f.mode, fit_h.mode, atol=1e-5)
+    np.testing.assert_allclose(fit_f.hessian, fit_h.hessian, rtol=1e-4)
+    for mf, mh in zip(fit_f.marginals, fit_h.marginals):
+        np.testing.assert_allclose(mf["theta"], mh["theta"], atol=1e-5)
+        np.testing.assert_allclose(mf["logmargpost"], mh["logmargpost"],
+                                   atol=1e-5)
