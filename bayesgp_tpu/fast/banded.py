@@ -50,7 +50,7 @@ import jax.numpy as jnp
 from ..basis import reparam
 from ..model import families
 from ..linalg import band_arrow
-from .iwp import ChunkDesign, _acc_window
+from .iwp import ChunkDesign
 
 LOG2PI = math.log(2.0 * math.pi)
 
@@ -286,10 +286,7 @@ class BandedBackend:
             uc = self._rows_chunked(u)
             contrib = jnp.einsum("cnw,cn->cw", ck.D, uc)
             c64 = contrib.astype(self.dtype)
-            out = jnp.zeros((self.dpad + ck.w,), self.dtype)
-            for c in range(ck.nc):
-                out = _acc_window(out, c64[c], int(ck.bases[c]))
-            return out[:self.dpad]
+            return ck.overlap_add(c64, self.dpad + ck.w)[:self.dpad]
         seg = self._segsum(self.valsT * u[None, :]).astype(self.dtype)
         out = jnp.zeros((self.dpad,), self.dtype)
         for a in range(self.Wl):
@@ -312,10 +309,7 @@ class BandedBackend:
                 dg = jnp.diagonal(G64, offset=-o, axis1=1, axis2=2)
                 pieces.append(jnp.pad(dg, ((0, 0), (0, o))))
             piece = jnp.stack(pieces, axis=1)           # (nc, Wl, w)
-            band = jnp.zeros((Wl, self.dpad + ck.w), self.dtype)
-            for c in range(ck.nc):
-                band = _acc_window(band, piece[c], int(ck.bases[c]))
-            band = band[:, :self.dpad]
+            band = ck.overlap_add(piece, self.dpad + ck.w)[:, :self.dpad]
         else:
             outersT = (wts[None, None, :] * self.valsT[:, None, :]
                        * self.valsT[None, :, :])
@@ -341,14 +335,9 @@ class BandedBackend:
             ck = self.chunks
             wc = self._rows_chunked(wts)
             WX = wc[:, :, None] * ck.XFp_rows
-            CC = jnp.einsum("cnw,cnq->cwq", ck.D, WX)
+            CC = jnp.einsum("cnw,cnq->cqw", ck.D, WX)
             C64 = CC.astype(self.dtype)
-            Cb = jnp.zeros((self.dpad + ck.w, self.q), self.dtype)
-            for c in range(ck.nc):
-                b = int(ck.bases[c])
-                cur = jax.lax.dynamic_slice(Cb, (b, 0), (ck.w, self.q))
-                Cb = jax.lax.dynamic_update_slice(Cb, cur + C64[c], (b, 0))
-            C = Cb[:self.dpad]
+            C = ck.overlap_add(C64, self.dpad + ck.w)[:, :self.dpad].T
         else:
             wXFT = wts[None, :] * self.XFpT
             M = self._segsum(

@@ -132,3 +132,37 @@ def test_sample_mixture_moments():
     assert np.all(mean_err < 5 * sd / np.sqrt(M) + 1e-3)
     emp_cov = np.cov(samps)
     assert np.abs(emp_cov - cov).max() < 0.1 * (np.abs(cov).max() + 0.1)
+
+
+def test_multichunk_overlap_add_parity():
+    """n >> CHUNK so the MXU path has several OVERLAPPING chunk windows:
+    exercises ChunkDesign.rounds / overlap_add (round-colored static
+    concatenations replacing the per-chunk DUS chain). Laplace nll and
+    gradient must match the dense backend."""
+    import numpy as np
+    from bayesgp_tpu import terms as T
+    from bayesgp_tpu.model import build as B
+    from bayesgp_tpu.fast.iwp import build_fast_iwp
+    from bayesgp_tpu.inference.aghq import DenseBackend
+
+    rng = np.random.default_rng(0)
+    n, k = 6000, 80
+    x = np.sort(rng.uniform(0.0, 100.0, n))
+    y = rng.poisson(np.exp(1.0 + 0.5 * np.sin(x / 5))).astype(np.float64)
+    inst = T.build_iwp_term("x", x, order=3, k=k)
+    dmf = [np.ones((n, 1))]
+    md = B.build_model_data([inst], dmf, y, "Poisson")
+    xf = np.concatenate([inst.X] + dmf, axis=1)
+    pt = np.full(xf.shape[1], 0.01)
+    be = build_fast_iwp(inst, md, xf, pt, np.zeros_like(pt), inst.x_data)
+    ck = be.chunks
+    assert ck is not None and ck.nc > 2
+    covered = sorted(c for r in ck.rounds for c in r)
+    assert covered == list(range(ck.nc))       # each chunk exactly once
+    th = jnp.asarray([1.0])
+    v_f = float(jax.jit(be.nll)(th))
+    v_d = float(jax.jit(DenseBackend(md).nll)(th))
+    assert abs(v_f - v_d) < 1e-6 * (1 + abs(v_d))
+    g_f = np.asarray(jax.grad(be.nll)(th))
+    g_d = np.asarray(jax.grad(DenseBackend(md).nll)(th))
+    np.testing.assert_allclose(g_f, g_d, rtol=1e-5, atol=1e-6)
