@@ -491,64 +491,78 @@ def build_fused_opt_nd(backend, s: int, tol: float = 1e-9,
         c = jax.lax.while_loop(cond, body, c0)
         mode, st = c["th"], c["state"]
         # central-difference outer Hessian at the mode (exact implicit
-        # gradients underneath; step size rationale in hess_warm_fn)
-        cols = []
+        # gradients underneath; step size rationale in hess_warm_fn).
+        # lax.scan over the 2s FD points — ONE traced Laplace body
+        # instead of 2s copies (compile time; every point warm-starts
+        # from the mode's state, which the carry passes through
+        # unchanged)
+        offs = np.zeros((2 * s, s))
         for i in range(s):
-            ei = jnp.zeros((s,), dtype).at[i].set(h_fd)
-            _, gp, _ = vg(mode + ei, st)
-            _, gm, _ = vg(mode - ei, st)
-            cols.append((gp - gm) / (2 * h_fd))
-        H = jnp.stack(cols)
+            offs[2 * i, i] = h_fd
+            offs[2 * i + 1, i] = -h_fd
+
+        def fd_body(wm, dth):
+            _, g, _ = vg(mode + dth, wm)
+            return wm, g
+
+        _, gs = jax.lax.scan(fd_body, st, jnp.asarray(offs, dtype))
+        H = (gs[0::2] - gs[1::2]) / (2 * h_fd)
         return mode, 0.5 * (H + H.T), st
 
     return jax.jit(run) if jit else run
 
 
-def _node_chain(z: np.ndarray):
-    """Static warm-start chain over quadrature nodes: evaluate in
-    |z|-ascending order, each node warm-started from the NEAREST
-    already-evaluated node (-1 = the mode's state). Adjacent nodes share
-    most of their inner solution, so chained warm starts cut the Newton
-    iterations per node (same idea as the 1d fused fit's two-sided
-    chaining, generalized to product grids)."""
-    order = np.argsort(np.linalg.norm(np.atleast_2d(z), axis=1))
-    chain, done = [], []
-    for j in order:
-        if not done:
-            chain.append((int(j), -1))
-        else:
-            d2 = [float(np.sum((z[j] - z[p]) ** 2)) for p in done]
-            chain.append((int(j), done[int(np.argmin(d2))]))
-        done.append(int(j))
-    return chain
+def _node_tour(z: np.ndarray):
+    """Static evaluation order over quadrature nodes: greedy nearest-
+    neighbor tour starting at the node closest to the mode. The fused
+    node program lax.scans along this tour with the inner solution as
+    carry, so consecutive warm starts are between NEARBY nodes (same
+    idea as the 1d fused fit's two-sided chaining, generalized to
+    product grids)."""
+    z = np.atleast_2d(np.asarray(z, np.float64))
+    J = z.shape[0]
+    left = set(range(J))
+    cur = int(np.argmin(np.linalg.norm(z, axis=1)))
+    tour = [cur]
+    left.discard(cur)
+    while left:
+        rest = sorted(left)
+        d2 = [float(np.sum((z[cur] - z[j]) ** 2)) for j in rest]
+        cur = rest[int(np.argmin(d2))]
+        tour.append(cur)
+        left.discard(cur)
+    return np.asarray(tour)
 
 
-def build_fused_nodes(backend, chain, return_states: bool = True,
+def build_fused_nodes(backend, tour, return_states: bool = True,
                       jit: bool = True):
     """One-program evaluation of J quadrature nodes (a single dispatch
-    instead of J): statically unrolled warm-chained Laplace solves, with
-    per-node Hessian factors when `return_states` (needed for posterior
-    sampling; dropped for the cheaper marginal re-adaptation evals).
+    instead of J): a lax.scan of warm-chained Laplace solves along the
+    static `tour` order (_node_tour), with per-node Hessian factors when
+    `return_states` (needed for posterior sampling; dropped for the
+    cheaper marginal re-adaptation evals). scan — not unrolling — keeps
+    ONE traced copy of the inner solve (a statically unrolled k^s-node
+    program blew past 50 min of compile at moderate scale; the scan
+    body compiles once and runs fine over the Pallas band kernels at
+    d=2048, measured on-chip)."""
+    tour = np.asarray(tour)
+    inv = np.argsort(tour)
 
-    `chain` is the static (node, parent) order from _node_chain."""
     def run(nodes, warm):
-        outs = [None] * len(chain)
-        states = {}
-        for j, parent in chain:
-            wm = warm if parent < 0 else states[parent]
-            nllj, stj = backend.nll_warm(nodes[j], wm)
-            states[j] = stj
+        nodes_t = nodes[tour]
+
+        def body(wm, th):
+            nll, st = backend.nll_warm(th, wm)
             if return_states:
-                factor = backend.hessian_factor(stj[0], stj[1], nodes[j])
-                outs[j] = (nllj, (stj[0], stj[1], factor))
-            else:
-                outs[j] = (nllj, None)
-        nlls = jnp.stack([o[0] for o in outs])
+                factor = backend.hessian_factor(st[0], st[1], th)
+                return st, (nll, (st[0], st[1], factor))
+            return st, (nll, jnp.zeros(()))
+
+        _, (nlls, sts) = jax.lax.scan(body, warm, nodes_t)
         if not return_states:
-            return nlls
-        st = jax.tree_util.tree_map(
-            lambda *xs: jnp.stack(xs), *[o[1] for o in outs])
-        return nlls, st
+            return nlls[inv]
+        sts = jax.tree_util.tree_map(lambda a: a[inv], sts)
+        return nlls[inv], sts
 
     return jax.jit(run) if jit else run
 
@@ -562,7 +576,7 @@ def _fused_nodes_cached(backend, z: np.ndarray, return_states: bool):
         cache = backend._fused_node_progs = {}
     key = (len(z), return_states)
     if key not in cache:
-        cache[key] = build_fused_nodes(backend, _node_chain(z),
+        cache[key] = build_fused_nodes(backend, _node_tour(z),
                                        return_states=return_states)
     return cache[key]
 

@@ -1,0 +1,123 @@
+"""Secondary on-chip benchmarks (not the driver's headline — that is
+bench.py). Mirrors BASELINE.md's other configs:
+
+  gauss2   n=1e5, k=2000 IWP3, Gaussian family -> s=2 hyperparameters
+           (smoothing + noise): the fused s>1 AGHQ path
+           (inference/aghq.build_fused_opt_nd / build_fused_nodes).
+  lynx     small sGP+IID Poisson model (lynx-scale): dispatch-bound
+           regime where fused programs matter most.
+  reps     R replicate responses on the headline design, lax.map'd on
+           ONE chip (the per-chip half of the BASELINE stretch config;
+           across-chip sharding is parallel/replicates.py).
+
+Usage: python bench_extra.py [gauss2|lynx|reps] (default: all)
+Prints one JSON line per config to stdout.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+import jax
+
+jax.config.update("jax_default_matmul_precision", "highest")
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+
+def _build_iwp(n, k, family, seed=0):
+    from bayesgp_tpu import terms as T
+    from bayesgp_tpu.model import build as B
+    from bayesgp_tpu.fast.iwp import build_fast_iwp
+
+    rng = np.random.default_rng(seed)
+    x = np.sort(rng.uniform(0.0, 365.0, n))
+    f_true = 1.5 + 0.8 * np.sin(2 * np.pi * x / 90.0) + 0.002 * x
+    if family == "Gaussian":
+        y = f_true + 0.3 * rng.normal(size=n)
+    else:
+        y = rng.poisson(np.exp(f_true)).astype(np.float64)
+    inst = T.build_iwp_term("x", x, order=3, k=k, materialize_B=False)
+    dmf = [np.ones((n, 1))]
+    md = B.build_model_data([inst], dmf, y, family, dense_design=False)
+    xf = np.concatenate([inst.X] + dmf, axis=1)
+    pt = np.full(xf.shape[1], 0.01)
+    return build_fast_iwp(inst, md, xf, pt, np.zeros_like(pt),
+                          inst.x_data, dtype=np.float32)
+
+
+def bench_gauss2():
+    from bayesgp_tpu.inference.aghq import aghq_fit
+    be = _build_iwp(100_000, 2000, "Gaussian")
+    t0 = time.time()
+    fit = aghq_fit(be, k=4)
+    first = time.time() - t0
+    t0 = time.time()
+    fit = aghq_fit(be, k=4)
+    dt = time.time() - t0
+    print(json.dumps({"metric": "gauss2_n1e5_k2000_s2_aghq_fit_seconds",
+                      "value": round(dt, 4), "unit": "s",
+                      "first_compile_s": round(first, 1),
+                      "mode": np.asarray(fit.mode).tolist(),
+                      "lognormconst": round(fit.lognormconst, 3)}),
+          flush=True)
+
+
+def bench_lynx():
+    import bayesgp_tpu as bg
+    lynx = bg.datasets.lynx()
+    data = {"year": lynx["year"], "y": lynx["count"],
+            "idx": np.arange(len(lynx["year"]), dtype=float)}
+    f = ("y ~ f(x=year, model='sGP', a=a_val, k=30) "
+         "+ f(x=idx, model='IID', "
+         "sd_prior=dict(prior='exp', param=dict(u=1, alpha=0.01)))")
+
+    def run():
+        return bg.model_fit(f, data=data, family="Poisson", M=1000,
+                            seed=0, engine="banded",
+                            env={"a_val": 2 * np.pi / 10})
+    t0 = time.time()
+    fit = run()
+    first = time.time() - t0
+    t0 = time.time()
+    fit = run()
+    dt = time.time() - t0
+    print(json.dumps({"metric": "lynx_sgp_iid_fit_seconds",
+                      "value": round(dt, 4), "unit": "s",
+                      "first_compile_s": round(first, 1),
+                      "mode": np.asarray(fit.mod.mode).tolist()}),
+          flush=True)
+
+
+def bench_reps(R=4):
+    from bayesgp_tpu.parallel.replicates import replicate_fits
+    be = _build_iwp(100_000, 2000, "Poisson")
+    rng = np.random.default_rng(1)
+    # replicate responses: same design, re-drawn Poisson noise
+    base = np.asarray(be.md.y, np.float64)
+    inv = np.argsort(np.asarray(be.row_order))
+    lam = np.maximum(base, 0.5)
+    ys = np.stack([rng.poisson(lam)[inv].astype(np.float64)
+                   for _ in range(R)])
+    t0 = time.time()
+    modes, lncs = replicate_fits(be, ys, k=4)
+    first = time.time() - t0
+    t0 = time.time()
+    modes, lncs = replicate_fits(be, ys, k=4)
+    dt = time.time() - t0
+    print(json.dumps({"metric": f"replicates_R{R}_onechip_seconds",
+                      "value": round(dt, 4), "unit": "s",
+                      "per_fit_s": round(dt / R, 4),
+                      "first_compile_s": round(first, 1),
+                      "modes": np.asarray(modes).tolist()}), flush=True)
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("gauss2", "all"):
+        bench_gauss2()
+    if which in ("lynx", "all"):
+        bench_lynx()
+    if which in ("reps", "all"):
+        bench_reps()
