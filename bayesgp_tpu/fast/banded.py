@@ -188,6 +188,13 @@ class BandedBackend:
         return self.md.n_theta
 
     @property
+    def em_dim(self):
+        """Driver's penalized dimension for the fused optimizer's
+        EM-style jump (valid on the s=1 fused path, where the single
+        theta IS the driver's; see fast/iwp.py em_dim)."""
+        return self.d_drv
+
+    @property
     def compute_dtype(self):
         return self.valsT.dtype
 
@@ -575,18 +582,40 @@ class BandedBackend:
             V, tail = self._refine(V, tail, theta)
         return jax.lax.stop_gradient(V), jax.lax.stop_gradient(tail)
 
-    def _laplace_value(self, V, tail, theta):
-        # arrow_half_logdet: Takahashi custom VJP on the Pallas engine
-        # (see fast/iwp.py._laplace_value)
+    def _laplace_value(self, V, tail, theta, factor=None):
+        # arrow_half_logdet: Takahashi custom VJP on the Pallas engine;
+        # `factor` skips re-factorizing (see fast/iwp.py._laplace_value)
         e0 = self.eta(V, tail)
         band_s, C_s, Hd, sc, sd = self._assemble_scaled(V, tail, theta,
                                                         eta=e0)
-        half_logdet = (self.engine.arrow_half_logdet(band_s, C_s, Hd)
-                       - jnp.sum(jnp.log(sc)) - jnp.sum(jnp.log(sd)))
+        if factor is None:
+            hld = self.engine.arrow_half_logdet(band_s, C_s, Hd)
+        else:
+            hld = self.engine.arrow_half_logdet_given(
+                band_s, C_s, Hd, jax.lax.stop_gradient(factor[0]))
+        half_logdet = hld - jnp.sum(jnp.log(sc)) - jnp.sum(jnp.log(sd))
         ll = families.log_lik(e0, self.md, theta.astype(self.compute_dtype))
         f = -ll.astype(self.dtype) + self._prior_neg(V, tail, theta)
         w_count = self.d + self.q
         return (f + half_logdet - 0.5 * w_count * LOG2PI - self.logdetT)
+
+    def _laplace_value_direct(self, V, tail, theta, factor):
+        """Primal-only Laplace value from a precomputed factor (no
+        Hessian assembly; see fast/iwp.py)."""
+        e0 = self.eta(V, tail)
+        ll = families.log_lik(e0, self.md, theta.astype(self.compute_dtype))
+        f = -ll.astype(self.dtype) + self._prior_neg(V, tail, theta)
+        w_count = self.d + self.q
+        return (f + self.half_logdet_H(factor)
+                - 0.5 * w_count * LOG2PI - self.logdetT)
+
+    def laplace_eval_full(self, theta, warm):
+        """(nll, (V, tail), factor) in one pass — the quadrature-node
+        evaluation primitive (see fast/iwp.py)."""
+        V, tail = self.solve_W_star(theta, warm=warm)
+        factor = self.hessian_factor(V, tail, theta)
+        val = self._laplace_value_direct(V, tail, theta, factor)
+        return val, (V, tail), factor
 
     def laplace_nll(self, theta, warm=None):
         val, (V, tail) = self._nll_custom(theta, warm if warm is not None
@@ -604,19 +633,24 @@ class BandedBackend:
         @jax.custom_vjp
         def nll_fn(theta, warm):
             V, tail = self.solve_W_star(theta, warm=warm)
-            return self._laplace_value(V, tail, theta), (V, tail)
+            factor = self.hessian_factor(V, tail, theta)
+            return self._laplace_value_direct(V, tail, theta, factor), \
+                (V, tail)
 
         def fwd(theta, warm):
             V, tail = self.solve_W_star(theta, warm=warm)
-            val = self._laplace_value(V, tail, theta)
-            return (val, (V, tail)), (theta, V, tail)
+            # ONE assembly+factorization shared by value and backward
+            factor = self.hessian_factor(V, tail, theta)
+            val = self._laplace_value_direct(V, tail, theta, factor)
+            return (val, (V, tail)), (theta, V, tail, factor)
 
         def bwd(res, cts):
-            theta, V, tail = res
+            theta, V, tail, factor = res
             ct_val = cts[0]
-            gF_V, gF_t, gF_th = jax.grad(self._laplace_value,
-                                         argnums=(0, 1, 2))(V, tail, theta)
-            factor = self.hessian_factor(V, tail, theta)
+            gF_V, gF_t, gF_th = jax.grad(
+                lambda V_, t_, th_: self._laplace_value(V_, t_, th_,
+                                                        factor=factor),
+                argnums=(0, 1, 2))(V, tail, theta)
             vV, vt = self.solve_H(factor, gF_V, gF_t)
 
             def gdotv(th):
@@ -706,8 +740,7 @@ class BandedBackend:
     def node_eval(self, thetas, warm=None):
         if not hasattr(self, "_node_eval_fn"):
             def one(th, wm):
-                nll, (V, tail) = self.laplace_nll(th, warm=wm)
-                factor = self.hessian_factor(V, tail, th)
+                nll, (V, tail), factor = self.laplace_eval_full(th, wm)
                 return nll, (V, tail, factor)
 
             self._node_eval_fn = jax.jit(one)

@@ -179,6 +179,15 @@ class FastIWPBackend:
         return self.md.n_theta
 
     @property
+    def em_dim(self):
+        """Penalized dimension entering the 0.5*d*theta prior term — the
+        coefficient the fused optimizer's EM-style jump needs (see
+        aghq.build_fused_run_1d): dF/dtheta = 0.5[e^th(Q + tr(H^-1 P))
+        - d] + hp'(th), so the fixed-point root from one gradient is
+        th + log(d / (2(g - hp') + d))."""
+        return self.d
+
+    @property
     def compute_dtype(self):
         return self.valsT.dtype
 
@@ -620,23 +629,52 @@ class FastIWPBackend:
             V, tail = self._refine(V, tail, theta)
         return jax.lax.stop_gradient(V), jax.lax.stop_gradient(tail)
 
-    def _laplace_value(self, V, tail, theta):
+    def _laplace_value(self, V, tail, theta, factor=None):
         """F(W, theta) = f + 1/2 log|H| - w/2 log(2 pi) - log|det T|.
 
         The log-det goes through engine.arrow_half_logdet: on the
         Pallas engine that carries a Takahashi-selected-inverse custom
         VJP, so jax.grad of this value (the implicit-function backward
         pass) never differentiates through the factorization
-        recurrence; the equilibration chain is plain parallel XLA AD."""
+        recurrence; the equilibration chain is plain parallel XLA AD.
+
+        `factor` (optional): a precomputed hessian_factor at the SAME
+        point — the half log-det's primal then skips re-factorizing
+        (engine.arrow_half_logdet_given) while keeping identical
+        cotangents. Used by the nll custom VJP to deduplicate the
+        3-assemblies-per-gradient it used to pay."""
         e0 = self.eta(V, tail)
         band_s, C_s, Hd, sc, sd = self._assemble_scaled(V, tail, theta,
                                                         eta=e0)
-        half_logdet = (self.engine.arrow_half_logdet(band_s, C_s, Hd)
-                       - jnp.sum(jnp.log(sc)) - jnp.sum(jnp.log(sd)))
+        if factor is None:
+            hld = self.engine.arrow_half_logdet(band_s, C_s, Hd)
+        else:
+            hld = self.engine.arrow_half_logdet_given(
+                band_s, C_s, Hd, jax.lax.stop_gradient(factor[0]))
+        half_logdet = hld - jnp.sum(jnp.log(sc)) - jnp.sum(jnp.log(sd))
         ll = families.log_lik(e0, self.md, theta.astype(self.compute_dtype))
         f = -ll.astype(self.dtype) + self._prior_neg(V, tail, theta)
         w_count = self.d + self.q
         return (f + half_logdet - 0.5 * w_count * LOG2PI - self.logdetT)
+
+    def _laplace_value_direct(self, V, tail, theta, factor):
+        """Laplace value from a precomputed factor, NO Hessian assembly
+        (primal-only — do not differentiate; use _laplace_value for AD)."""
+        e0 = self.eta(V, tail)
+        ll = families.log_lik(e0, self.md, theta.astype(self.compute_dtype))
+        f = -ll.astype(self.dtype) + self._prior_neg(V, tail, theta)
+        w_count = self.d + self.q
+        return (f + self.half_logdet_H(factor)
+                - 0.5 * w_count * LOG2PI - self.logdetT)
+
+    def laplace_eval_full(self, theta, warm):
+        """(nll, (V, tail), factor) in one pass — the quadrature-node
+        evaluation primitive (no theta-gradient machinery, factor
+        computed once and returned for sampling)."""
+        V, tail = self.solve_W_star(theta, warm=warm)
+        factor = self.hessian_factor(V, tail, theta)
+        val = self._laplace_value_direct(V, tail, theta, factor)
+        return val, (V, tail), factor
 
     def laplace_nll(self, theta, warm=None):
         """Laplace marginal nll, EQUAL to the dense/reference value:
@@ -663,21 +701,27 @@ class FastIWPBackend:
         @jax.custom_vjp
         def nll_fn(theta, warm):
             V, tail = self.solve_W_star(theta, warm=warm)
-            return self._laplace_value(V, tail, theta), (V, tail)
+            factor = self.hessian_factor(V, tail, theta)
+            return self._laplace_value_direct(V, tail, theta, factor), \
+                (V, tail)
 
         def fwd(theta, warm):
             V, tail = self.solve_W_star(theta, warm=warm)
-            val = self._laplace_value(V, tail, theta)
-            return (val, (V, tail)), (theta, V, tail)
+            # ONE assembly+factorization, shared by the value's half
+            # log-det here and the backward pass's solves/cotangents
+            factor = self.hessian_factor(V, tail, theta)
+            val = self._laplace_value_direct(V, tail, theta, factor)
+            return (val, (V, tail)), (theta, V, tail, factor)
 
         def bwd(res, cts):
-            theta, V, tail = res
+            theta, V, tail, factor = res
             ct_val = cts[0]
             # dnll/dth = dF/dth - (dg/dth)^T H^{-1} dF/dW   (g = df/dW = 0
             # at W*; total derivative through W* via the implicit function)
-            gF_V, gF_t, gF_th = jax.grad(self._laplace_value,
-                                         argnums=(0, 1, 2))(V, tail, theta)
-            factor = self.hessian_factor(V, tail, theta)
+            gF_V, gF_t, gF_th = jax.grad(
+                lambda V_, t_, th_: self._laplace_value(V_, t_, th_,
+                                                        factor=factor),
+                argnums=(0, 1, 2))(V, tail, theta)
             vV, vt = self.solve_H(factor, gF_V, gF_t)
 
             def gdotv(th):
@@ -782,8 +826,7 @@ class FastIWPBackend:
         the few warm-started node solves are cheap either way."""
         if not hasattr(self, "_node_eval"):
             def one(th, wm):
-                nll, (V, tail) = self.laplace_nll(th, warm=wm)
-                factor = self.hessian_factor(V, tail, th)
+                nll, (V, tail), factor = self.laplace_eval_full(th, wm)
                 return nll, (V, tail, factor)
 
             self._node_eval = jax.jit(one)

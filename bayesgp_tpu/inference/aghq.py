@@ -293,6 +293,17 @@ def build_fused_run_1d(backend, k: int, tol: float = 1e-9,
     f_noise = 1e-9 if cdt in (np.float64, jnp.float64) else 3e-7
     h_fd = 1e-4 if cdt in (np.float64, jnp.float64) else 0.3
     z1, _ = ghe_rule(k)
+    # EM-style jump constants (see em_dim docstring): by the envelope
+    # theorem dF/dth = 0.5[e^th(Q + tr(H^-1 P)) - d] + hp'(th), so one
+    # gradient gives the fixed-point root th + log(d / (2(g-hp') + d)).
+    # From a cold start this replaces the blind expanding-cap march
+    # (the mode sits ~14 units from th0=0 at headline scale) with 2-4
+    # self-correcting jumps; the secant polish takes over near the mode.
+    em_dim = getattr(backend, "em_dim", None)
+    if em_dim is not None:
+        _alpha = float(np.asarray(backend.md.alpha).reshape(-1)[0])
+        _u = float(np.asarray(backend.md.u).reshape(-1)[0])
+        em_phi = -math.log(_alpha) / _u
 
     if True:
         def vg(th_scalar, state):
@@ -312,7 +323,19 @@ def build_fused_run_1d(backend, k: int, tol: float = 1e-9,
                 h = jnp.where(have_h, c["h_est"],
                               jnp.maximum(jnp.abs(c["g"]), 1.0))
                 step = jnp.clip(c["g"] / h, -c["cap"], c["cap"])
-                full = jnp.abs(step) >= c["cap"] * 0.999
+                use_em = jnp.asarray(False)
+                if em_dim is not None:
+                    # exp-hyperprior slope: hp'(th) = 1/2 - phi/2 e^{-th/2}
+                    hp = 0.5 - 0.5 * em_phi * jnp.exp(-0.5 * c["th"])
+                    A = 2.0 * (c["g"] - hp) + em_dim
+                    em = jnp.log(jnp.asarray(float(em_dim), dtype)) \
+                        - jnp.log(jnp.maximum(A, 1e-4 * em_dim))
+                    em = jnp.clip(em, -8.0, 8.0)
+                    # far from the mode and not recovering from a
+                    # rejection (cap < 2 after any reject -> secant)
+                    use_em = (jnp.abs(em) > 0.5) & (c["cap"] >= 2.0)
+                    step = jnp.where(use_em, -em, step)
+                full = (~use_em) & (jnp.abs(step) >= c["cap"] * 0.999)
                 same_dir = jnp.sign(step) == c["last_dir"]
                 cap2 = jnp.where(full & same_dir,
                                  jnp.minimum(c["cap"] * 2.0, 16.0),
@@ -381,16 +404,25 @@ def build_fused_run_1d(backend, k: int, tol: float = 1e-9,
             # on each side (adjacent nodes share most of the solution)
             outs = [None] * k
             warm_neg = warm_pos = st
+            has_full = hasattr(backend, "laplace_eval_full")
             for j in np.argsort(np.abs(z1)):
                 j = int(j)
                 warm = warm_neg if z1[j] < 0 else warm_pos
-                nllj, stj = backend.nll_warm(
-                    jnp.reshape(nodes[j], (1,)), warm)
-                if return_states:
+                if return_states and has_full:
+                    # nll + state + factor in one pass (factor shared
+                    # with the value's half log-det)
+                    nllj, stj, factor = backend.laplace_eval_full(
+                        jnp.reshape(nodes[j], (1,)), warm)
+                    outs[j] = (nllj, (stj[0], stj[1], factor))
+                elif return_states:
+                    nllj, stj = backend.nll_warm(
+                        jnp.reshape(nodes[j], (1,)), warm)
                     factor = backend.hessian_factor(
                         stj[0], stj[1], jnp.reshape(nodes[j], (1,)))
                     outs[j] = (nllj, (stj[0], stj[1], factor))
                 else:
+                    nllj, stj = backend.nll_warm(
+                        jnp.reshape(nodes[j], (1,)), warm)
                     outs[j] = (nllj, None)
                 if z1[j] < 0:
                     warm_neg = stj
@@ -551,7 +583,12 @@ def build_fused_nodes(backend, tour, return_states: bool = True,
     def run(nodes, warm):
         nodes_t = nodes[tour]
 
+        has_full = hasattr(backend, "laplace_eval_full")
+
         def body(wm, th):
+            if return_states and has_full:
+                nll, st, factor = backend.laplace_eval_full(th, wm)
+                return st, (nll, (st[0], st[1], factor))
             nll, st = backend.nll_warm(th, wm)
             if return_states:
                 factor = backend.hessian_factor(st[0], st[1], th)

@@ -180,11 +180,38 @@ class PallasEngine:
         xb = bk.bwd_multi_fn(d, bw, mt, tile, self.interpret)(f.Lh, pad)
         return xb[W:W + d, :M].astype(zb.dtype), xd.astype(zd.dtype)
 
+    def _hld_bwd(self, f: PallasFactor, ct):
+        """Shared backward of the half log-det: d(0.5 log|H|)/dH =
+        0.5 H^{-1}, selected entries via the Takahashi kernel:
+        Hinv_bb|band = Takahashi(Hb) + band(W S^{-1} W^T),
+        Hinv_bd = -W S^{-1}, Hinv_dd = S^{-1}."""
+        d, bw, q = self.d, self.bw, self.q
+        W_ = self.W
+        Z = bk.takahashi_fn(d, bw, self.interpret)(f.Lh)
+        Zb = Z[W_:W_ + d, :bw + 1].astype(jnp.float64)      # (d, bw+1)
+        if q:
+            Wm = self.solve_Lt_dd(f, f.Y)                   # (d, q)
+            Sinv = small_solve_Lt(
+                f.Ls, small_solve_L(f.Ls, jnp.eye(q, dtype=f.Ls.dtype)))
+            A = Wm @ Sinv                                   # (d, q)
+            rows = []
+            for o in range(bw + 1):
+                v = jnp.sum(A[o:] * Wm[:d - o], axis=1)
+                rows.append(jnp.pad(v, (0, o)))
+            corr = jnp.stack(rows)                          # (bw+1, d)
+            ct_C = (-ct) * A
+            ct_Hd = (0.5 * ct) * Sinv
+        else:
+            corr = 0.0
+            ct_C = jnp.zeros((d, 0), jnp.float64)
+            ct_Hd = jnp.zeros((0, 0), jnp.float64)
+        hinv_band = Zb.T + corr
+        w = jnp.concatenate([jnp.full((1, d), 0.5), jnp.ones((bw, d))])
+        return (ct * w * hinv_band).astype(jnp.float64), ct_C, ct_Hd
+
     # -- AD entry point --------------------------------------------------
     def arrow_half_logdet(self, band, C, Hd):
         if self._hld is None:
-            d, bw, q = self.d, self.bw, self.q
-
             @jax.custom_vjp
             def hld(band, C, Hd):
                 return self.half_logdet(self.factor(band, C, Hd))
@@ -194,38 +221,35 @@ class PallasEngine:
                 return self.half_logdet(f), f
 
             def bwd(f, ct):
-                # d(0.5 log|H|)/dH = 0.5 H^{-1}; selected entries:
-                # Hinv_bb|band = Takahashi(Hb) + band(W S^{-1} W^T),
-                # Hinv_bd = -W S^{-1}, Hinv_dd = S^{-1}.
-                W_, R = self.W, self.R
-                Z = bk.takahashi_fn(d, bw, self.interpret)(f.Lh)
-                Zb = Z[W_:W_ + d, :bw + 1].astype(jnp.float64)  # (d, bw+1)
-                if q:
-                    Wm = self.solve_Lt_dd(f, f.Y)               # (d, q)
-                    Sinv = small_solve_Lt(
-                        f.Ls, small_solve_L(f.Ls, jnp.eye(q, dtype=f.Ls.dtype)))
-                    A = Wm @ Sinv                               # (d, q)
-                    rows = []
-                    for o in range(bw + 1):
-                        v = jnp.sum(A[o:] * Wm[:d - o], axis=1)
-                        rows.append(jnp.pad(v, (0, o)))
-                    corr = jnp.stack(rows)                      # (bw+1, d)
-                    ct_C = (-ct) * A
-                    ct_Hd = (0.5 * ct) * Sinv
-                else:
-                    corr = 0.0
-                    ct_C = jnp.zeros((d, 0), jnp.float64)
-                    ct_Hd = jnp.zeros((0, 0), jnp.float64)
-                hinv_band = Zb.T + corr
-                w = jnp.concatenate([
-                    jnp.full((1, d), 0.5), jnp.ones((bw, d))])
-                ct_band = ct * w * hinv_band
-                return ct_band.astype(band.dtype if hasattr(band, "dtype")
-                                      else jnp.float64), ct_C, ct_Hd
+                return self._hld_bwd(f, ct)
 
             hld.defvjp(fwd, bwd)
             self._hld = hld
         return self._hld(band, C, Hd)
+
+    def arrow_half_logdet_given(self, band, C, Hd, f: PallasFactor):
+        """arrow_half_logdet with a PRECOMPUTED factor of the same
+        system: the primal skips the factorization (the caller already
+        paid for it, e.g. hessian_factor inside the Laplace-value custom
+        VJP) and the backward pass computes the identical Takahashi-
+        based cotangents for (band, C, Hd) from `f`. `f` itself is
+        non-differentiable (zero cotangents)."""
+        if getattr(self, "_hld_given", None) is None:
+            @jax.custom_vjp
+            def hldg(band, C, Hd, f):
+                return self.half_logdet(f)
+
+            def fwd(band, C, Hd, f):
+                return self.half_logdet(f), f
+
+            def bwd_given(f, ct):
+                ct_band, ct_C, ct_Hd = self._hld_bwd(f, ct)
+                zf = jax.tree_util.tree_map(jnp.zeros_like, f)
+                return ct_band, ct_C, ct_Hd, zf
+
+            hldg.defvjp(fwd, bwd_given)
+            self._hld_given = hldg
+        return self._hld_given(band, C, Hd, f)
 
 
 class BlockEngine:
@@ -256,6 +280,10 @@ class BlockEngine:
     def arrow_half_logdet(self, band, C, Hd):
         # plain composition: XLA AD through the factorization scan is
         # fine on CPU float64
+        return self.half_logdet(self.factor(band, C, Hd))
+
+    def arrow_half_logdet_given(self, band, C, Hd, f):
+        # CPU path: no factorization-skip win; recompute through the scan
         return self.half_logdet(self.factor(band, C, Hd))
 
 

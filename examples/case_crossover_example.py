@@ -4,6 +4,11 @@ strata='subject'; simulated truth 3(x^2 - 0.25)).
 
 Run: python examples/case_crossover_example.py
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 
 jax.config.update("jax_enable_x64", True)

@@ -3,6 +3,11 @@ new_deaths ~ weekday effects + IWP3 smooth in time, Poisson, AGHQ).
 
 Run: python examples/covid_example.py
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 
 jax.config.update("jax_enable_x64", True)   # full-precision parity path

@@ -11,6 +11,11 @@ P(sigma_xi > 1) = 0.01, and N(0, 1000) boundary/intercept priors.
 
 Run: python examples/lynx_sgp_example.py
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 
 jax.config.update("jax_enable_x64", True)

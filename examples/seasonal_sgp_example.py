@@ -4,6 +4,11 @@ overdispersion effect, Poisson family, with a PSD-converted prior).
 
 Run: python examples/seasonal_sgp_example.py
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 
 jax.config.update("jax_enable_x64", True)

@@ -191,3 +191,27 @@ def test_dd_under_jit():
     out2 = np.asarray(dd.to_f64(jax.jit(
         lambda a, b: dd.mul(dd.add(a, b), b))(p, q)))
     np.testing.assert_allclose(out2, (x64 + mixed) * mixed, rtol=5e-13)
+
+
+def test_arrow_half_logdet_given_matches():
+    """arrow_half_logdet_given (precomputed-factor variant used by the
+    nll custom VJP) must return the same value AND the same cotangents
+    as arrow_half_logdet."""
+    rng = np.random.default_rng(5)
+    d, bw, q = 64, 3, 5
+    A, band, C, Hd, Hfull = _arrow_problem(rng, d, bw, q)
+    eng = ba.make_engine(d, bw, q, 8, force="pallas_interpret")
+    args = (jnp.asarray(band), jnp.asarray(C), jnp.asarray(Hd))
+    f = eng.factor(*args)
+
+    v0 = float(eng.arrow_half_logdet(*args))
+    v1 = float(eng.arrow_half_logdet_given(*args, f))
+    assert abs(v0 - v1) < 1e-12
+
+    g0 = jax.grad(lambda *a: eng.arrow_half_logdet(*a),
+                  argnums=(0, 1, 2))(*args)
+    g1 = jax.grad(lambda *a: eng.arrow_half_logdet_given(*a, f),
+                  argnums=(0, 1, 2))(*args)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-10)
