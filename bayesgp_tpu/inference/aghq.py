@@ -800,8 +800,10 @@ def marginal_posterior(fit: AGHQFit, backend, j: int, warm=None):
                 "logmargpost": (-fit.lognll - fit.lognormconst)[order]}
 
     idx = [j] + [i for i in range(s) if i != j]
-    cov = np.linalg.inv(fit.hessian)
-    cov = 0.5 * (cov + cov.T)
+    # adapted covariance from the fit's (PD-clipped) Cholesky factor, NOT
+    # a fresh inv(hessian): fp-noisy FD Hessians (fused f32 paths) can be
+    # indefinite, and a principal permutation of L L^T stays PD
+    cov = fit.L @ fit.L.T
     cov_p = cov[np.ix_(idx, idx)]
     Lp = np.linalg.cholesky(cov_p)
     mode_p = fit.mode[idx]

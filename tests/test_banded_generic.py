@@ -178,3 +178,25 @@ def test_fused_nd_matches_host_path():
         np.testing.assert_allclose(mf["theta"], mh["theta"], atol=1e-5)
         np.testing.assert_allclose(mf["logmargpost"], mh["logmargpost"],
                                    atol=1e-5)
+
+
+def test_marginal_posterior_indefinite_outer_hessian():
+    """Regression: fp-noisy FD outer Hessians (fused f32 paths) can be
+    indefinite. aghq_fit PD-clips the adapted covariance into fit.L;
+    marginal_posterior must adapt from fit.L too, not re-invert the raw
+    Hessian (which crashed np.linalg.cholesky on the s=2 gauss2 bench)."""
+    from bayesgp_tpu.inference.aghq import marginal_posterior
+    prob = _sgp_problem(family="Gaussian", n=100, k=12)
+    md = prob[1]
+    be = DenseBackend(md)
+    fit = aghq_fit(be, k=3)
+    clean = [np.asarray(m["logmargpost"]).copy() for m in fit.marginals]
+    # corrupt the stored Hessian into an indefinite matrix; fit.L stays
+    # the PD factor the fit adapted with
+    fit.hessian = np.array([[1.0, 2.0], [2.0, -0.5]])
+    for j in range(2):
+        marg = marginal_posterior(fit, be, j)
+        assert np.all(np.isfinite(marg["logmargpost"]))
+        # unchanged vs the clean fit (marginals depend only on fit.L)
+        np.testing.assert_allclose(marg["logmargpost"], clean[j],
+                                   rtol=1e-10)
