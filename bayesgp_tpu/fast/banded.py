@@ -188,11 +188,17 @@ class BandedBackend:
         return self.md.n_theta
 
     @property
-    def em_dim(self):
-        """Driver's penalized dimension for the fused optimizer's
-        EM-style jump (valid on the s=1 fused path, where the single
-        theta IS the driver's; see fast/iwp.py em_dim)."""
-        return self.d_drv
+    def em_dims(self):
+        """Per-theta penalized dimensions for the fused optimizers'
+        EM-style jump (see fast/iwp.py em_dims): the driver's d_drv,
+        each tail term's d_size at its theta index, and n for any
+        remaining theta (the Gaussian noise precision)."""
+        dims = np.zeros(self.n_theta)
+        dims[self.drv_theta] = self.d_drv
+        for tb in self.tail_terms:
+            dims[tb.theta_idx] = tb.d_size
+        dims[dims == 0] = self.md.n
+        return dims
 
     @property
     def compute_dtype(self):

@@ -179,13 +179,20 @@ class FastIWPBackend:
         return self.md.n_theta
 
     @property
-    def em_dim(self):
-        """Penalized dimension entering the 0.5*d*theta prior term — the
-        coefficient the fused optimizer's EM-style jump needs (see
-        aghq.build_fused_run_1d): dF/dtheta = 0.5[e^th(Q + tr(H^-1 P))
-        - d] + hp'(th), so the fixed-point root from one gradient is
-        th + log(d / (2(g - hp') + d))."""
-        return self.d
+    def em_dims(self):
+        """Per-theta penalized dimensions — the coefficient of 0.5*theta
+        in the prior (+likelihood for the Gaussian noise theta), which
+        the fused optimizers' EM-style jump needs (see
+        aghq.build_fused_run_1d): dF/dth_j = 0.5[e^{th_j}(Q_j +
+        tr(H^-1 P_j)) - d_j] + hp'(th_j), so the fixed-point root from
+        one gradient is th_j + log(d_j / (2(g_j - hp'_j) + d_j)).
+        theta[0] is the smooth (d spline coefficients); a second theta,
+        if present, is the Gaussian noise precision (d = n: the
+        likelihood contributes -n/2 th and H = e^th B^T B + ...)."""
+        dims = [float(self.d)]
+        if self.n_theta > 1:
+            dims.append(float(self.md.n))
+        return np.asarray(dims)
 
     @property
     def compute_dtype(self):

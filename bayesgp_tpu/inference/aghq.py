@@ -293,13 +293,14 @@ def build_fused_run_1d(backend, k: int, tol: float = 1e-9,
     f_noise = 1e-9 if cdt in (np.float64, jnp.float64) else 3e-7
     h_fd = 1e-4 if cdt in (np.float64, jnp.float64) else 0.3
     z1, _ = ghe_rule(k)
-    # EM-style jump constants (see em_dim docstring): by the envelope
+    # EM-style jump constants (see em_dims docstring): by the envelope
     # theorem dF/dth = 0.5[e^th(Q + tr(H^-1 P)) - d] + hp'(th), so one
     # gradient gives the fixed-point root th + log(d / (2(g-hp') + d)).
     # From a cold start this replaces the blind expanding-cap march
     # (the mode sits ~14 units from th0=0 at headline scale) with 2-4
     # self-correcting jumps; the secant polish takes over near the mode.
-    em_dim = getattr(backend, "em_dim", None)
+    _dims = getattr(backend, "em_dims", None)
+    em_dim = None if _dims is None else float(np.asarray(_dims)[0])
     if em_dim is not None:
         _alpha = float(np.asarray(backend.md.alpha).reshape(-1)[0])
         _u = float(np.asarray(backend.md.u).reshape(-1)[0])
@@ -461,6 +462,17 @@ def build_fused_opt_nd(backend, s: int, tol: float = 1e-9,
     f_eps = 1e-9 if cdt in (np.float64, jnp.float64) else 3e-7
     h_fd = 1e-4 if cdt in (np.float64, jnp.float64) else 0.3
     eye = jnp.eye(s, dtype=dtype)
+    # coordinate-wise EM-style jump (see em_dims / build_fused_run_1d):
+    # per theta_j, one gradient gives the fixed-point root
+    # th_j + log(d_j / (2(g_j - hp'_j) + d_j)) — replaces the long BFGS
+    # march from cold starts (the s=2 headline mode sits at ~(15, 2.4)
+    # from th0=0) with a few self-correcting jumps.
+    em_dims = getattr(backend, "em_dims", None)
+    if em_dims is not None:
+        em_dims_j = jnp.asarray(np.asarray(em_dims, np.float64), dtype)
+        em_phi = jnp.asarray(
+            -np.log(np.asarray(backend.md.alpha, np.float64))
+            / np.asarray(backend.md.u, np.float64), dtype)
 
     def vg(th, state):
         (f, st), g = jax.value_and_grad(backend.nll_warm, has_aux=True)(
@@ -490,6 +502,17 @@ def build_fused_opt_nd(backend, s: int, tol: float = 1e-9,
             Hu = jnp.where(bad, eye / jnp.maximum(gmax, 1.0), c["Hinv"])
             step = jnp.where(bad, g / jnp.maximum(gmax, 1.0), step)
             dec = jnp.where(bad, jnp.dot(step, g), dec)
+            if em_dims is not None:
+                # hp'(th) = 1/2 - phi/2 e^{-th/2} (exp PC hyperprior)
+                hp = 0.5 - 0.5 * em_phi * jnp.exp(-0.5 * c["th"])
+                A = 2.0 * (g - hp) + em_dims_j
+                em = jnp.log(em_dims_j) \
+                    - jnp.log(jnp.maximum(A, 1e-4 * em_dims_j))
+                em = jnp.clip(em, -8.0, 8.0)
+                # far from the mode, and not inside a rejection backoff
+                # (alpha < 1 until the next accepted step)
+                use_em = (jnp.max(jnp.abs(em)) > 0.5) & (c["alpha"] >= 1.0)
+                step = jnp.where(use_em, -em / c["alpha"], step)
             cand = c["th"] - c["alpha"] * step
             f_t, g_t, st_t = vg(cand, c["state"])
             ok = jnp.isfinite(f_t) & (
