@@ -52,12 +52,28 @@ def _pad_dim(q: int) -> int:
     raise ValueError(f"tail dimension {q} > 128")
 
 
+def _native_tail(q: int) -> bool:
+    """Use XLA's native cholesky/solve_triangular for the dense tail
+    when the padded size exceeds the 16-wide unrolled base.
+
+    Measured on the axon TPU backend: the blocked/unrolled f64 kernels
+    COMPILE catastrophically at large pads (~145 s for a 128 cholesky,
+    ~48 s per trsm — and they are traced into every Laplace body, which
+    turned a q=117 sGP+IID fit into a 75+ min XLA compile), while the
+    native primitives compile in ~1 s at the SAME ~9 ms runtime
+    (chol_kernels.use_blocked notes). Below pad 16 the unrolled base is
+    fine and keeps the proven q<=16 programs (headline bench) unchanged."""
+    return _pad_dim(q) > 16
+
+
 def small_chol(S):
     """Lower Cholesky of a (q, q) SPD matrix via the unrolled/blocked
     kernels (identity-padded to a supported size)."""
     q = S.shape[0]
     if q == 0:
         return S
+    if _native_tail(q):
+        return jnp.linalg.cholesky(S)
     m = _pad_dim(q)
     if m != q:
         Sp = jnp.eye(m, dtype=S.dtype).at[:q, :q].set(S)
@@ -69,6 +85,8 @@ def small_solve_L(L, b):
     q = L.shape[0]
     if q == 0:
         return b
+    if _native_tail(q):
+        return jax.scipy.linalg.solve_triangular(L, b, lower=True)
     m = _pad_dim(q)
     if m != q:
         Lp = jnp.eye(m, dtype=L.dtype).at[:q, :q].set(L)
@@ -81,6 +99,9 @@ def small_solve_Lt(L, b):
     q = L.shape[0]
     if q == 0:
         return b
+    if _native_tail(q):
+        return jax.scipy.linalg.solve_triangular(L, b, trans="T",
+                                                 lower=True)
     m = _pad_dim(q)
     if m != q:
         Lp = jnp.eye(m, dtype=L.dtype).at[:q, :q].set(L)
