@@ -88,7 +88,19 @@ class DenseBackend(JitCacheMixin):
 
     Exact for every model structure; the banded fast backend
     (bayesgp_tpu.fast) shares this interface for large single-IWP models.
+
+    Supports the fused single-dispatch AGHQ programs (fused_fit_1d /
+    build_fused_opt_nd + build_fused_nodes). On TPU this is not just the
+    ~30 ms/dispatch tunnel saving measured for the fast backends: the
+    host-loop path vmaps the dense Newton+Cholesky Laplace over the
+    quadrature nodes (node_eval), which crashes the TPU worker (same
+    fault class as vmapping the band factorization kernels, CLAUDE.md
+    fact 4) — the fused node program lax.scans warm-chained evals
+    instead, which compiles and runs fine on-chip.
     """
+
+    supports_fused_1d = True
+    supports_fused_nd = True
 
     def __init__(self, md):
         self.md = md
@@ -110,6 +122,22 @@ class DenseBackend(JitCacheMixin):
     def nll_warm(self, theta, warm):
         val, Ws = laplace_nll(theta, self.md, W0=warm)
         return val, jax.lax.stop_gradient(Ws)
+
+    def laplace_eval_full(self, theta, warm):
+        """(nll, latent mode, lower Hessian factor) in one pass — the
+        per-node unit the fused programs chain (fast-backend interface)."""
+        from ..model.objective import hessian_W
+
+        val, Ws = laplace_nll(theta, self.md, W0=warm)
+        Ws = jax.lax.stop_gradient(Ws)
+        Hw = hessian_W(Ws, jax.lax.stop_gradient(theta), self.md)
+        Lw = jnp.linalg.cholesky(Hw)
+        return val, Ws, Lw
+
+    @staticmethod
+    def node_pack(st, factor):
+        """Per-node sampling state: (W*, L) — matches self.sample."""
+        return (st, factor)
 
     def node_eval(self, thetas, warm=None):
         from ..model.objective import hessian_W
@@ -406,6 +434,8 @@ def build_fused_run_1d(backend, k: int, tol: float = 1e-9,
             outs = [None] * k
             warm_neg = warm_pos = st
             has_full = hasattr(backend, "laplace_eval_full")
+            pack = getattr(backend, "node_pack",
+                           lambda st_, f_: (st_[0], st_[1], f_))
             for j in np.argsort(np.abs(z1)):
                 j = int(j)
                 warm = warm_neg if z1[j] < 0 else warm_pos
@@ -414,13 +444,13 @@ def build_fused_run_1d(backend, k: int, tol: float = 1e-9,
                     # with the value's half log-det)
                     nllj, stj, factor = backend.laplace_eval_full(
                         jnp.reshape(nodes[j], (1,)), warm)
-                    outs[j] = (nllj, (stj[0], stj[1], factor))
+                    outs[j] = (nllj, pack(stj, factor))
                 elif return_states:
                     nllj, stj = backend.nll_warm(
                         jnp.reshape(nodes[j], (1,)), warm)
                     factor = backend.hessian_factor(
                         stj[0], stj[1], jnp.reshape(nodes[j], (1,)))
-                    outs[j] = (nllj, (stj[0], stj[1], factor))
+                    outs[j] = (nllj, pack(stj, factor))
                 else:
                     nllj, stj = backend.nll_warm(
                         jnp.reshape(nodes[j], (1,)), warm)
@@ -607,15 +637,17 @@ def build_fused_nodes(backend, tour, return_states: bool = True,
         nodes_t = nodes[tour]
 
         has_full = hasattr(backend, "laplace_eval_full")
+        pack = getattr(backend, "node_pack",
+                       lambda st_, f_: (st_[0], st_[1], f_))
 
         def body(wm, th):
             if return_states and has_full:
                 nll, st, factor = backend.laplace_eval_full(th, wm)
-                return st, (nll, (st[0], st[1], factor))
+                return st, (nll, pack(st, factor))
             nll, st = backend.nll_warm(th, wm)
             if return_states:
                 factor = backend.hessian_factor(st[0], st[1], th)
-                return st, (nll, (st[0], st[1], factor))
+                return st, (nll, pack(st, factor))
             return st, (nll, jnp.zeros(()))
 
         _, (nlls, sts) = jax.lax.scan(body, warm, nodes_t)
