@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .laplace import laplace_nll, laplace_mode_hess
+from .laplace import laplace_nll, laplace_nll_with_factor, laplace_mode_hess
 
 
 def ghe_rule(k: int):
@@ -113,6 +113,22 @@ class DenseBackend(JitCacheMixin):
     def dtype(self):
         return self.md.A.dtype
 
+    @property
+    def em_dims(self):
+        """Per-theta penalized dimensions for the fused optimizers'
+        EM-style jump (see fast/iwp.py em_dims): the prior contributes
+        -0.5*d_r*theta_r per RE (d_r spline coefficients,
+        src/BayesGP.cpp:227-232), and the Gaussian noise theta gets
+        d = n from the likelihood. Custom families with extra
+        hyperparameters have no generic EM structure -> None (the
+        fused optimizers fall back to plain secant/BFGS steps)."""
+        if self.md.family == -1 and self.md.custom_family:
+            return None
+        dims = [float(d) for d in self.md.d_sizes]
+        if self.md.family == 0:
+            dims.append(float(self.md.n))
+        return np.asarray(dims) if dims else None
+
     def nll(self, theta):
         return laplace_nll(theta, self.md)[0]
 
@@ -125,14 +141,12 @@ class DenseBackend(JitCacheMixin):
 
     def laplace_eval_full(self, theta, warm):
         """(nll, latent mode, lower Hessian factor) in one pass — the
-        per-node unit the fused programs chain (fast-backend interface)."""
-        from ..model.objective import hessian_W
-
-        val, Ws = laplace_nll(theta, self.md, W0=warm)
-        Ws = jax.lax.stop_gradient(Ws)
-        Hw = hessian_W(Ws, jax.lax.stop_gradient(theta), self.md)
-        Lw = jnp.linalg.cholesky(Hw)
-        return val, Ws, Lw
+        per-node unit the fused programs chain (fast-backend interface).
+        The factor is shared with the nll's half log-det (one Hessian
+        build + factorization per node, laplace_nll_with_factor)."""
+        val, Ws, Lw = laplace_nll_with_factor(theta, self.md, W0=warm)
+        return (val, jax.lax.stop_gradient(Ws),
+                jax.lax.stop_gradient(Lw))
 
     @staticmethod
     def node_pack(st, factor):

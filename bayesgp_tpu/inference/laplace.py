@@ -141,6 +141,26 @@ def half_logdet_psd(H):
     return jnp.sum(jnp.log(jnp.diagonal(L))) + jnp.sum(jnp.log(d))
 
 
+def laplace_nll_with_factor(theta, md, W0=None, n_refine=2, gtol=1e-8,
+                            max_iter=100):
+    """(nll, W*, chol_lower(H)) in one pass: the sampling factor is
+    recovered from the SAME equilibrated Cholesky the half log-det uses
+    (H = D Hs D with D = diag(H)^{1/2}  =>  chol(H) = D chol(Hs)), so a
+    per-node full evaluation costs one Hessian build + factorization
+    instead of two (fused node programs, DenseBackend.laplace_eval_full).
+    """
+    Ws = solve_W_star(theta, md, W0=W0, n_refine=n_refine, gtol=gtol,
+                      max_iter=max_iter)
+    H = hessian_W(Ws, theta, md)
+    d = jnp.sqrt(jnp.diagonal(H))
+    Ls = jnp.linalg.cholesky(H / d[:, None] / d[None, :])
+    half_logdet = (jnp.sum(jnp.log(jnp.diagonal(Ls)))
+                   + jnp.sum(jnp.log(d)))
+    val = (neg_log_post(Ws, theta, md) + half_logdet
+           - 0.5 * md.w_count * LOG2PI)
+    return val, Ws, d[:, None] * Ls
+
+
 def laplace_mode_hess(theta, md, W0=None, gtol=1e-8, max_iter=100):
     """(W*, H, chol_lower(H)) at theta — for sampling W | theta."""
     Ws = newton_solve(theta, md, W0=W0, gtol=gtol, max_iter=max_iter)
