@@ -112,3 +112,24 @@ def test_summary_and_post_table(covid_fit):
     table = covid_fit.post_table()
     names = [r["name"] for r in table]
     assert "intercept" in names and "t (SD)" in names
+
+
+def test_reference_named_exports(covid_fit):
+    """The reference NAMESPACE's exact names (NAMESPACE:3-23) resolve:
+    IWP/sGP-cased aliases and the function-style post-fit API."""
+    import bayesgp_tpu as bg
+    assert bg.compute_post_fun_IWP is bg.compute_post_fun_iwp
+    assert bg.prior_conversion_IWP is bg.prior_conversion_iwp
+    assert bg.prior_conversion_sGP is bg.prior_conversion_sgp
+    assert bg.global_poly_helper_sGP is bg.global_poly_sgp
+    assert bg.compute_d_step_sGPsd is bg.compute_d_step_sgp_sd
+    # function spellings delegate to the FitResult methods
+    tab = bg.post_table(covid_fit)
+    assert [r["name"] for r in tab] == [r["name"] for r in
+                                        covid_fit.post_table()]
+    vd = bg.var_density(covid_fit, component="t")
+    assert "SD" in vd and "post" in vd and "prior" in vd
+    s = bg.sample_fixed_effect(covid_fit, "weekdays1")
+    assert s.shape[1] == 1
+    pd_ = bg.para_density(covid_fit)
+    assert "intercept" in pd_
