@@ -605,10 +605,11 @@ class BandedBackend:
         w_count = self.d + self.q
         return (f + half_logdet - 0.5 * w_count * LOG2PI - self.logdetT)
 
-    def _laplace_value_direct(self, V, tail, theta, factor):
+    def _laplace_value_direct(self, V, tail, theta, factor, eta=None):
         """Primal-only Laplace value from a precomputed factor (no
-        Hessian assembly; see fast/iwp.py)."""
-        e0 = self.eta(V, tail)
+        Hessian assembly; see fast/iwp.py). `eta` skips the O(n) design
+        pass when the caller already computed it."""
+        e0 = self.eta(V, tail) if eta is None else eta
         ll = families.log_lik(e0, self.md, theta.astype(self.compute_dtype))
         f = -ll.astype(self.dtype) + self._prior_neg(V, tail, theta)
         w_count = self.d + self.q
@@ -619,8 +620,9 @@ class BandedBackend:
         """(nll, (V, tail), factor) in one pass — the quadrature-node
         evaluation primitive (see fast/iwp.py)."""
         V, tail = self.solve_W_star(theta, warm=warm)
-        factor = self.hessian_factor(V, tail, theta)
-        val = self._laplace_value_direct(V, tail, theta, factor)
+        e0 = self.eta(V, tail)
+        factor = self.hessian_factor(V, tail, theta, eta=e0)
+        val = self._laplace_value_direct(V, tail, theta, factor, eta=e0)
         return val, (V, tail), factor
 
     def laplace_nll(self, theta, warm=None):
@@ -639,15 +641,19 @@ class BandedBackend:
         @jax.custom_vjp
         def nll_fn(theta, warm):
             V, tail = self.solve_W_star(theta, warm=warm)
-            factor = self.hessian_factor(V, tail, theta)
-            return self._laplace_value_direct(V, tail, theta, factor), \
-                (V, tail)
+            e0 = self.eta(V, tail)
+            factor = self.hessian_factor(V, tail, theta, eta=e0)
+            return self._laplace_value_direct(V, tail, theta, factor,
+                                              eta=e0), (V, tail)
 
         def fwd(theta, warm):
             V, tail = self.solve_W_star(theta, warm=warm)
-            # ONE assembly+factorization shared by value and backward
-            factor = self.hessian_factor(V, tail, theta)
-            val = self._laplace_value_direct(V, tail, theta, factor)
+            # ONE eta pass + ONE assembly+factorization shared by value
+            # and backward
+            e0 = self.eta(V, tail)
+            factor = self.hessian_factor(V, tail, theta, eta=e0)
+            val = self._laplace_value_direct(V, tail, theta, factor,
+                                             eta=e0)
             return (val, (V, tail)), (theta, V, tail, factor)
 
         def bwd(res, cts):

@@ -664,10 +664,12 @@ class FastIWPBackend:
         w_count = self.d + self.q
         return (f + half_logdet - 0.5 * w_count * LOG2PI - self.logdetT)
 
-    def _laplace_value_direct(self, V, tail, theta, factor):
+    def _laplace_value_direct(self, V, tail, theta, factor, eta=None):
         """Laplace value from a precomputed factor, NO Hessian assembly
-        (primal-only — do not differentiate; use _laplace_value for AD)."""
-        e0 = self.eta(V, tail)
+        (primal-only — do not differentiate; use _laplace_value for AD).
+        `eta` (optional): precomputed eta(V, tail) — skips the O(n)
+        chunked design pass when the caller already has it."""
+        e0 = self.eta(V, tail) if eta is None else eta
         ll = families.log_lik(e0, self.md, theta.astype(self.compute_dtype))
         f = -ll.astype(self.dtype) + self._prior_neg(V, tail, theta)
         w_count = self.d + self.q
@@ -679,8 +681,9 @@ class FastIWPBackend:
         evaluation primitive (no theta-gradient machinery, factor
         computed once and returned for sampling)."""
         V, tail = self.solve_W_star(theta, warm=warm)
-        factor = self.hessian_factor(V, tail, theta)
-        val = self._laplace_value_direct(V, tail, theta, factor)
+        e0 = self.eta(V, tail)
+        factor = self.hessian_factor(V, tail, theta, eta=e0)
+        val = self._laplace_value_direct(V, tail, theta, factor, eta=e0)
         return val, (V, tail), factor
 
     def laplace_nll(self, theta, warm=None):
@@ -708,16 +711,19 @@ class FastIWPBackend:
         @jax.custom_vjp
         def nll_fn(theta, warm):
             V, tail = self.solve_W_star(theta, warm=warm)
-            factor = self.hessian_factor(V, tail, theta)
-            return self._laplace_value_direct(V, tail, theta, factor), \
-                (V, tail)
+            e0 = self.eta(V, tail)
+            factor = self.hessian_factor(V, tail, theta, eta=e0)
+            return self._laplace_value_direct(V, tail, theta, factor,
+                                              eta=e0), (V, tail)
 
         def fwd(theta, warm):
             V, tail = self.solve_W_star(theta, warm=warm)
-            # ONE assembly+factorization, shared by the value's half
-            # log-det here and the backward pass's solves/cotangents
-            factor = self.hessian_factor(V, tail, theta)
-            val = self._laplace_value_direct(V, tail, theta, factor)
+            # ONE eta pass + ONE assembly+factorization, shared by the
+            # value's half log-det here and the backward pass's solves
+            e0 = self.eta(V, tail)
+            factor = self.hessian_factor(V, tail, theta, eta=e0)
+            val = self._laplace_value_direct(V, tail, theta, factor,
+                                             eta=e0)
             return (val, (V, tail)), (theta, V, tail, factor)
 
         def bwd(res, cts):

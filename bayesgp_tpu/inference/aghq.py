@@ -312,14 +312,38 @@ def fused_fit_1d(backend, k: int = 4, theta0: float = 0.0,
     Returns (mode (1,), H (1,1), nodes (k,1), nlls (k,), states) as
     device arrays; weights/marginals are host arithmetic downstream.
     """
-    if not hasattr(backend, "_fused_fit"):
-        backend._fused_fit = build_fused_run_1d(backend, k, tol, max_iter)
+    cache = getattr(backend, "_fused_fit_progs", None)
+    if cache is None:
+        cache = backend._fused_fit_progs = {}
+    ckey = (k, tol, max_iter)
+    if ckey not in cache:
+        cache[ckey] = build_fused_run_1d(backend, k, tol, max_iter)
 
     th0 = jnp.asarray(float(np.atleast_1d(theta0)[0]), backend.dtype)
-    mode, H, nodes, nlls, states = backend._fused_fit(
+    mode, H, nodes, nlls, states = cache[ckey](
         th0, backend.init_state())
     return (np.asarray(mode).reshape(1), np.asarray(H).reshape(1, 1),
             np.asarray(nodes).reshape(k, 1), np.asarray(nlls), states)
+
+
+def _node_eval_packed(backend, th, warm, return_states):
+    """One warm-started Laplace node evaluation inside a fused program.
+
+    Uses the backend's `laplace_eval_full` (nll + latent state + Hessian
+    factor in ONE assembly/factorization, shared with the value's half
+    log-det) when available, else nll_warm + a separate hessian_factor.
+    Returns (nll, packed_sampling_state_or_None, raw_state); the packed
+    form is what `backend.sample` consumes (node_pack hook)."""
+    pack = getattr(backend, "node_pack",
+                   lambda st_, f_: (st_[0], st_[1], f_))
+    if return_states and hasattr(backend, "laplace_eval_full"):
+        nll, st, factor = backend.laplace_eval_full(th, warm)
+        return nll, pack(st, factor), st
+    nll, st = backend.nll_warm(th, warm)
+    if not return_states:
+        return nll, None, st
+    factor = backend.hessian_factor(st[0], st[1], th)
+    return nll, pack(st, factor), st
 
 
 def build_fused_run_1d(backend, k: int, tol: float = 1e-9,
@@ -447,28 +471,13 @@ def build_fused_run_1d(backend, k: int, tol: float = 1e-9,
             # on each side (adjacent nodes share most of the solution)
             outs = [None] * k
             warm_neg = warm_pos = st
-            has_full = hasattr(backend, "laplace_eval_full")
-            pack = getattr(backend, "node_pack",
-                           lambda st_, f_: (st_[0], st_[1], f_))
             for j in np.argsort(np.abs(z1)):
                 j = int(j)
                 warm = warm_neg if z1[j] < 0 else warm_pos
-                if return_states and has_full:
-                    # nll + state + factor in one pass (factor shared
-                    # with the value's half log-det)
-                    nllj, stj, factor = backend.laplace_eval_full(
-                        jnp.reshape(nodes[j], (1,)), warm)
-                    outs[j] = (nllj, pack(stj, factor))
-                elif return_states:
-                    nllj, stj = backend.nll_warm(
-                        jnp.reshape(nodes[j], (1,)), warm)
-                    factor = backend.hessian_factor(
-                        stj[0], stj[1], jnp.reshape(nodes[j], (1,)))
-                    outs[j] = (nllj, pack(stj, factor))
-                else:
-                    nllj, stj = backend.nll_warm(
-                        jnp.reshape(nodes[j], (1,)), warm)
-                    outs[j] = (nllj, None)
+                nllj, packed, stj = _node_eval_packed(
+                    backend, jnp.reshape(nodes[j], (1,)), warm,
+                    return_states)
+                outs[j] = (nllj, packed)
                 if z1[j] < 0:
                     warm_neg = stj
                 else:
@@ -650,19 +659,10 @@ def build_fused_nodes(backend, tour, return_states: bool = True,
     def run(nodes, warm):
         nodes_t = nodes[tour]
 
-        has_full = hasattr(backend, "laplace_eval_full")
-        pack = getattr(backend, "node_pack",
-                       lambda st_, f_: (st_[0], st_[1], f_))
-
         def body(wm, th):
-            if return_states and has_full:
-                nll, st, factor = backend.laplace_eval_full(th, wm)
-                return st, (nll, pack(st, factor))
-            nll, st = backend.nll_warm(th, wm)
-            if return_states:
-                factor = backend.hessian_factor(st[0], st[1], th)
-                return st, (nll, pack(st, factor))
-            return st, (nll, jnp.zeros(()))
+            nll, packed, st = _node_eval_packed(backend, th, wm,
+                                                return_states)
+            return st, (nll, jnp.zeros(()) if packed is None else packed)
 
         _, (nlls, sts) = jax.lax.scan(body, warm, nodes_t)
         if not return_states:

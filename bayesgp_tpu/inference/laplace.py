@@ -125,20 +125,27 @@ def laplace_nll(theta, md, W0=None, n_refine=2, gtol=1e-8, max_iter=100):
     return val, Ws
 
 
-def half_logdet_psd(H):
-    """1/2 log|H| via Jacobi-equilibrated Cholesky.
+def _equilibrated_chol(H):
+    """(d, chol_lower(H/d/d), half_logdet) via Jacobi-equilibrated
+    Cholesky.
 
     H mixes likelihood curvature (huge) with weak prior precisions, so its
     condition number can reach ~1e8; a raw Cholesky logdet then carries
     fp noise ~ w * eps * kappa (~1e-5) which corrupts the outer
     optimization of the Laplace marginal. Scaling to unit diagonal first
     (log|H| = log|D H D| - 2 sum log D_ii with D = diag(H)^{-1/2}) removes
-    the scale disparity; the correction term is smooth.
+    the scale disparity; the correction term is smooth. The full factor
+    is recovered as chol(H) = d[:, None] * chol(Hs).
     """
     d = jnp.sqrt(jnp.diagonal(H))
-    Hs = H / d[:, None] / d[None, :]
-    L = jnp.linalg.cholesky(Hs)
-    return jnp.sum(jnp.log(jnp.diagonal(L))) + jnp.sum(jnp.log(d))
+    Ls = jnp.linalg.cholesky(H / d[:, None] / d[None, :])
+    half_logdet = jnp.sum(jnp.log(jnp.diagonal(Ls))) + jnp.sum(jnp.log(d))
+    return d, Ls, half_logdet
+
+
+def half_logdet_psd(H):
+    """1/2 log|H| via Jacobi-equilibrated Cholesky (_equilibrated_chol)."""
+    return _equilibrated_chol(H)[2]
 
 
 def laplace_nll_with_factor(theta, md, W0=None, n_refine=2, gtol=1e-8,
@@ -152,10 +159,7 @@ def laplace_nll_with_factor(theta, md, W0=None, n_refine=2, gtol=1e-8,
     Ws = solve_W_star(theta, md, W0=W0, n_refine=n_refine, gtol=gtol,
                       max_iter=max_iter)
     H = hessian_W(Ws, theta, md)
-    d = jnp.sqrt(jnp.diagonal(H))
-    Ls = jnp.linalg.cholesky(H / d[:, None] / d[None, :])
-    half_logdet = (jnp.sum(jnp.log(jnp.diagonal(Ls)))
-                   + jnp.sum(jnp.log(d)))
+    d, Ls, half_logdet = _equilibrated_chol(H)
     val = (neg_log_post(Ws, theta, md) + half_logdet
            - 0.5 * md.w_count * LOG2PI)
     return val, Ws, d[:, None] * Ls

@@ -14,9 +14,7 @@ import jax
 # small vignette-scale models: run on CPU f64 by default (the
 # in-environment TPU plugin otherwise wins and emulates f64 — minutes
 # of compile); set BAYESGP_EXAMPLE_TPU=1 to run on the accelerator.
-import os as _os
-
-if not _os.environ.get("BAYESGP_EXAMPLE_TPU"):
+if not os.environ.get("BAYESGP_EXAMPLE_TPU"):
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
