@@ -10,7 +10,7 @@ adaptive Gauss-Hermite quadrature (or MAP / NUTS) over hyperparameters.
 
 from .api import model_fit
 from .api_loop import model_fit_loop
-from .formula import parse_formula, parse_f_call
+from .formula import parse_formula, parse_f_call, f
 from .terms import (build_iwp_term, build_sgp_term, build_iid_term,
                     build_customized_term, normalize_sd_prior)
 from .postfit import (FitResult, compute_post_fun_iwp, compute_post_fun_sgp,
@@ -68,6 +68,24 @@ def sample_fixed_effect(fit, variables):
     return fit.sample_fixed_effect(variables)
 
 
+def predict(fit, *args, **kwargs):
+    """Posterior prediction (R generic predict.FitResult,
+    R/03_post_fit.R:44-125). Function spelling of FitResult.predict."""
+    return fit.predict(*args, **kwargs)
+
+
+def plot(fit, *args, **kwargs):
+    """Per-RE posterior plot (R generic plot.FitResult,
+    R/03_post_fit.R:127-151). Function spelling of FitResult.plot."""
+    return fit.plot(*args, **kwargs)
+
+
+def summary(fit):
+    """Fit summary (R generic summary.FitResult, R/03_post_fit.R:1-42).
+    Function spelling of FitResult.summary."""
+    return fit.summary()
+
+
 __all__ = [
     "model_fit", "model_fit_loop", "parse_formula", "parse_f_call",
     "build_iwp_term", "build_sgp_term", "build_iid_term",
@@ -83,4 +101,5 @@ __all__ = [
     "compute_post_fun_IWP", "compute_post_fun_sGP", "prior_conversion_IWP",
     "prior_conversion_sGP", "global_poly_helper_sGP", "compute_d_step_sGPsd",
     "var_density", "para_density", "post_table", "sample_fixed_effect",
+    "f", "predict", "plot", "summary",
 ]

@@ -30,6 +30,28 @@ class ParsedFormula:
     rand_effects: list
 
 
+def f(smoothing_var, model=None, **options) -> RandomEffectCall:
+    """The `f()` formula marker as a real Python callable.
+
+    The reference exports `f` (R/01_utility.R:1-15), which captures its
+    own call unevaluated for `parse_formula` to pick apart; the Python
+    equivalent simply returns the unevaluated `RandomEffectCall` that
+    `model_fit(terms=[...])` consumes directly:
+
+        model_fit(response="y", fixed=["z"], family="Poisson", data=data,
+                  terms=[f("x", model="IWP", order=3, k=30)])
+
+    `smoothing_var` is the data column NAME. Dotted R option spellings
+    (`sd.prior`, `boundary.prior`, `initial.location`) are accepted via
+    `**{"sd.prior": ...}` and normalized to underscores, matching
+    `parse_f_call`'s string path.
+    """
+    opts = {k.replace(".", "_"): v for k, v in options.items()}
+    if model is not None:
+        opts = {"model": model, **opts}
+    return RandomEffectCall(smoothing_var=str(smoothing_var), options=opts)
+
+
 def _split_top_level(s: str, sep: str = "+"):
     parts, depth, cur = [], 0, []
     for ch in s:

@@ -71,3 +71,42 @@ def test_intercept_tokens_ignored():
 def test_requires_response():
     with pytest.raises(ValueError):
         parse_formula("~ f(t, model='IWP', order=2)")
+
+
+def test_f_callable_marker():
+    # the Python-callable f() marker (reference exports `f`,
+    # R/01_utility.R:1-15) builds the same RandomEffectCall as the
+    # string parser
+    from bayesgp_tpu import f
+
+    via_str = parse_f_call("f(t, model='IWP', order=3, k=30)")
+    via_fn = f("t", model="IWP", order=3, k=30)
+    assert via_fn.smoothing_var == via_str.smoothing_var == "t"
+    assert via_fn.options == via_str.options
+
+    # dotted R spellings normalize to underscores like the string path
+    via_fn2 = f("x", "sGP", k=12, **{"sd.prior": {"u": 2.0, "alpha": 0.1}})
+    assert via_fn2.options["model"] == "sGP"
+    assert via_fn2.options["sd_prior"]["u"] == 2.0
+
+
+def test_f_callable_fits_end_to_end():
+    # f()-built terms drive model_fit exactly like formula strings
+    import numpy as np
+    import bayesgp_tpu as bg
+
+    rng = np.random.default_rng(0)
+    x = np.sort(rng.uniform(0, 4, 60))
+    y = rng.poisson(np.exp(0.4 * np.sin(x) + 1.0)).astype(float)
+    data = {"x": x, "y": y}
+    fit_f = bg.model_fit(response="y", data=data, family="Poisson",
+                         terms=[bg.f("x", model="IWP", order=2, k=8)],
+                         M=50, engine="dense")
+    fit_s = bg.model_fit("y ~ f(x, model='IWP', order=2, k=8)", data,
+                         family="Poisson", M=50, engine="dense")
+    assert np.allclose(np.asarray(fit_f.mod.mode),
+                       np.asarray(fit_s.mod.mode), rtol=1e-10, atol=1e-12)
+    # function-style generics mirror the methods
+    pred = bg.predict(fit_f, "x")
+    assert np.all(np.isfinite(pred["mean"]))
+    assert bg.summary(fit_f)
