@@ -109,3 +109,74 @@ def test_batched_matches_scalar_kernels():
         hld_s = float(np.asarray(m1, np.float64)[0, 0]
                       + np.asarray(m1, np.float64)[0, 1])
         assert abs(hld_b - hld_s) < 1e-11
+
+
+def test_batched_arrow_engine_vs_scalar():
+    """PallasBatchedEngine == scalar PallasEngine per replicate: half
+    log-dets, solves, and the Takahashi custom-VJP cotangents."""
+    import jax
+    from bayesgp_tpu.linalg import band_arrow as ba
+    from bayesgp_tpu.linalg.band_arrow_batched import PallasBatchedEngine
+    from test_band_kernels import _arrow_problem
+
+    rng = np.random.default_rng(3)
+    d, bw, q, NR = 48, 3, 5, 4
+    probs = [_arrow_problem(rng, d, bw, q) for _ in range(NR)]
+    bands = jnp.asarray(np.stack([p[1] for p in probs]))
+    Cs = jnp.asarray(np.stack([p[2] for p in probs]))
+    Hds = jnp.asarray(np.stack([p[3] for p in probs]))
+
+    be = PallasBatchedEngine(d, bw, q, NR, interpret=True)
+    fb = be.factor(bands, Cs, Hds)
+    hlds = np.asarray(be.half_logdet(fb))
+
+    rb = rng.normal(size=(NR, d))
+    rd = rng.normal(size=(NR, q))
+    zb, zd = be.solve(fb, jnp.asarray(rb), jnp.asarray(rd))
+
+    gb = jax.grad(lambda *a: jnp.sum(be.arrow_half_logdet(*a)),
+                  argnums=(0, 1, 2))(bands, Cs, Hds)
+
+    for r in range(NR):
+        Hfull = probs[r][4]
+        assert abs(hlds[r] - 0.5 * np.linalg.slogdet(Hfull)[1]) < 1e-9
+        zr = np.linalg.solve(Hfull, np.concatenate([rb[r], rd[r]]))
+        np.testing.assert_allclose(np.asarray(zb)[r], zr[:d], atol=1e-9)
+        np.testing.assert_allclose(np.asarray(zd)[r], zr[d:], atol=1e-9)
+
+        eng = ba.make_engine(d, bw, q, 8, force="pallas_interpret")
+        gs = jax.grad(lambda *a: eng.arrow_half_logdet(*a),
+                      argnums=(0, 1, 2))(bands[r], Cs[r], Hds[r])
+        for a, b in zip((gb[0][r], gb[1][r], gb[2][r]), gs):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
+
+    # the precomputed-factor variant: same values, same cotangents
+    v0 = np.asarray(be.arrow_half_logdet(bands, Cs, Hds))
+    v1 = np.asarray(be.arrow_half_logdet_given(bands, Cs, Hds, fb))
+    np.testing.assert_allclose(v0, v1, atol=1e-12)
+    g1 = jax.grad(lambda *a: jnp.sum(be.arrow_half_logdet_given(*a, fb)),
+                  argnums=(0, 1, 2))(bands, Cs, Hds)
+    for a, b in zip(gb, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-10)
+
+
+def test_batched_arrow_engine_q0():
+    from bayesgp_tpu.linalg.band_arrow_batched import PallasBatchedEngine
+
+    rng = np.random.default_rng(4)
+    d, bw, NR = 40, 2, 6
+    As, bands = _problems(rng, NR, d, bw)
+    be = PallasBatchedEngine(d, bw, 0, NR, interpret=True)
+    C = jnp.zeros((NR, d, 0))
+    Hd = jnp.zeros((NR, 0, 0))
+    fb = be.factor(jnp.asarray(bands), C, Hd)
+    hlds = np.asarray(be.half_logdet(fb))
+    rb = rng.normal(size=(NR, d))
+    zb, _ = be.solve(fb, jnp.asarray(rb), jnp.zeros((NR, 0)))
+    for r in range(NR):
+        assert abs(hlds[r] - 0.5 * np.linalg.slogdet(As[r])[1]) < 1e-10
+        np.testing.assert_allclose(np.asarray(zb)[r],
+                                   np.linalg.solve(As[r], rb[r]),
+                                   atol=1e-9)
