@@ -497,46 +497,60 @@ class BatchedFastIWP:
         return self._nll_custom(theta, warm)
 
 
-def build_batched(base, ys_raw, force_engine: str = None):
-    """BatchedFastIWP from a FastIWPBackend + (R, n) RAW-order responses.
+def ll_const_np(base, ys_internal):
+    """(R,) response-only log-likelihood constants, host numpy (f64
+    lgamma — keep this OUT of traced programs: on TPU it would emulate
+    f64 gammaln over (R, n) per call)."""
+    fam = base.md.family
+    Y64 = np.asarray(ys_internal, np.float64)
+    lg = np.vectorize(math.lgamma)
+    if fam == 1:
+        return -np.sum(lg(Y64 + 1.0), axis=1)
+    if fam == 2:
+        size = np.asarray(base.md.size, np.float64)
+        return np.sum(lg(size + 1.0)[None] - lg(Y64 + 1.0)
+                      - lg(size[None] - Y64 + 1.0), axis=1)
+    raise ValueError(f"batched path: family {fam} unsupported")
 
-    force_engine: None (Pallas on TPU, block-vmap otherwise) |
-    'pallas' | 'pallas_interpret' | 'block_vmap'."""
+
+def make_engine_batched(base, R: int, force_engine: str = None):
+    bw = base.p
+    if force_engine == "block_vmap":
+        return BlockVmapEngine(base.dpad, bw, base.q, base.s)
+    if force_engine == "pallas_interpret":
+        return PallasBatchedEngine(base.dpad, bw, base.q, R,
+                                   interpret=True)
+    if force_engine == "pallas" or (force_engine is None
+                                    and jax.default_backend() == "tpu"):
+        return PallasBatchedEngine(base.dpad, bw, base.q, R)
+    return BlockVmapEngine(base.dpad, bw, base.q, base.s)
+
+
+def make_batched(base, Y_internal, ll_const, R: int, engine):
+    """Traceable constructor: Y_internal (R, n) INTERNAL-order responses
+    and ll_const (R,) may be tracers (for jitted wrappers that pass the
+    responses as arguments — program reuse across groups, shard_map)."""
     if base.chunks is None:
         raise ValueError("batched path requires the chunked MXU design")
     if base.n_theta != 1:
         raise ValueError("batched path supports 1 hyperparameter "
                          "(elementwise non-Gaussian families)")
+    return BatchedFastIWP(
+        base=base, Y=jnp.asarray(Y_internal, base.compute_dtype),
+        ll_const=jnp.asarray(ll_const, base.dtype), engine=engine, R=R)
+
+
+def build_batched(base, ys_raw, force_engine: str = None):
+    """BatchedFastIWP from a FastIWPBackend + (R, n) RAW-order responses
+    (eager convenience; responses become program constants).
+
+    force_engine: None (Pallas on TPU, block-vmap otherwise) |
+    'pallas' | 'pallas_interpret' | 'block_vmap'."""
     ys_raw = np.asarray(ys_raw)
     R = ys_raw.shape[0]
-    Y = jnp.asarray(ys_raw, base.compute_dtype)[:, base.row_order]
-
-    fam = base.md.family
-    Y64 = np.asarray(ys_raw, np.float64)[:, np.asarray(base.row_order)]
-    if fam == 1:
-        ll_const = -np.sum(np.vectorize(math.lgamma)(Y64 + 1.0), axis=1)
-    elif fam == 2:
-        size = np.asarray(base.md.size, np.float64)
-        lg = np.vectorize(math.lgamma)
-        ll_const = np.sum(lg(size + 1.0)[None] - lg(Y64 + 1.0)
-                          - lg(size[None] - Y64 + 1.0), axis=1)
-    else:
-        raise ValueError(f"batched path: family {fam} unsupported")
-    ll_const = jnp.asarray(ll_const, base.dtype)
-
-    bw = base.p
-    if force_engine == "block_vmap":
-        eng = BlockVmapEngine(base.dpad, bw, base.q, base.s)
-    elif force_engine == "pallas_interpret":
-        eng = PallasBatchedEngine(base.dpad, bw, base.q, R, interpret=True)
-    elif force_engine == "pallas":
-        eng = PallasBatchedEngine(base.dpad, bw, base.q, R)
-    elif jax.default_backend() == "tpu":
-        eng = PallasBatchedEngine(base.dpad, bw, base.q, R)
-    else:
-        eng = BlockVmapEngine(base.dpad, bw, base.q, base.s)
-    return BatchedFastIWP(base=base, Y=Y, ll_const=ll_const, engine=eng,
-                          R=R)
+    ys_int = ys_raw[:, np.asarray(base.row_order)]
+    return make_batched(base, ys_int, ll_const_np(base, ys_int), R,
+                        make_engine_batched(base, R, force_engine))
 
 
 def max_replicates(p: int) -> int:

@@ -492,6 +492,141 @@ def build_fused_run_1d(backend, k: int, tol: float = 1e-9,
         return jax.jit(run) if jit else run
 
 
+def build_fused_run_1d_batched(backend, k: int, tol: float = 1e-9,
+                               max_iter: int = 40, jit: bool = True):
+    """Vectorized build_fused_run_1d for a MULTI-REPLICATE backend
+    (fast/batched.BatchedFastIWP): R independent s=1 fits advance in
+    lock-step inside ONE program — every optimizer quantity is (R,),
+    every Laplace eval factors all replicates in one lane-packed kernel
+    pass. Same secant-Newton + EM-jump + bracketing logic as the scalar
+    program, applied elementwise per replicate; the while_loop runs
+    until EVERY replicate converges (converged replicates keep taking
+    sub-noise steps, which is idempotent within the accept guard).
+
+    run(th0 (R,), state0) -> (mode (R,), H (R,), nodes (R, k),
+    nlls (R, k)). No sampling states (replicate fits consume
+    modes/lognormconsts; use the scalar fused program for posterior
+    draws of a single fit)."""
+    dtype = backend.dtype
+    R = backend.R
+    cdt = getattr(backend, "compute_dtype", dtype)
+    f_noise = 1e-9 if cdt in (np.float64, jnp.float64) else 3e-7
+    h_fd = 1e-4 if cdt in (np.float64, jnp.float64) else 0.3
+    z1, _ = ghe_rule(k)
+    _dims = getattr(backend.base, "em_dims", None)
+    em_dim = None if _dims is None else float(np.asarray(_dims)[0])
+    if em_dim is not None:
+        _alpha = float(np.asarray(backend.md.alpha).reshape(-1)[0])
+        _u = float(np.asarray(backend.md.u).reshape(-1)[0])
+        em_phi = -math.log(_alpha) / _u
+
+    def vg(th, state):
+        f, st = backend.nll_warm(th, state)
+        g = jax.grad(lambda t: jnp.sum(backend.nll_warm(t, state)[0]))(th)
+        return f, g, st
+
+    def run(th0, state0):
+        f0, g0, st0 = vg(th0, state0)
+
+        def cond(c):
+            return jnp.logical_and(~jnp.all(c["done"]),
+                                   c["it"] < max_iter)
+
+        def body(c):
+            have_h = c["h_est"] > 0
+            h = jnp.where(have_h, c["h_est"],
+                          jnp.maximum(jnp.abs(c["g"]), 1.0))
+            step = jnp.clip(c["g"] / h, -c["cap"], c["cap"])
+            use_em = jnp.zeros((R,), bool)
+            if em_dim is not None:
+                hp = 0.5 - 0.5 * em_phi * jnp.exp(-0.5 * c["th"])
+                A = 2.0 * (c["g"] - hp) + em_dim
+                em = jnp.log(jnp.asarray(float(em_dim), dtype)) \
+                    - jnp.log(jnp.maximum(A, 1e-4 * em_dim))
+                em = jnp.clip(em, -8.0, 8.0)
+                use_em = (jnp.abs(em) > 0.5) & (c["cap"] >= 2.0)
+                step = jnp.where(use_em, -em, step)
+            full = (~use_em) & (jnp.abs(step) >= c["cap"] * 0.999)
+            same_dir = jnp.sign(step) == c["last_dir"]
+            cap2 = jnp.where(full & same_dir,
+                             jnp.minimum(c["cap"] * 2.0, 16.0),
+                             jnp.where(full, c["cap"], 2.0))
+            ldir2 = jnp.where(full, jnp.sign(step), 0.0)
+            cand = jnp.where(c["final"], c["th_root"], c["th"] - step)
+            f_t, g_t, st_t = vg(cand, c["state"])
+            guard = jnp.maximum(1e3 * f_noise * (1.0 + jnp.abs(c["f"])),
+                                1e-8)
+            ok = jnp.isfinite(f_t) & (f_t <= c["f"] + guard)
+            # FREEZE converged replicates: they keep evaluating (lock
+            # step) but never move again
+            acc = (ok | c["final"]) & ~c["done"]
+            dth = cand - c["th"]
+            h_new = jnp.where(
+                acc & (jnp.abs(dth) > 1e-12), (g_t - c["g"]) / dth,
+                c["h_est"])
+            h_new = jnp.where(jnp.isfinite(h_new) & (h_new > 0),
+                              h_new, c["h_est"])
+            flip = (acc & ~c["final"]
+                    & (jnp.sign(g_t) != jnp.sign(c["g"]))
+                    & (jnp.abs(dth) < 0.05 * (1.0 + jnp.abs(cand))))
+            denom = g_t - c["g"]
+            th_root = jnp.where(jnp.abs(denom) > 1e-300,
+                                cand - g_t * dth / denom, cand)
+            th2 = jnp.where(acc, cand, c["th"])
+            f2 = jnp.where(acc, f_t, c["f"])
+            g2 = jnp.where(acc, g_t, c["g"])
+            st2 = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(
+                    acc.reshape((R,) + (1,) * (new.ndim - 1)), new, old),
+                st_t, c["state"])
+            small = (h_new > 0) & (jnp.abs(g2 / jnp.maximum(
+                h_new, 1e-12)) < 1e-4)
+            done = (c["final"] | (jnp.abs(g2) < tol)
+                    | (~flip & acc & small))
+            rej = ~acc & ~c["done"]
+            return {
+                "th": th2, "f": f2, "g": g2, "state": st2,
+                "h_est": h_new,
+                "cap": jnp.where(acc, cap2,
+                                 jnp.where(rej, c["cap"] * 0.25,
+                                           c["cap"])),
+                "last_dir": jnp.where(acc, ldir2, c["last_dir"]),
+                "final": flip, "th_root": th_root,
+                "done": c["done"] | done, "it": c["it"] + 1,
+            }
+
+        z = jnp.zeros((R,), dtype) * f0
+        c0 = {"th": th0 + z, "f": f0, "g": g0, "state": st0,
+              "h_est": z, "cap": jnp.full((R,), 2.0, dtype) + z,
+              "last_dir": z, "final": z > jnp.asarray(1.0, dtype),
+              "th_root": z, "done": jnp.abs(g0) < tol,
+              "it": jnp.asarray(0)}
+        c = jax.lax.while_loop(cond, body, c0)
+        mode, st = c["th"], c["state"]
+        _, gp, _ = vg(mode + h_fd, st)
+        _, gm, _ = vg(mode - h_fd, st)
+        H = (gp - gm) / (2 * h_fd)
+        Hpos = jnp.maximum(jnp.abs(H), 1e-8)
+        Lad = jax.lax.rsqrt(Hpos)
+        nodes = mode[:, None] + Lad[:, None] * jnp.asarray(
+            z1, dtype)[None]                               # (R, k)
+        outs = [None] * k
+        warm_neg = warm_pos = st
+        for j in np.argsort(np.abs(z1)):
+            j = int(j)
+            warm = warm_neg if z1[j] < 0 else warm_pos
+            nllj, stj, _ = backend.laplace_eval_full(nodes[:, j], warm)
+            outs[j] = nllj
+            if z1[j] < 0:
+                warm_neg = stj
+            else:
+                warm_pos = stj
+        nlls = jnp.stack(outs, axis=1)                     # (R, k)
+        return mode, H, nodes, nlls
+
+    return jax.jit(run) if jit else run
+
+
 def build_fused_opt_nd(backend, s: int, tol: float = 1e-9,
                        max_iter: int = 60, jit: bool = True):
     """The s>1 outer optimization as ONE jitted device program: the

@@ -64,7 +64,7 @@ def replicate_fits(backend, ys, k: int = 4, mesh: Mesh = None,
     if mesh is None:
         modes, lncs = jax.jit(local_map)(ys)
     else:
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         if R % mesh.shape[axis]:
             raise ValueError(
                 f"R={R} must divide the '{axis}' axis size "
@@ -73,4 +73,99 @@ def replicate_fits(backend, ys, k: int = 4, mesh: Mesh = None,
                        in_specs=P(axis), out_specs=P(axis))
         ys = jax.device_put(ys, NamedSharding(mesh, P(axis)))
         modes, lncs = jax.jit(fn)(ys)
+    return np.asarray(modes), np.asarray(lncs)
+
+
+def replicate_fits_packed(backend, ys, k: int = 4, mesh: Mesh = None,
+                          axis: str = "fits", force_engine: str = None):
+    """AGHQ-fit R replicates with the LANE-PACKED batched backend:
+    within a chip, up to 128/G replicates share every band
+    factorization/solve in one Pallas kernel pass and every O(n) design
+    pass as one batched MXU program (fast/batched.py) — versus
+    `replicate_fits`' sequential per-replicate `lax.map`. Across chips,
+    the replicate axis shards over `mesh` as usual.
+
+    backend: FastIWPBackend (chunked design, 1 hyperparameter);
+    ys: (R, n) responses in RAW data order.
+    Returns (modes (R,), lognormconsts (R,)) as numpy arrays.
+    """
+    from ..fast.batched import (ll_const_np, make_batched,
+                                make_engine_batched, max_replicates)
+    from ..inference.aghq import build_fused_run_1d_batched
+
+    ys = np.asarray(ys)
+    R, _ = ys.shape
+    NRmax = max_replicates(backend.p)
+    ys_int = ys[:, np.asarray(backend.row_order)]
+    llc = ll_const_np(backend, ys_int)
+    z, logw_base = aghq.product_grid(k, 1)
+    logw_base = np.asarray(logw_base)
+
+    def lnc_of(nlls, H):
+        """(R?, k), (R?,) -> per-replicate lognormconst (traceable)."""
+        Lad = jax.lax.rsqrt(jnp.maximum(jnp.abs(H), 1e-8))
+        lw = -nlls + (jnp.asarray(logw_base)[None]
+                      + jnp.log(Lad)[:, None])
+        m = jnp.max(lw, axis=1)
+        return m + jnp.log(jnp.sum(jnp.exp(lw - m[:, None]), axis=1))
+
+    if mesh is None:
+        # single chip: groups of NRmax through ONE compiled program
+        # (responses are arguments, so every group reuses the program)
+        NRg = min(R, NRmax)
+        eng = make_engine_batched(backend, NRg, force_engine)
+
+        @jax.jit
+        def run_group(Yg, llcg):
+            bbg = make_batched(backend, Yg, llcg, NRg, eng)
+            run = build_fused_run_1d_batched(bbg, k, jit=False)
+            th0 = jnp.zeros((NRg,), backend.dtype)
+            mode, H, _, nlls = run(th0, bbg.init_state())
+            return mode, lnc_of(nlls, H)
+
+        pad = (-R) % NRg
+        if pad:
+            ys_int = np.concatenate([ys_int, ys_int[-1:].repeat(pad, 0)])
+            llc = np.concatenate([llc, llc[-1:].repeat(pad)])
+        modes, lncs = [], []
+        for g0 in range(0, ys_int.shape[0], NRg):
+            m, l = run_group(jnp.asarray(ys_int[g0:g0 + NRg]),
+                             jnp.asarray(llc[g0:g0 + NRg]))
+            modes.append(np.asarray(m))
+            lncs.append(np.asarray(l))
+        return (np.concatenate(modes)[:R], np.concatenate(lncs)[:R])
+
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_dev = mesh.shape[axis]
+    if R % n_dev:
+        raise ValueError(f"R={R} must divide the '{axis}' axis {n_dev}")
+    Rloc = R // n_dev
+    if Rloc > NRmax:
+        raise ValueError(
+            f"{Rloc} replicates/chip exceed the lane-group capacity "
+            f"{NRmax} at order {backend.p}; use more chips or "
+            f"replicate_fits")
+    eng = make_engine_batched(backend, Rloc, force_engine)
+
+    def local_fn(Yl, llcl):
+        bbl = make_batched(backend, Yl, llcl, Rloc, eng)
+        run = build_fused_run_1d_batched(bbl, k, jit=False)
+        # tie the starts to the data so every while-loop carry begins
+        # sharding-'varying' (see replicate_fits)
+        zy = jnp.asarray(0.0, backend.dtype) * Yl[0, 0].astype(
+            backend.dtype)
+        th0 = jnp.zeros((Rloc,), backend.dtype) + zy
+        st0 = jax.tree_util.tree_map(
+            lambda a: a + zy.astype(a.dtype), bbl.init_state())
+        mode, H, _, nlls = run(th0, st0)
+        return mode, lnc_of(nlls, H)
+
+    fn = shard_map(local_fn, mesh=mesh, in_specs=(P(axis), P(axis)),
+                   out_specs=(P(axis), P(axis)))
+    Yd = jax.device_put(jnp.asarray(ys_int),
+                        NamedSharding(mesh, P(axis)))
+    ld = jax.device_put(jnp.asarray(llc), NamedSharding(mesh, P(axis)))
+    modes, lncs = jax.jit(fn)(Yd, ld)
     return np.asarray(modes), np.asarray(lncs)

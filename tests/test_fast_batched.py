@@ -93,3 +93,54 @@ def test_max_replicates():
     assert max_replicates(3) == 16
     assert max_replicates(2) == 16
     assert max_replicates(4) == 8
+
+
+def _replicate_ys(base_seed, f_true, R):
+    rng = np.random.default_rng(base_seed)
+    return np.stack([rng.poisson(np.exp(f_true)).astype(np.float64)
+                     for _ in range(R)])
+
+
+def test_packed_fused_fits_match_scalar():
+    """replicate_fits_packed == per-replicate scalar fused AGHQ fits."""
+    from bayesgp_tpu.inference import aghq
+    from bayesgp_tpu.parallel.replicates import replicate_fits_packed
+
+    base, ys = _problem(n=400, k=12, R=3, seed=7)
+    modes, lncs = replicate_fits_packed(base, ys, k=4,
+                                        force_engine="block_vmap")
+    for r in range(3):
+        br = base.with_y(jnp.asarray(ys[r]))
+        fit = aghq.aghq_fit(br, k=4)
+        assert abs(float(modes[r]) - float(fit.mode[0])) < 1e-5, r
+        assert abs(float(lncs[r]) - fit.lognormconst) < 1e-5, r
+
+
+def test_packed_grouping_beyond_capacity():
+    """The single-chip grouping path (pad-to-group + one compiled
+    program reused per group) agrees with the lax.map reference path."""
+    from bayesgp_tpu.parallel.replicates import (replicate_fits,
+                                                 replicate_fits_packed)
+
+    base, ys = _problem(n=300, k=10, R=5, seed=9)
+    m_p, l_p = replicate_fits_packed(base, ys, k=3,
+                                     force_engine="block_vmap")
+    m_s, l_s = replicate_fits(base, ys, k=3)
+    np.testing.assert_allclose(m_p, m_s, atol=2e-5)
+    np.testing.assert_allclose(l_p, l_s, atol=2e-5)
+
+
+def test_packed_sharded_over_mesh():
+    from bayesgp_tpu.parallel.replicates import replicate_fits_packed
+
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs the virtual multi-device mesh")
+    mesh = jax.sharding.Mesh(np.asarray(devs[:4]), ("fits",))
+    base, ys = _problem(n=300, k=10, R=8, seed=11)
+    m_m, l_m = replicate_fits_packed(base, ys, k=3, mesh=mesh,
+                                     force_engine="block_vmap")
+    m_1, l_1 = replicate_fits_packed(base, ys, k=3,
+                                     force_engine="block_vmap")
+    np.testing.assert_allclose(m_m, m_1, atol=1e-8)
+    np.testing.assert_allclose(l_m, l_1, atol=1e-8)
