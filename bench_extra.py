@@ -9,8 +9,12 @@ bench.py). Mirrors BASELINE.md's other configs:
   reps     R replicate responses on the headline design, lax.map'd on
            ONE chip (the per-chip half of the BASELINE stretch config;
            across-chip sharding is parallel/replicates.py).
+  reps_packed  R replicates through ONE lane-packed batched program
+           (fast/batched.py): every band factorization/solve advances
+           all replicates at once.
 
-Usage: python bench_extra.py [gauss2|lynx|reps] (default: all)
+Usage: python bench_extra.py [gauss2|lynx|reps|reps_packed]
+(default: all)
 Prints one JSON line per config to stdout.
 """
 import json
@@ -90,16 +94,19 @@ def bench_lynx():
           flush=True)
 
 
-def bench_reps(R=4):
-    from bayesgp_tpu.parallel.replicates import replicate_fits
-    be = _build_iwp(100_000, 2000, "Poisson")
-    rng = np.random.default_rng(1)
-    # replicate responses: same design, re-drawn Poisson noise
+def _replicate_ys(be, R, seed=1):
+    rng = np.random.default_rng(seed)
     base = np.asarray(be.md.y, np.float64)
     inv = np.argsort(np.asarray(be.row_order))
     lam = np.maximum(base, 0.5)
-    ys = np.stack([rng.poisson(lam)[inv].astype(np.float64)
-                   for _ in range(R)])
+    return np.stack([rng.poisson(lam)[inv].astype(np.float64)
+                     for _ in range(R)])
+
+
+def bench_reps(R=4):
+    from bayesgp_tpu.parallel.replicates import replicate_fits
+    be = _build_iwp(100_000, 2000, "Poisson")
+    ys = _replicate_ys(be, R)
     t0 = time.time()
     modes, lncs = replicate_fits(be, ys, k=4)
     first = time.time() - t0
@@ -107,6 +114,25 @@ def bench_reps(R=4):
     modes, lncs = replicate_fits(be, ys, k=4)
     dt = time.time() - t0
     print(json.dumps({"metric": f"replicates_R{R}_onechip_seconds",
+                      "value": round(dt, 4), "unit": "s",
+                      "per_fit_s": round(dt / R, 4),
+                      "first_compile_s": round(first, 1),
+                      "modes": np.asarray(modes).tolist()}), flush=True)
+
+
+def bench_reps_packed(R=16):
+    """Lane-packed replicate fits: R fits through ONE batched program
+    (fast/batched.py) — the per-chip stretch configuration."""
+    from bayesgp_tpu.parallel.replicates import replicate_fits_packed
+    be = _build_iwp(100_000, 2000, "Poisson")
+    ys = _replicate_ys(be, R)
+    t0 = time.time()
+    modes, lncs = replicate_fits_packed(be, ys, k=4)
+    first = time.time() - t0
+    t0 = time.time()
+    modes, lncs = replicate_fits_packed(be, ys, k=4)
+    dt = time.time() - t0
+    print(json.dumps({"metric": f"replicates_packed_R{R}_onechip_seconds",
                       "value": round(dt, 4), "unit": "s",
                       "per_fit_s": round(dt / R, 4),
                       "first_compile_s": round(first, 1),
@@ -121,3 +147,5 @@ if __name__ == "__main__":
         bench_lynx()
     if which in ("reps", "all"):
         bench_reps()
+    if which in ("reps_packed", "all"):
+        bench_reps_packed()
