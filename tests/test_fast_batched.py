@@ -144,3 +144,35 @@ def test_packed_sharded_over_mesh():
                                      force_engine="block_vmap")
     np.testing.assert_allclose(m_m, m_1, atol=1e-8)
     np.testing.assert_allclose(l_m, l_1, atol=1e-8)
+
+
+def test_batched_binomial_vs_scalar():
+    """The fam=2 batched likelihood/weights path matches the scalar
+    backend per replicate."""
+    rng = np.random.default_rng(21)
+    n, k, R = 300, 10, 3
+    x = np.sort(rng.uniform(0.0, 6.0, n))
+    pr = jax.nn.sigmoid(0.8 * np.sin(x))
+    size = np.full(n, 4.0)
+    inst = T.build_iwp_term("x", x, order=2, k=k, materialize_B=False)
+    dmf = [np.ones((n, 1))]
+    y0 = rng.binomial(4, pr).astype(np.float64)
+    md = B.build_model_data([inst], dmf, y0, "Binomial",
+                            dense_design=False, size=size)
+    xf = np.concatenate([inst.X] + dmf, axis=1)
+    pt = np.full(xf.shape[1], 0.01)
+    base = build_fast_iwp(inst, md, xf, pt, np.zeros_like(pt),
+                          inst.x_data)
+    ys = np.stack([rng.binomial(4, pr).astype(np.float64)
+                   for _ in range(R)])
+    bb = build_batched(base, ys, force_engine="block_vmap")
+    theta = jnp.asarray([0.3, -0.2, 0.9])
+    vals, _ = bb.nll_warm(theta, bb.init_state())
+    grads = jax.grad(lambda th: jnp.sum(bb.nll_warm(th, bb.init_state())[0])
+                     )(theta)
+    for r in range(R):
+        br = base.with_y(ys[r])
+        (v_r, _), g_r = jax.value_and_grad(br.nll_warm, has_aux=True)(
+            jnp.asarray([float(theta[r])]), br.init_state())
+        assert abs(float(vals[r]) - float(v_r)) < 1e-7
+        assert abs(float(grads[r]) - float(g_r[0])) < 1e-6
