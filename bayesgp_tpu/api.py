@@ -266,7 +266,9 @@ def model_fit(formula=None, data=None, method: str = "aghq",
                                            bf_prec, bf_mean)
         else:
             backend = aghq_mod.DenseBackend(md)
-        mod = aghq_mod.aghq_fit(backend, k=aghq_k)
+        # s=1 fused backends draw the posterior samples INSIDE the fit
+        # program (one dispatch total); sample_marginal reuses them
+        mod = aghq_mod.aghq_fit(backend, k=aghq_k, sample=(key, M))
         samps, _, theta_samps = sampling_mod.sample_marginal(key, mod, M)
     elif method == "nlminb":
         theta = jnp.zeros((0,), md.A.dtype)

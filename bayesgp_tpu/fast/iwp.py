@@ -852,48 +852,52 @@ class FastIWPBackend:
             lambda *xs: jnp.stack(xs), *[o[1] for o in outs])
         return nlls, states
 
-    def sample(self, key, states, idx, M):
-        """Mixture sampling: (w_count_ref, M) in REFERENCE coordinates
-        [U = T V | beta | fixed].
+    def sample_traceable(self, key, states, idx, M):
+        """Mixture sampling body: (M, w_count_ref) f32 draws in
+        REFERENCE coordinates [U = T V | beta | fixed]; traceable, so it
+        can run inside the fused fit program (one dispatch for
+        fit + posterior draws).
 
-        One multi-RHS batched solve per node (lax.map over the few
-        nodes), then per-draw node selection — per-draw vmapped solves
-        crash the TPU worker at large d and are far slower anyway."""
+        One multi-RHS batched solve per node (static unroll over the
+        few nodes), then per-draw node selection — per-draw vmapped
+        solves crash the TPU worker at large d and are far slower
+        anyway. f32 output: the draws carry Monte-Carlo error >> 1e-7,
+        and the f64 transfer (48 MB at M=3000) dominated sampling wall
+        time through the tunnel."""
         V, tail, factor = states
 
         J = jax.tree_util.tree_leaves(factor)[0].shape[0]
+        k1, k2 = jax.random.split(key)
+        zb = jax.random.normal(k1, (self.dpad, M), self.dtype)
+        zd = jax.random.normal(k2, (self.q, M), self.dtype)
 
-        def run(key, idx):
-            k1, k2 = jax.random.split(key)
-            zb = jax.random.normal(k1, (self.dpad, M), self.dtype)
-            zd = jax.random.normal(k2, (self.q, M), self.dtype)
+        def one_node(fi):
+            af, sc, sd = fi
+            xb, xd = self.engine.sample_multi(af, zb, zd)
+            return (xb * sc[:, None],
+                    xd * sd[:, None] if self.q else xd)
 
-            def one_node(fi):
-                af, sc, sd = fi
-                xb, xd = self.engine.sample_multi(af, zb, zd)
-                return (xb * sc[:, None],
-                        xd * sd[:, None] if self.q else xd)
+        outs = [one_node(jax.tree_util.tree_map(lambda x: x[j], factor))
+                for j in range(J)]
+        xbs = jnp.stack([o[0] for o in outs])         # (J, dpad, M)
+        xds = jnp.stack([o[1] for o in outs])
+        m_ar = jnp.arange(M)
+        devV = xbs[idx, :, m_ar]                      # (M, dpad)
+        devt = xds[idx, :, m_ar]                      # (M, q)
+        Vs = V[idx] + devV
+        ts = tail[idx] + devt
+        Vact = jax.vmap(self.to_V)(Vs, ts)
+        U = self.apply_T(Vact[:, :self.d])            # batched over M
+        full = jnp.concatenate([U, ts], axis=1)       # (M, w_ref)
+        return full.astype(jnp.float32)
 
-            # static unroll over the handful of quadrature nodes (lax.map
-            # over the solver kernels is a TPU-worker landmine at large d)
-            outs = [one_node(jax.tree_util.tree_map(lambda x: x[j], factor))
-                    for j in range(J)]
-            xbs = jnp.stack([o[0] for o in outs])         # (J, dpad, M)
-            xds = jnp.stack([o[1] for o in outs])
-            m_ar = jnp.arange(M)
-            devV = xbs[idx, :, m_ar]                      # (M, dpad)
-            devt = xds[idx, :, m_ar]                      # (M, q)
-            Vs = V[idx] + devV
-            ts = tail[idx] + devt
-            Vact = jax.vmap(self.to_V)(Vs, ts)
-            U = self.apply_T(Vact[:, :self.d])            # batched over M
-            return jnp.concatenate([U, ts], axis=1)       # (M, w_ref)
-
-        # f32 device->host transfer: the draws carry Monte-Carlo
-        # error >> 1e-7, and the f64 transfer (48 MB at M=3000)
-        # dominated sampling wall time through the tunnel
-        samps = jax.jit(lambda k, i: run(k, i).astype(jnp.float32))(
-            key, idx)
+    def sample(self, key, states, idx, M):
+        """(w_count_ref, M) posterior samples (host numpy); see
+        sample_traceable."""
+        if not hasattr(self, "_sample_jit"):
+            self._sample_jit = jax.jit(
+                self.sample_traceable, static_argnums=(3,))
+        samps = self._sample_jit(key, states, idx, M)
         return np.asarray(samps, np.float64).T
 
 

@@ -168,7 +168,8 @@ class DenseBackend(JitCacheMixin):
             warm = self.init_state()
         return self._node_eval(thetas, warm)
 
-    def sample(self, key, states, idx, M):
+    def sample_traceable(self, key, states, idx, M):
+        """(M, w) mixture draws — traceable (fused fit+sample)."""
         from jax.scipy.linalg import solve_triangular
         W_star, L = states
         w_dim = W_star.shape[1]
@@ -178,8 +179,13 @@ class DenseBackend(JitCacheMixin):
             dev = solve_triangular(L[i], zi, lower=True, trans=1)
             return W_star[i] + dev
 
-        samps = jax.jit(jax.vmap(draw))(idx, z)
-        return np.asarray(samps).T
+        return jax.vmap(draw)(idx, z)
+
+    def sample(self, key, states, idx, M):
+        if not hasattr(self, "_sample_jit"):
+            self._sample_jit = jax.jit(
+                self.sample_traceable, static_argnums=(3,))
+        return np.asarray(self._sample_jit(key, states, idx, M)).T
 
 
 @dataclass
@@ -196,6 +202,8 @@ class AGHQFit:
     k: int
     backend: Any = None
     marginals: list = field(default_factory=list)  # per-dim (theta, logpdf)
+    presampled: Any = None        # (samps (w, M), idx (M,)) drawn inside
+    #                               the fused fit program (aghq_fit sample=)
 
     @property
     def logpost_nodes(self):
@@ -291,11 +299,16 @@ def _optimize_theta_1d(backend, theta0, tol, max_iter, verbose):
 
 
 def fused_fit_1d(backend, k: int = 4, theta0: float = 0.0,
-                 tol: float = 1e-9, max_iter: int = 40):
+                 tol: float = 1e-9, max_iter: int = 40, sample=None):
     """The ENTIRE s=1 AGHQ fit as ONE jitted device program: secant-
     Newton on the gradient root (same scheme as _optimize_theta_1d),
     FD Hessian at the mode, GH adaptation, and the k node evaluations —
-    a single dispatch instead of ~35.
+    a single dispatch instead of ~35. With sample=(key, M), the M
+    posterior mixture draws run INSIDE the same program (same key
+    discipline and logits arithmetic as sampling.sample_marginal) and
+    two extra outputs (idx (M,), samps (w, M)) are appended — fit +
+    posterior samples in one dispatch for the dispatch-bound
+    small-model regime.
 
     Motivation (measured): after the Pallas engine + MXU design work, a
     full warm Laplace evaluation is ~10 ms of device time while every
@@ -315,15 +328,24 @@ def fused_fit_1d(backend, k: int = 4, theta0: float = 0.0,
     cache = getattr(backend, "_fused_fit_progs", None)
     if cache is None:
         cache = backend._fused_fit_progs = {}
-    ckey = (k, tol, max_iter)
+    sample_M = 0 if sample is None else int(sample[1])
+    ckey = (k, tol, max_iter, sample_M)
     if ckey not in cache:
-        cache[ckey] = build_fused_run_1d(backend, k, tol, max_iter)
+        cache[ckey] = build_fused_run_1d(backend, k, tol, max_iter,
+                                         sample_M=sample_M)
 
     th0 = jnp.asarray(float(np.atleast_1d(theta0)[0]), backend.dtype)
-    mode, H, nodes, nlls, states = cache[ckey](
-        th0, backend.init_state())
+    if sample_M:
+        mode, H, nodes, nlls, states, idx, samps = cache[ckey](
+            th0, backend.init_state(), sample[0])
+        extra = (np.asarray(idx), np.asarray(samps, np.float64).T)
+    else:
+        mode, H, nodes, nlls, states = cache[ckey](
+            th0, backend.init_state())
+        extra = ()
     return (np.asarray(mode).reshape(1), np.asarray(H).reshape(1, 1),
-            np.asarray(nodes).reshape(k, 1), np.asarray(nlls), states)
+            np.asarray(nodes).reshape(k, 1), np.asarray(nlls),
+            states) + extra
 
 
 def _node_eval_packed(backend, th, warm, return_states):
@@ -348,12 +370,16 @@ def _node_eval_packed(backend, th, warm, return_states):
 
 def build_fused_run_1d(backend, k: int, tol: float = 1e-9,
                        max_iter: int = 40, jit: bool = True,
-                       return_states: bool = True):
+                       return_states: bool = True, sample_M: int = 0):
     """Construct (without executing) the jitted fused-fit program of
     fused_fit_1d. jit=False returns the raw traceable function (for
     embedding in larger programs, e.g. sharded replicate fits);
     return_states=False drops the per-node latent/factor states (saves
-    memory when only mode/nlls are needed)."""
+    memory when only mode/nlls are needed); sample_M > 0 appends the
+    in-program posterior mixture draws (run takes an extra PRNG key,
+    returns extra idx/samps outputs — see fused_fit_1d)."""
+    if sample_M and not return_states:
+        raise ValueError("sample_M requires return_states")
     dtype = backend.dtype
     cdt = getattr(backend, "compute_dtype", dtype)
     f_noise = 1e-9 if cdt in (np.float64, jnp.float64) else 3e-7
@@ -489,7 +515,28 @@ def build_fused_run_1d(backend, k: int, tol: float = 1e-9,
                 lambda *xs: jnp.stack(xs), *[o[1] for o in outs])
             return mode, H, nodes, nlls, states
 
-        return jax.jit(run) if jit else run
+        if not sample_M:
+            return jax.jit(run) if jit else run
+
+        # fit + in-program posterior mixture draws (one dispatch):
+        # node logits and key discipline mirror sampling.sample_marginal
+        _, w1 = ghe_rule(k)
+        logw1 = jnp.asarray(np.log(w1), dtype)
+
+        def run_sampled(th0, state0, key):
+            mode, H, nodes, nlls, states = run(th0, state0)
+            Lad = jax.lax.rsqrt(jnp.maximum(jnp.abs(H), 1e-8))
+            lw = -nlls + (logw1 + jnp.log(Lad))
+            m = jnp.max(lw)
+            lnc = m + jnp.log(jnp.sum(jnp.exp(lw - m)))
+            k_idx, k_draw = jax.random.split(key)
+            idx = jax.random.categorical(k_idx, lw - lnc,
+                                         shape=(sample_M,))
+            samps = backend.sample_traceable(k_draw, states, idx,
+                                             sample_M)
+            return mode, H, nodes, nlls, states, idx, samps
+
+        return jax.jit(run_sampled) if jit else run_sampled
 
 
 def build_fused_run_1d_batched(backend, k: int, tol: float = 1e-9,
@@ -778,7 +825,7 @@ def _node_tour(z: np.ndarray):
 
 
 def build_fused_nodes(backend, tour, return_states: bool = True,
-                      jit: bool = True):
+                      jit: bool = True, sample_M: int = 0):
     """One-program evaluation of J quadrature nodes (a single dispatch
     instead of J): a lax.scan of warm-chained Laplace solves along the
     static `tour` order (_node_tour), with per-node Hessian factors when
@@ -805,20 +852,39 @@ def build_fused_nodes(backend, tour, return_states: bool = True,
         sts = jax.tree_util.tree_map(lambda a: a[inv], sts)
         return nlls[inv], sts
 
-    return jax.jit(run) if jit else run
+    if not sample_M:
+        return jax.jit(run) if jit else run
+    if not return_states:
+        raise ValueError("sample_M requires return_states")
+
+    def run_sampled(nodes, warm, logw, key):
+        """Node evals + in-program posterior mixture draws (logw: (J,)
+        adapted log weights from the host-side adaptation)."""
+        nlls, sts = run(nodes, warm)
+        lw = -nlls + logw
+        m = jnp.max(lw)
+        lnc = m + jnp.log(jnp.sum(jnp.exp(lw - m)))
+        k_idx, k_draw = jax.random.split(key)
+        idx = jax.random.categorical(k_idx, lw - lnc, shape=(sample_M,))
+        samps = backend.sample_traceable(k_draw, sts, idx, sample_M)
+        return nlls, sts, idx, samps
+
+    return jax.jit(run_sampled) if jit else run_sampled
 
 
-def _fused_nodes_cached(backend, z: np.ndarray, return_states: bool):
+def _fused_nodes_cached(backend, z: np.ndarray, return_states: bool,
+                        sample_M: int = 0):
     """Per-backend cache of compiled fused node programs, keyed by node
     count (the z grid is fixed given (k, s), so shapes and the chain are
-    static)."""
+    static) and the in-program draw count."""
     cache = getattr(backend, "_fused_node_progs", None)
     if cache is None:
         cache = backend._fused_node_progs = {}
-    key = (len(z), return_states)
+    key = (len(z), return_states, sample_M)
     if key not in cache:
         cache[key] = build_fused_nodes(backend, _node_tour(z),
-                                       return_states=return_states)
+                                       return_states=return_states,
+                                       sample_M=sample_M)
     return cache[key]
 
 
@@ -911,8 +977,15 @@ def optimize_theta(backend, s: int, theta0=None, tol=1e-9, max_iter=100,
     return np.asarray(theta), np.asarray(H), float(f), state
 
 
-def aghq_fit(md_or_backend, k: int = 4, theta0=None, verbose=False) -> AGHQFit:
-    """Full AGHQ pipeline: optimize, adapt, quadrature, marginals."""
+def aghq_fit(md_or_backend, k: int = 4, theta0=None, verbose=False,
+             sample=None) -> AGHQFit:
+    """Full AGHQ pipeline: optimize, adapt, quadrature, marginals.
+
+    sample=(key, M): draw the M posterior mixture samples INSIDE the
+    fused fit program when the backend supports it (s=1 fused path +
+    sample_traceable) and attach them as fit.presampled =
+    (samps (w, M), idx (M,)) — sampling.sample_marginal then reuses
+    them instead of dispatching again. Ignored where unsupported."""
     backend = (md_or_backend if hasattr(md_or_backend, "node_eval")
                else DenseBackend(md_or_backend))
     s = backend.n_theta
@@ -921,10 +994,14 @@ def aghq_fit(md_or_backend, k: int = 4, theta0=None, verbose=False) -> AGHQFit:
 
     if s == 1 and getattr(backend, "supports_fused_1d", False):
         # single-dispatch fused fit (fast backends): optimize + adapt +
-        # node evaluation all inside one device program
+        # node evaluation (+ optional posterior draws) in one program
         th0 = 0.0 if theta0 is None else float(np.atleast_1d(theta0)[0])
-        mode, H, nodes, nlls, states = fused_fit_1d(backend, k=k,
-                                                    theta0=th0)
+        fuse_sample = (sample is not None
+                       and hasattr(backend, "sample_traceable"))
+        out = fused_fit_1d(backend, k=k, theta0=th0,
+                           sample=sample if fuse_sample else None)
+        mode, H, nodes, nlls, states = out[:5]
+        presampled = (out[6], out[5]) if fuse_sample else None
         Lad = 1.0 / np.sqrt(np.maximum(np.abs(H[0, 0]), 1e-8))
         z, logw_base = product_grid(k, 1)
         logw = logw_base + np.log(Lad)
@@ -935,6 +1012,7 @@ def aghq_fit(md_or_backend, k: int = 4, theta0=None, verbose=False) -> AGHQFit:
                       nodes=nodes, logw=logw, lognll=np.asarray(nlls),
                       lognormconst=lognormconst, states=states, k=k,
                       backend=backend)
+        fit.presampled = presampled
         fit.marginals = [marginal_posterior(fit, backend, 0)]
         return fit
 
@@ -970,7 +1048,19 @@ def aghq_fit(md_or_backend, k: int = 4, theta0=None, verbose=False) -> AGHQFit:
     logw = logw_base + np.log(np.diag(L)).sum()
 
     nodes_j = jnp.asarray(nodes, backend.dtype)
-    if fused_nd:
+    presampled = None
+    fuse_sample = (fused_nd and sample is not None
+                   and hasattr(backend, "sample_traceable"))
+    if fuse_sample:
+        # node evaluations + posterior draws in one dispatch
+        M_s = int(sample[1])
+        nlls, states, idx_d, samps_d = _fused_nodes_cached(
+            backend, z, True, sample_M=M_s)(
+                nodes_j, warm, jnp.asarray(logw, backend.dtype),
+                sample[0])
+        presampled = (np.asarray(samps_d, np.float64).T,
+                      np.asarray(idx_d))
+    elif fused_nd:
         # all k^s warm-chained node evaluations in one dispatch
         nlls, states = _fused_nodes_cached(backend, z, True)(nodes_j, warm)
     else:
@@ -983,7 +1073,8 @@ def aghq_fit(md_or_backend, k: int = 4, theta0=None, verbose=False) -> AGHQFit:
 
     fit = AGHQFit(mode=mode, hessian=H, L=L, nodes=nodes, logw=logw,
                   lognll=nlls, lognormconst=lognormconst,
-                  states=states, k=k, backend=backend)
+                  states=states, k=k, backend=backend,
+                  presampled=presampled)
     fit.marginals = [marginal_posterior(fit, backend, j, warm=warm)
                      for j in range(s)]
     return fit

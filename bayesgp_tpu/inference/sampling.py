@@ -22,6 +22,13 @@ def sample_marginal(key, fit, M: int):
     Node selection ~ Categorical(posterior node weights); the Gaussian
     draw W | node is delegated to the fit's backend (dense triangular
     solves, or banded arrowhead solves for the fast path)."""
+    pre = getattr(fit, "presampled", None)
+    if pre is not None and pre[0].shape[1] == M:
+        # draws already made INSIDE the fused fit program (aghq_fit
+        # sample=(key, M)): zero extra dispatches
+        samps, idx = pre
+        theta = np.asarray(fit.nodes)[np.asarray(idx)]
+        return samps, np.asarray(idx), theta
     logits = jnp.asarray(fit.logpost_nodes + fit.logw)
     k_idx, k_draw = jax.random.split(key)
     idx = jax.random.categorical(k_idx, logits, shape=(M,))
