@@ -202,8 +202,9 @@ class AGHQFit:
     k: int
     backend: Any = None
     marginals: list = field(default_factory=list)  # per-dim (theta, logpdf)
-    presampled: Any = None        # (samps (w, M), idx (M,)) drawn inside
-    #                               the fused fit program (aghq_fit sample=)
+    presampled: Any = None        # (samps (w, M), idx (M,), key) drawn
+    #                               inside the fused fit program
+    #                               (aghq_fit sample=(key, M))
 
     @property
     def logpost_nodes(self):
@@ -377,7 +378,10 @@ def build_fused_run_1d(backend, k: int, tol: float = 1e-9,
     return_states=False drops the per-node latent/factor states (saves
     memory when only mode/nlls are needed); sample_M > 0 appends the
     in-program posterior mixture draws (run takes an extra PRNG key,
-    returns extra idx/samps outputs — see fused_fit_1d)."""
+    returns extra idx/samps outputs — see fused_fit_1d).
+
+    MAINTENANCE: build_fused_run_1d_batched is the hand-vectorized (R,)
+    twin of this optimizer body — mirror any logic change there."""
     if sample_M and not return_states:
         raise ValueError("sample_M requires return_states")
     dtype = backend.dtype
@@ -553,7 +557,14 @@ def build_fused_run_1d_batched(backend, k: int, tol: float = 1e-9,
     run(th0 (R,), state0) -> (mode (R,), H (R,), nodes (R, k),
     nlls (R, k)). No sampling states (replicate fits consume
     modes/lognormconsts; use the scalar fused program for posterior
-    draws of a single fit)."""
+    draws of a single fit).
+
+    MAINTENANCE: this body is the hand-vectorized (R,) twin of
+    build_fused_run_1d's scalar body — any change to the optimizer
+    logic there (steps, EM jump, caps, bracketing, tolerances) must be
+    mirrored here. They are kept separate because the scalar program is
+    the on-chip-proven headline path (tests/test_fast_iwp.py pins it);
+    unify only with fresh on-chip validation of both."""
     dtype = backend.dtype
     R = backend.R
     cdt = getattr(backend, "compute_dtype", dtype)
@@ -567,9 +578,16 @@ def build_fused_run_1d_batched(backend, k: int, tol: float = 1e-9,
         _u = float(np.asarray(backend.md.u).reshape(-1)[0])
         em_phi = -math.log(_alpha) / _u
 
-    def vg(th, state):
+    def _sum_nll(th, state):
         f, st = backend.nll_warm(th, state)
-        g = jax.grad(lambda t: jnp.sum(backend.nll_warm(t, state)[0]))(th)
+        return jnp.sum(f), (f, st)
+
+    def vg(th, state):
+        # ONE batched Laplace solve per call: value_and_grad runs the
+        # custom-VJP forward once and the sum's gradient is the
+        # per-replicate gradient vector (independent replicates)
+        (_, (f, st)), g = jax.value_and_grad(
+            _sum_nll, has_aux=True)(th, state)
         return f, g, st
 
     def run(th0, state0):
@@ -991,6 +1009,8 @@ def aghq_fit(md_or_backend, k: int = 4, theta0=None, verbose=False,
     s = backend.n_theta
     if s == 0:
         raise ValueError("aghq requires at least one hyperparameter")
+    if sample is not None and int(sample[1]) <= 0:
+        sample = None            # M=0: fit without draws
 
     if s == 1 and getattr(backend, "supports_fused_1d", False):
         # single-dispatch fused fit (fast backends): optimize + adapt +
@@ -1001,7 +1021,8 @@ def aghq_fit(md_or_backend, k: int = 4, theta0=None, verbose=False,
         out = fused_fit_1d(backend, k=k, theta0=th0,
                            sample=sample if fuse_sample else None)
         mode, H, nodes, nlls, states = out[:5]
-        presampled = (out[6], out[5]) if fuse_sample else None
+        presampled = ((out[6], out[5], np.asarray(sample[0]))
+                      if fuse_sample else None)
         Lad = 1.0 / np.sqrt(np.maximum(np.abs(H[0, 0]), 1e-8))
         z, logw_base = product_grid(k, 1)
         logw = logw_base + np.log(Lad)
@@ -1059,7 +1080,7 @@ def aghq_fit(md_or_backend, k: int = 4, theta0=None, verbose=False,
                 nodes_j, warm, jnp.asarray(logw, backend.dtype),
                 sample[0])
         presampled = (np.asarray(samps_d, np.float64).T,
-                      np.asarray(idx_d))
+                      np.asarray(idx_d), np.asarray(sample[0]))
     elif fused_nd:
         # all k^s warm-chained node evaluations in one dispatch
         nlls, states = _fused_nodes_cached(backend, z, True)(nodes_j, warm)

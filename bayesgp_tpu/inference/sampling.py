@@ -23,10 +23,12 @@ def sample_marginal(key, fit, M: int):
     draw W | node is delegated to the fit's backend (dense triangular
     solves, or banded arrowhead solves for the fast path)."""
     pre = getattr(fit, "presampled", None)
-    if pre is not None and pre[0].shape[1] == M:
-        # draws already made INSIDE the fused fit program (aghq_fit
-        # sample=(key, M)): zero extra dispatches
-        samps, idx = pre
+    if (pre is not None and pre[0].shape[1] == M
+            and np.array_equal(np.asarray(key), pre[2])):
+        # draws already made INSIDE the fused fit program with THIS key
+        # (aghq_fit sample=(key, M)): zero extra dispatches. A different
+        # key (or M) falls through to fresh independent draws.
+        samps, idx, _ = pre
         theta = np.asarray(fit.nodes)[np.asarray(idx)]
         return samps, np.asarray(idx), theta
     logits = jnp.asarray(fit.logpost_nodes + fit.logw)

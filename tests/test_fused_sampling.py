@@ -112,3 +112,30 @@ def test_fused_sampling_s2_nodes_program():
     assert np.array_equal(i1, i2)
     np.testing.assert_array_equal(s1, s2)
     np.testing.assert_array_equal(t1, t2)
+
+
+def test_sample_zero_M_and_fresh_key():
+    """Review regressions: sample=(key, 0) must fit without draws (not
+    crash), and sample_marginal with a DIFFERENT key must produce fresh
+    independent draws, not silently return the fit-time ones."""
+    x, y = _data(seed=6)
+    n = len(x)
+    inst = T.build_iwp_term("x", x, order=2, k=8, materialize_B=False)
+    dmf = [np.ones((n, 1))]
+    md = B.build_model_data([inst], dmf, y, "Poisson",
+                            dense_design=False)
+    xf = np.concatenate([inst.X] + dmf, axis=1)
+    pt = np.full(xf.shape[1], 0.01)
+    be = build_fast_iwp(inst, md, xf, pt, np.zeros_like(pt), inst.x_data)
+
+    k1 = jax.random.PRNGKey(0)
+    fit0 = aghq.aghq_fit(be, k=3, sample=(k1, 0))
+    assert fit0.presampled is None and np.isfinite(fit0.lognormconst)
+
+    M = 80
+    fit = aghq.aghq_fit(be, k=3, sample=(k1, M))
+    s_same, i_same, _ = sampling.sample_marginal(k1, fit, M)
+    np.testing.assert_array_equal(s_same, fit.presampled[0])
+    k2 = jax.random.PRNGKey(99)
+    s_new, i_new, _ = sampling.sample_marginal(k2, fit, M)
+    assert not np.array_equal(s_new, s_same)
