@@ -336,13 +336,18 @@ def fused_fit_1d(backend, k: int = 4, theta0: float = 0.0,
                                          sample_M=sample_M)
 
     th0 = jnp.asarray(float(np.atleast_1d(theta0)[0]), backend.dtype)
+    # ONE host transfer for all small outputs (each np.asarray on a
+    # device array is its own round trip through the tunnel)
     if sample_M:
         mode, H, nodes, nlls, states, idx, samps = cache[ckey](
             th0, backend.init_state(), sample[0])
-        extra = (np.asarray(idx), np.asarray(samps, np.float64).T)
+        mode, H, nodes, nlls, idx, samps = jax.device_get(
+            (mode, H, nodes, nlls, idx, samps))
+        extra = (idx, np.asarray(samps, np.float64).T)
     else:
         mode, H, nodes, nlls, states = cache[ckey](
             th0, backend.init_state())
+        mode, H, nodes, nlls = jax.device_get((mode, H, nodes, nlls))
         extra = ()
     return (np.asarray(mode).reshape(1), np.asarray(H).reshape(1, 1),
             np.asarray(nodes).reshape(k, 1), np.asarray(nlls),
@@ -1046,7 +1051,8 @@ def aghq_fit(md_or_backend, k: int = 4, theta0=None, verbose=False,
                else jnp.asarray(np.atleast_1d(theta0), backend.dtype))
         mode_d, H_d, warm = backend._fused_opt_nd(th0,
                                                   backend.init_state())
-        mode, H = np.asarray(mode_d), np.asarray(H_d)
+        mode, H = jax.device_get((mode_d, H_d))
+        mode, H = np.asarray(mode), np.asarray(H)
     else:
         mode, H, _, warm = optimize_theta(backend, s, theta0=theta0,
                                           verbose=verbose)
@@ -1079,6 +1085,7 @@ def aghq_fit(md_or_backend, k: int = 4, theta0=None, verbose=False,
             backend, z, True, sample_M=M_s)(
                 nodes_j, warm, jnp.asarray(logw, backend.dtype),
                 sample[0])
+        nlls, idx_d, samps_d = jax.device_get((nlls, idx_d, samps_d))
         presampled = (np.asarray(samps_d, np.float64).T,
                       np.asarray(idx_d), np.asarray(sample[0]))
     elif fused_nd:
