@@ -15,6 +15,30 @@ import numpy as np
 from .basis import osplines, sgp as sgp_basis
 from .basis.priors import compute_d_step_sgp_sd
 
+# posterior-draw products below this FLOP count stay in host numpy
+# (dispatch overhead dominates); above it, route to the accelerator
+_DEVICE_MATMUL_MIN_FLOPS = 5e9
+
+
+def _post_matmul(A, Bm, min_flops=None):
+    """A @ Bm for posterior-draw reconstruction, routed to the
+    accelerator for production-scale products (e.g. predict over 1e5
+    locations x M=3000 draws is ~1e12 FLOPs — minutes in host numpy,
+    sub-second on the MXU). f32 on device: the draws carry Monte-Carlo
+    error >> f32 eps. Small products and CPU-only sessions keep the
+    exact host path."""
+    import jax
+
+    lim = _DEVICE_MATMUL_MIN_FLOPS if min_flops is None else min_flops
+    flops = 2.0 * A.shape[0] * A.shape[1] * Bm.shape[1]
+    if flops < lim or jax.default_backend() == "cpu":
+        return A @ Bm
+    import jax.numpy as jnp
+
+    out = jax.jit(jnp.matmul)(jnp.asarray(A, jnp.float32),
+                              jnp.asarray(Bm, jnp.float32))
+    return np.asarray(out, np.float64)
+
 
 def extract_mean_interval_given_samps(x, samples, level: float = 0.95):
     """Row-wise mean + pointwise quantile envelope
@@ -53,9 +77,9 @@ def compute_post_fun_iwp(samps, global_samps, knots, refined_x, p,
         X = X * np.array([
             math.factorial(i + degree) / math.factorial(i)
             for i in range(p - degree)])[None, :]
-        f = X @ g[degree:p] + B @ samps
+        f = X @ g[degree:p] + _post_matmul(B, samps)
     else:
-        f = B @ samps
+        f = _post_matmul(B, samps)
     return np.asarray(refined_x), f
 
 
@@ -74,7 +98,7 @@ def compute_post_fun_sgp(samps, global_samps, k, refined_x, a, region,
     if global_samps is None:
         global_samps = np.zeros((2 * m, M))
     g = np.vstack([intercept_samps, global_samps])
-    f = X @ g + B @ samps
+    f = X @ g + _post_matmul(B, samps)
     return np.asarray(refined_x), f
 
 

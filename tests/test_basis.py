@@ -160,3 +160,17 @@ class TestPriorConversion:
         out = prior_conversion_sgp(1.0, {"u": 3.0, "alpha": 0.1}, a=2.0, m=2)
         corr = compute_d_step_sgp_sd(1.0, 2.0) + compute_d_step_sgp_sd(1.0, 4.0)
         assert np.isclose(out["u"], 3.0 / corr)
+
+
+def test_post_matmul_routing():
+    """_post_matmul: host path for small/CPU products; the device branch
+    (exercised with min_flops=0 — a no-op routing on the CPU test
+    backend) agrees with numpy to f32 accuracy."""
+    from bayesgp_tpu.postfit import _post_matmul
+
+    rng = np.random.default_rng(0)
+    A = rng.normal(size=(40, 12))
+    Bm = rng.normal(size=(12, 17))
+    np.testing.assert_array_equal(_post_matmul(A, Bm), A @ Bm)
+    out = _post_matmul(A, Bm, min_flops=0)
+    np.testing.assert_allclose(out, A @ Bm, rtol=2e-6, atol=1e-6)
