@@ -19,6 +19,10 @@ from .basis.priors import compute_d_step_sgp_sd
 # (dispatch overhead dominates); above it, route to the accelerator
 _DEVICE_MATMUL_MIN_FLOPS = 5e9
 
+# predict summarizes in row blocks past this many (n_pred x M) draw
+# elements (~400 MB f64) instead of materializing the full matrix
+_PREDICT_CHUNK_ELEMS = 50_000_000
+
 
 def _post_matmul(A, Bm, min_flops=None):
     """A @ Bm for posterior-draw reconstruction, routed to the
@@ -157,21 +161,37 @@ class FitResult:
             refined_x = np.sort(np.asarray(col, np.float64)
                                 - inst.initial_location)
 
-        if inst.kind == "IWP":
-            x, f = compute_post_fun_iwp(
-                coefsamps, global_samps, inst.knots, refined_x, inst.order,
-                degree=degree, intercept_samps=intercept_samps)
-        elif inst.kind == "sGP":
-            x, f = compute_post_fun_sgp(
-                coefsamps, global_samps, inst.k, refined_x, inst.a,
-                inst.region, boundary=inst.boundary, m=inst.m,
-                intercept_samps=intercept_samps)
-        else:
+        def post_fun(xs):
+            if inst.kind == "IWP":
+                return compute_post_fun_iwp(
+                    coefsamps, global_samps, inst.knots, xs, inst.order,
+                    degree=degree, intercept_samps=intercept_samps)
+            if inst.kind == "sGP":
+                return compute_post_fun_sgp(
+                    coefsamps, global_samps, inst.k, xs, inst.a,
+                    inst.region, boundary=inst.boundary, m=inst.m,
+                    intercept_samps=intercept_samps)
             raise ValueError(f"predict not defined for {inst.kind} terms")
-        x = x + inst.initial_location
-        if only_samples:
-            return x, f
-        out = extract_mean_interval_given_samps(x, f, level=level)
+
+        M = coefsamps.shape[1]
+        if only_samples or len(refined_x) * M <= _PREDICT_CHUNK_ELEMS:
+            x, f = post_fun(refined_x)
+            x = x + inst.initial_location
+            if only_samples:
+                return x, f
+            out = extract_mean_interval_given_samps(x, f, level=level)
+        else:
+            # production scale: never materialize the full
+            # (n_pred, M) draw matrix — evaluate and summarize in row
+            # blocks (draws are recomputable from the cached samples)
+            rows = max(1, _PREDICT_CHUNK_ELEMS // M)
+            parts = []
+            for i0 in range(0, len(refined_x), rows):
+                x_b, f_b = post_fun(refined_x[i0:i0 + rows])
+                parts.append(extract_mean_interval_given_samps(
+                    x_b + inst.initial_location, f_b, level=level))
+            out = {key: np.concatenate([p[key] for p in parts])
+                   for key in parts[0]}
         out[variable] = out.pop("x")
         return out
 

@@ -174,3 +174,27 @@ def test_post_matmul_routing():
     np.testing.assert_array_equal(_post_matmul(A, Bm), A @ Bm)
     out = _post_matmul(A, Bm, min_flops=0)
     np.testing.assert_allclose(out, A @ Bm, rtol=2e-6, atol=1e-6)
+
+
+def test_predict_chunked_matches_full():
+    """The chunked predict path (production scale) must produce the
+    same mean/interval as the single-pass path."""
+    import bayesgp_tpu as bg
+    from bayesgp_tpu import postfit
+
+    rng = np.random.default_rng(3)
+    x = np.sort(rng.uniform(0, 4, 120))
+    y = rng.poisson(np.exp(0.5 * np.sin(x) + 1.0)).astype(float)
+    fit = bg.model_fit("y ~ f(x, model='IWP', order=2, k=8)",
+                       {"x": x, "y": y}, family="Poisson", M=50,
+                       engine="dense")
+    grid = {"x": np.linspace(0.1, 3.9, 200)}
+    full = fit.predict("x", newdata=grid)
+    old = postfit._PREDICT_CHUNK_ELEMS
+    try:
+        postfit._PREDICT_CHUNK_ELEMS = 500   # force ~10-row blocks
+        chunked = fit.predict("x", newdata=grid)
+    finally:
+        postfit._PREDICT_CHUNK_ELEMS = old
+    for key in full:
+        np.testing.assert_allclose(chunked[key], full[key], atol=1e-12)
