@@ -167,16 +167,22 @@ class BatchedFastIWP:
         return out[:, :self.dpad]
 
     def band_H(self, wts, theta):
-        """(R, n) weights -> (R, p+1, dpad) lower bands."""
+        """(R, n) weights -> (R, p+1, dpad) lower bands.
+
+        Per-offset formulation: band diagonal o of the chunk Gram is
+        sum_n w_rn D[n, j+o] D[n, j] — the shifted products D*shift(D, o)
+        are REPLICATE-SHARED (p+1 arrays of the design's size), so the
+        contraction against the (R, nc, CH) weights avoids both the
+        (R, nc, CH, w) weighted-design intermediate (~R x the design in
+        HBM) and the off-band 7/8 of a full (w, w) Gram."""
         base, ck, p = self.base, self.base.chunks, self.p
         wc = self._rows_chunked(wts)
-        WD = wc[:, :, :, None] * ck.D[None]                # (R, nc, CH, w)
-        G = jnp.einsum("cnw,rcnv->rcwv", ck.D, WD)         # f32 MXU
-        G64 = G.astype(self.dtype)
         pieces = []
         for o in range(p + 1):
-            dg = jnp.diagonal(G64, offset=-o, axis1=2, axis2=3)
-            pieces.append(jnp.pad(dg, ((0, 0), (0, 0), (0, o))))
+            Po = ck.D[:, :, o:] * ck.D[:, :, :ck.w - o]    # (nc, CH, w-o)
+            dg = jnp.einsum("rcn,cnw->rcw", wc, Po)        # f32 MXU
+            pieces.append(jnp.pad(dg.astype(self.dtype),
+                                  ((0, 0), (0, 0), (0, o))))
         piece = jnp.stack(pieces, axis=2)                  # (R, nc, p+1, w)
         piece = jnp.moveaxis(piece, 1, 0)                  # (nc, R, p+1, w)
         band = ck.overlap_add(piece, self.dpad + ck.w)[..., :self.dpad]
