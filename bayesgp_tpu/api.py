@@ -20,6 +20,14 @@ from .inference import sampling as sampling_mod
 from .postfit import FitResult
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _null_ctx():
+    yield
+
+
 def _as_dict_of_arrays(data):
     """Accept dict-of-arrays or pandas DataFrame."""
     if hasattr(data, "columns"):  # pandas
@@ -212,7 +220,7 @@ def model_fit(formula=None, data=None, method: str = "aghq",
               customized_re=None, customized_template=None,
               option_list=None, seed: int = 0,
               terms=None, fixed=None, response=None,
-              engine: str = "auto") -> FitResult:
+              engine: str = "auto", timing: bool = False) -> FitResult:
     """Fit a Bayesian hierarchical GP model.
 
     Either pass `formula` (string) + `data`, or `response=`/`fixed=`/
@@ -224,14 +232,25 @@ def model_fit(formula=None, data=None, method: str = "aghq",
     (single IWP term, elementwise family, nonnegative knots): sparse-row
     design + block-tridiagonal Cholesky instead of dense O(n w^2 + w^3).
     'auto' picks it when eligible and the problem is large.
+
+    timing=True attaches a per-phase wall-clock breakdown (build /
+    inference / sampling) as `fit.timing` (utils.profiling.PhaseTimer;
+    print `fit.timing.summary()`). The reference has no tracing story
+    (SURVEY.md section 5 — TMB runs silent=TRUE).
     """
-    asm = assemble_model(
-        formula=formula, data=data, method=method, family=family,
-        control_family=control_family, control_fixed=control_fixed,
-        size=size, cens=cens, weight=weight, strata=strata, env=env,
-        customized_re=customized_re,
-        customized_template=customized_template, terms=terms, fixed=fixed,
-        response=response, engine=engine)
+    from .utils.profiling import PhaseTimer
+    timer = PhaseTimer() if timing else None
+    tphase = (timer.phase if timer is not None
+              else (lambda name: _null_ctx()))
+
+    with tphase("build (bases, priors, model data)"):
+        asm = assemble_model(
+            formula=formula, data=data, method=method, family=family,
+            control_family=control_family, control_fixed=control_fixed,
+            size=size, cens=cens, weight=weight, strata=strata, env=env,
+            customized_re=customized_re,
+            customized_template=customized_template, terms=terms,
+            fixed=fixed, response=response, engine=engine)
     instances = asm["instances"]
     md = asm["md"]
     use_banded = asm["use_banded"]
@@ -246,41 +265,51 @@ def model_fit(formula=None, data=None, method: str = "aghq",
     samps = None
     theta_samps = None
     if method == "aghq":
-        if use_banded and len(instances) == 1 and instances[0].kind == "IWP":
-            # single-IWP: the specialized reparametrized backend
-            from .fast.iwp import build_fast_iwp
-            inst = instances[0]
-            xf_dense = np.concatenate([inst.X] + [np.asarray(c) for c in
-                                                  design_mat_fixed], axis=1)
-            p = inst.order
-            prior_diag_tail = np.concatenate([
-                np.full(p - 1, inst.boundary_prior["prec"]), bf_prec])
-            prior_mean_tail = np.concatenate([
-                np.full(p - 1, inst.boundary_prior["mean"]), bf_mean])
-            backend = build_fast_iwp(inst, md, xf_dense, prior_diag_tail,
-                                     prior_mean_tail, inst.x_data)
-        elif use_banded:
-            # sGP driver / multi-term generalized banded arrowhead
-            from .fast.banded import build_banded_backend
-            backend = build_banded_backend(instances, md, design_mat_fixed,
-                                           bf_prec, bf_mean)
-        else:
-            backend = aghq_mod.DenseBackend(md)
+        with tphase("backend construction"):
+            if (use_banded and len(instances) == 1
+                    and instances[0].kind == "IWP"):
+                # single-IWP: the specialized reparametrized backend
+                from .fast.iwp import build_fast_iwp
+                inst = instances[0]
+                xf_dense = np.concatenate(
+                    [inst.X] + [np.asarray(c) for c in design_mat_fixed],
+                    axis=1)
+                p = inst.order
+                prior_diag_tail = np.concatenate([
+                    np.full(p - 1, inst.boundary_prior["prec"]), bf_prec])
+                prior_mean_tail = np.concatenate([
+                    np.full(p - 1, inst.boundary_prior["mean"]), bf_mean])
+                backend = build_fast_iwp(inst, md, xf_dense,
+                                         prior_diag_tail,
+                                         prior_mean_tail, inst.x_data)
+            elif use_banded:
+                # sGP driver / multi-term generalized banded arrowhead
+                from .fast.banded import build_banded_backend
+                backend = build_banded_backend(instances, md,
+                                               design_mat_fixed,
+                                               bf_prec, bf_mean)
+            else:
+                backend = aghq_mod.DenseBackend(md)
         # s=1 fused backends draw the posterior samples INSIDE the fit
         # program (one dispatch total); sample_marginal reuses them
-        mod = aghq_mod.aghq_fit(backend, k=aghq_k, sample=(key, M))
-        samps, _, theta_samps = sampling_mod.sample_marginal(key, mod, M)
+        with tphase("inference (AGHQ fit + posterior draws)"):
+            mod = aghq_mod.aghq_fit(backend, k=aghq_k, sample=(key, M))
+            samps, _, theta_samps = sampling_mod.sample_marginal(
+                key, mod, M)
     elif method == "nlminb":
-        theta = jnp.zeros((0,), md.A.dtype)
-        Ws, H, L = jax.jit(
-            lambda th: laplace_mod.laplace_mode_hess(th, md))(theta)
-        mod = {"mean": np.asarray(Ws), "prec": np.asarray(H)}
-        samps = sampling_mod.sample_mvn_precision(key, Ws, H, M)
-        theta_samps = np.zeros((M, 0))
+        with tphase("inference (MAP + Gaussian draws)"):
+            theta = jnp.zeros((0,), md.A.dtype)
+            Ws, H, L = jax.jit(
+                lambda th: laplace_mod.laplace_mode_hess(th, md))(theta)
+            mod = {"mean": np.asarray(Ws), "prec": np.asarray(H)}
+            samps = sampling_mod.sample_mvn_precision(key, Ws, H, M)
+            theta_samps = np.zeros((M, 0))
     elif method == "MCMC":
-        from .inference import mcmc as mcmc_mod
-        opts = mcmc_mod.default_option_list(option_list)
-        mod, samps, theta_samps = mcmc_mod.mcmc_fit(md, M=M, options=opts)
+        with tphase("inference (NUTS)"):
+            from .inference import mcmc as mcmc_mod
+            opts = mcmc_mod.default_option_list(option_list)
+            mod, samps, theta_samps = mcmc_mod.mcmc_fit(md, M=M,
+                                                        options=opts)
     else:
         raise ValueError(f"unknown method '{method}'")
 
@@ -310,4 +339,4 @@ def model_fit(formula=None, data=None, method: str = "aghq",
         boundary_samp_indexes=boundary_samp_indexes,
         fixed_samp_indexes=fixed_samp_indexes,
         control_family=control_family_n, control_fixed=control_fixed_n,
-        fixed_names=fixed_names, M=M)
+        fixed_names=fixed_names, M=M, timing=timer)

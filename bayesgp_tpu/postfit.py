@@ -122,6 +122,8 @@ class FitResult:
     control_fixed: dict
     fixed_names: list
     M: int
+    timing: Any = None           # utils.profiling.PhaseTimer when the
+    #                              fit ran with model_fit(timing=True)
 
     # ------------------------------------------------------------------
     def _instance_for(self, variable):

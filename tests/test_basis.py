@@ -198,3 +198,26 @@ def test_predict_chunked_matches_full():
         postfit._PREDICT_CHUNK_ELEMS = old
     for key in full:
         np.testing.assert_allclose(chunked[key], full[key], atol=1e-12)
+
+
+def test_model_fit_timing():
+    """model_fit(timing=True) attaches a per-phase PhaseTimer
+    (SURVEY.md section 5: the tracing subsystem the reference lacks)."""
+    import bayesgp_tpu as bg
+
+    rng = np.random.default_rng(5)
+    x = np.sort(rng.uniform(0, 3, 80))
+    y = rng.poisson(np.exp(0.4 * np.sin(x) + 1.0)).astype(float)
+    fit = bg.model_fit("y ~ f(x, model='IWP', order=2, k=6)",
+                       {"x": x, "y": y}, family="Poisson", M=30,
+                       engine="dense", timing=True)
+    assert fit.timing is not None
+    phases = list(fit.timing.times)
+    assert any("build" in p for p in phases)
+    assert any("inference" in p for p in phases)
+    assert "total" in fit.timing.summary()
+    # default: no timer
+    fit2 = bg.model_fit("y ~ f(x, model='IWP', order=2, k=6)",
+                        {"x": x, "y": y}, family="Poisson", M=30,
+                        engine="dense")
+    assert fit2.timing is None
