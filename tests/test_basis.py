@@ -221,3 +221,30 @@ def test_model_fit_timing():
                         {"x": x, "y": y}, family="Poisson", M=30,
                         engine="dense")
     assert fit2.timing is None
+
+
+def test_predict_derivative_consistency():
+    """SURVEY.md section 4 property test: central finite differences of
+    the degree-0 posterior DRAWS match the degree-1 (and degree-1 vs
+    degree-2) draws — both are exact evaluations of the same
+    piecewise-polynomial sample paths."""
+    import bayesgp_tpu as bg
+
+    rng = np.random.default_rng(8)
+    x = np.sort(rng.uniform(0, 4, 150))
+    y = rng.poisson(np.exp(0.5 * np.sin(1.3 * x) + 1.0)).astype(float)
+    fit = bg.model_fit("y ~ f(x, model='IWP', order=3, k=10)",
+                       {"x": x, "y": y}, family="Poisson", M=40,
+                       engine="dense", seed=2)
+    grid = np.linspace(0.5, 3.5, 31)
+    h = 1e-4
+    for d in (0, 1):
+        _, f_hi = fit.predict("x", newdata={"x": grid + h}, degree=d,
+                              only_samples=True)
+        _, f_lo = fit.predict("x", newdata={"x": grid - h}, degree=d,
+                              only_samples=True)
+        _, f_d = fit.predict("x", newdata={"x": grid}, degree=d + 1,
+                             only_samples=True)
+        fd = (f_hi - f_lo) / (2 * h)
+        scale = np.maximum(np.abs(f_d), 1.0)
+        assert np.max(np.abs(fd - f_d) / scale) < 1e-5
