@@ -31,6 +31,7 @@ from jax.scipy.linalg import solve_triangular
 from ..basis import reparam
 from ..model import families
 from ..linalg import band_arrow
+from ..inference.aghq import JitCacheMixin as _JitCacheMixin
 
 LOG2PI = math.log(2.0 * math.pi)
 
@@ -112,7 +113,7 @@ def _choose_block(d: int, p: int) -> int:
 
 
 @dataclass
-class FastIWPBackend:
+class FastIWPBackend(_JitCacheMixin):
     """Precomputed arrays + jitted compute for one IWP model.
 
     MIXED PRECISION: all O(n) data-side work (design products, segment
@@ -188,7 +189,11 @@ class FastIWPBackend:
         one gradient is th_j + log(d_j / (2(g_j - hp'_j) + d_j)).
         theta[0] is the smooth (d spline coefficients); a second theta,
         if present, is the Gaussian noise precision (d = n: the
-        likelihood contributes -n/2 th and H = e^th B^T B + ...)."""
+        likelihood contributes -n/2 th and H = e^th B^T B + ...).
+        Custom families' extra hyperparameters have no generic EM
+        structure -> None (same guard as DenseBackend.em_dims)."""
+        if self.md.family == -1 and getattr(self.md, "custom_family", ""):
+            return None
         dims = [float(self.d)]
         if self.n_theta > 1:
             dims.append(float(self.md.n))
@@ -761,28 +766,14 @@ class FastIWPBackend:
         val, state = self.laplace_nll(theta, warm=warm)
         return val, state
 
-    # ------------------------------------------------------------------
-    def val_grad_fn(self):
-        if not hasattr(self, "_vg"):
-            self._vg = jax.jit(jax.value_and_grad(self.nll))
-        return self._vg
-
+    # -- jit caches: val_grad_fn / vmap_nll_fn / val_grad_warm_fn come
+    # from aghq.JitCacheMixin; the FD-based Hessians and the host-loop
+    # node map below OVERRIDE the mixin's autodiff versions ------------
     def hess_fn(self):
         if not hasattr(self, "_hess"):
             hw = self.hess_warm_fn()
             self._hess = lambda th: hw(th, self.init_state())
         return self._hess
-
-    def vmap_nll_fn(self):
-        if not hasattr(self, "_vnll"):
-            self._vnll = jax.jit(jax.vmap(self.nll))
-        return self._vnll
-
-    def val_grad_warm_fn(self):
-        if not hasattr(self, "_vgw"):
-            self._vgw = jax.jit(
-                jax.value_and_grad(self.nll_warm, has_aux=True))
-        return self._vgw
 
     def hess_warm_fn(self):
         """Outer Hessian by central differences of the exact implicit
@@ -991,16 +982,13 @@ def build_fast_iwp(term, md, xf_dense, prior_diag_tail, prior_mean_tail,
         # The naive Z0' (P Z0) product cancels catastrophically (terms
         # ~1e11 summing to ~1e4) and comes out INDEFINITE in float64.
         wk = np.diff(knots)
-        Tdiags_np = np.zeros((p + 1, d))
-        for o in range(p + 1):
-            Tdiags_np[o, o:] = np.diagonal(T, -o)
-        G0 = Tdiags_np[0][:, None] * Z0
+        G0 = Tdiags[0][:, None] * Z0
         for o in range(1, p + 1):
-            G0[o:] += Tdiags_np[o, o:, None] * Z0[:-o]
+            G0[o:] += Tdiags[o, o:, None] * Z0[:-o]
         wG0 = wk[:, None] * G0
-        PZ0 = Tdiags_np[0][:, None] * wG0
+        PZ0 = Tdiags[0][:, None] * wG0
         for o in range(1, p + 1):
-            PZ0[:-o] += Tdiags_np[o, o:, None] * wG0[o:]
+            PZ0[:-o] += Tdiags[o, o:, None] * wG0[o:]
         Z0PZ0 = (np.sqrt(wk)[:, None] * G0).T @ (np.sqrt(wk)[:, None] * G0)
     else:
         Z0 = np.zeros((d, 0))

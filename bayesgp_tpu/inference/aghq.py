@@ -45,6 +45,20 @@ def product_grid(k: int, s: int):
     return nodes, logw
 
 
+
+def _logsumexp_j(lw):
+    """Traceable max-shifted logsumexp (in-program node weights)."""
+    m = jnp.max(lw)
+    return m + jnp.log(jnp.sum(jnp.exp(lw - m)))
+
+
+def _logsumexp_np(lw):
+    """Host max-shifted logsumexp (lognormconst / marginal grouping)."""
+    lw = np.asarray(lw)
+    m = lw.max()
+    return float(m + np.log(np.sum(np.exp(lw - m))))
+
+
 class JitCacheMixin:
     """Caches jitted closures so repeated fits on one backend reuse the
     compiled executables (fresh lambdas would miss jax's jit cache)."""
@@ -407,145 +421,146 @@ def build_fused_run_1d(backend, k: int, tol: float = 1e-9,
         _u = float(np.asarray(backend.md.u).reshape(-1)[0])
         em_phi = -math.log(_alpha) / _u
 
-    if True:
-        def vg(th_scalar, state):
-            (f, st), g = jax.value_and_grad(
-                backend.nll_warm, has_aux=True)(
-                    jnp.reshape(th_scalar, (1,)).astype(dtype), state)
-            return f, g[0], st
+    def vg(th_scalar, state):
+        (f, st), g = jax.value_and_grad(
+            backend.nll_warm, has_aux=True)(
+                jnp.reshape(th_scalar, (1,)).astype(dtype), state)
+        return f, g[0], st
 
-        def run(th0, state0):
-            f0, g0, st0 = vg(th0, state0)
+    def run(th0, state0):
+        f0, g0, st0 = vg(th0, state0)
 
-            def cond(c):
-                return jnp.logical_and(~c["done"], c["it"] < max_iter)
+        def cond(c):
+            return jnp.logical_and(~c["done"], c["it"] < max_iter)
 
-            def body(c):
-                have_h = c["h_est"] > 0
-                h = jnp.where(have_h, c["h_est"],
-                              jnp.maximum(jnp.abs(c["g"]), 1.0))
-                step = jnp.clip(c["g"] / h, -c["cap"], c["cap"])
-                use_em = jnp.asarray(False)
-                if em_dim is not None:
-                    # exp-hyperprior slope: hp'(th) = 1/2 - phi/2 e^{-th/2}
-                    hp = 0.5 - 0.5 * em_phi * jnp.exp(-0.5 * c["th"])
-                    A = 2.0 * (c["g"] - hp) + em_dim
-                    em = jnp.log(jnp.asarray(float(em_dim), dtype)) \
-                        - jnp.log(jnp.maximum(A, 1e-4 * em_dim))
-                    em = jnp.clip(em, -8.0, 8.0)
-                    # far from the mode and not recovering from a
-                    # rejection (cap < 2 after any reject -> secant)
-                    use_em = (jnp.abs(em) > 0.5) & (c["cap"] >= 2.0)
-                    step = jnp.where(use_em, -em, step)
-                full = (~use_em) & (jnp.abs(step) >= c["cap"] * 0.999)
-                same_dir = jnp.sign(step) == c["last_dir"]
-                cap2 = jnp.where(full & same_dir,
-                                 jnp.minimum(c["cap"] * 2.0, 16.0),
-                                 jnp.where(full, c["cap"], 2.0))
-                ldir2 = jnp.where(full, jnp.sign(step), 0.0)
-                cand = jnp.where(c["final"], c["th_root"], c["th"] - step)
-                f_t, g_t, st_t = vg(cand, c["state"])
-                guard = jnp.maximum(1e3 * f_noise * (1.0 + jnp.abs(c["f"])),
-                                    1e-8)
-                ok = jnp.isfinite(f_t) & (f_t <= c["f"] + guard)
-                acc = ok | c["final"]
-                dth = cand - c["th"]
-                h_new = jnp.where(
-                    acc & (jnp.abs(dth) > 1e-12), (g_t - c["g"]) / dth,
-                    c["h_est"])
-                h_new = jnp.where(jnp.isfinite(h_new) & (h_new > 0),
-                                  h_new, c["h_est"])
-                # bracket: accepted fine-scale sign flip -> one secant
-                # interpolation next iteration, then stop
-                flip = (acc & ~c["final"]
-                        & (jnp.sign(g_t) != jnp.sign(c["g"]))
-                        & (jnp.abs(dth) < 0.05 * (1.0 + jnp.abs(cand))))
-                denom = g_t - c["g"]
-                th_root = jnp.where(jnp.abs(denom) > 1e-300,
-                                    cand - g_t * dth / denom, cand)
-                th2 = jnp.where(acc, cand, c["th"])
-                f2 = jnp.where(acc, f_t, c["f"])
-                g2 = jnp.where(acc, g_t, c["g"])
-                st2 = jax.tree_util.tree_map(
-                    lambda new, old: jnp.where(acc, new, old),
-                    st_t, c["state"])
-                small = (h_new > 0) & (jnp.abs(g2 / jnp.maximum(
-                    h_new, 1e-12)) < 1e-4)
-                done = (c["final"] | (jnp.abs(g2) < tol)
-                        | (~flip & acc & small))
-                return {
-                    "th": th2, "f": f2, "g": g2, "state": st2,
-                    "h_est": h_new,
-                    # rejected: shrink the trust region for the retry
-                    "cap": jnp.where(acc, cap2, c["cap"] * 0.25),
-                    "last_dir": jnp.where(acc, ldir2, c["last_dir"]),
-                    "final": flip, "th_root": th_root,
-                    "done": done, "it": c["it"] + 1,
-                }
+        def body(c):
+            have_h = c["h_est"] > 0
+            h = jnp.where(have_h, c["h_est"],
+                          jnp.maximum(jnp.abs(c["g"]), 1.0))
+            step = jnp.clip(c["g"] / h, -c["cap"], c["cap"])
+            use_em = jnp.asarray(False)
+            if em_dim is not None:
+                # exp-hyperprior slope: hp'(th) = 1/2 - phi/2 e^{-th/2}
+                hp = 0.5 - 0.5 * em_phi * jnp.exp(-0.5 * c["th"])
+                A = 2.0 * (c["g"] - hp) + em_dim
+                em = jnp.log(jnp.asarray(float(em_dim), dtype)) \
+                    - jnp.log(jnp.maximum(A, 1e-4 * em_dim))
+                em = jnp.clip(em, -8.0, 8.0)
+                # far from the mode and not recovering from a
+                # rejection (cap < 2 after any reject -> secant)
+                use_em = (jnp.abs(em) > 0.5) & (c["cap"] >= 2.0)
+                step = jnp.where(use_em, -em, step)
+            full = (~use_em) & (jnp.abs(step) >= c["cap"] * 0.999)
+            same_dir = jnp.sign(step) == c["last_dir"]
+            cap2 = jnp.where(full & same_dir,
+                             jnp.minimum(c["cap"] * 2.0, 16.0),
+                             jnp.where(full, c["cap"], 2.0))
+            ldir2 = jnp.where(full, jnp.sign(step), 0.0)
+            cand = jnp.where(c["final"], c["th_root"], c["th"] - step)
+            f_t, g_t, st_t = vg(cand, c["state"])
+            guard = jnp.maximum(1e3 * f_noise * (1.0 + jnp.abs(c["f"])),
+                                1e-8)
+            ok = jnp.isfinite(f_t) & (f_t <= c["f"] + guard)
+            # the flagged final secant eval is force-accepted — but
+            # never a non-finite one (keep the last good iterate,
+            # like the host loop's isfinite guard)
+            acc = ok | (c["final"] & jnp.isfinite(f_t))
+            dth = cand - c["th"]
+            h_new = jnp.where(
+                acc & (jnp.abs(dth) > 1e-12), (g_t - c["g"]) / dth,
+                c["h_est"])
+            h_new = jnp.where(jnp.isfinite(h_new) & (h_new > 0),
+                              h_new, c["h_est"])
+            # bracket: accepted fine-scale sign flip -> one secant
+            # interpolation next iteration, then stop
+            flip = (acc & ~c["final"]
+                    & (jnp.sign(g_t) != jnp.sign(c["g"]))
+                    & (jnp.abs(dth) < 0.05 * (1.0 + jnp.abs(cand))))
+            denom = g_t - c["g"]
+            th_root = jnp.where(jnp.abs(denom) > 1e-300,
+                                cand - g_t * dth / denom, cand)
+            th2 = jnp.where(acc, cand, c["th"])
+            f2 = jnp.where(acc, f_t, c["f"])
+            g2 = jnp.where(acc, g_t, c["g"])
+            st2 = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(acc, new, old),
+                st_t, c["state"])
+            small = (h_new > 0) & (jnp.abs(g2 / jnp.maximum(
+                h_new, 1e-12)) < 1e-4)
+            done = (c["final"] | (jnp.abs(g2) < tol)
+                    | (~flip & acc & small))
+            return {
+                "th": th2, "f": f2, "g": g2, "state": st2,
+                "h_est": h_new,
+                # rejected: shrink the trust region for the retry
+                "cap": jnp.where(acc, cap2, c["cap"] * 0.25),
+                "last_dir": jnp.where(acc, ldir2, c["last_dir"]),
+                "final": flip, "th_root": th_root,
+                "done": done, "it": c["it"] + 1,
+            }
 
-            # zero tied to f0 so every carry component starts with the
-            # same sharding 'varying' status as the body outputs
-            # (shard_map rejects replicated-init/varying-output carries)
-            z = jnp.asarray(0.0, dtype) * f0
-            c0 = {"th": th0 + z, "f": f0, "g": g0, "state": st0,
-                  "h_est": z, "cap": jnp.asarray(2.0, dtype) + z,
-                  "last_dir": z, "final": z > jnp.asarray(1.0, dtype),
-                  "th_root": z, "done": jnp.abs(g0) < tol,
-                  "it": jnp.asarray(0)}
-            c = jax.lax.while_loop(cond, body, c0)
-            mode, st = c["th"], c["state"]
-            # FD Hessian at the mode (see hess_warm_fn for the step-size
-            # rationale vs f32 gradient noise)
-            _, gp, _ = vg(mode + h_fd, st)
-            _, gm, _ = vg(mode - h_fd, st)
-            H = (gp - gm) / (2 * h_fd)
-            Hpos = jnp.maximum(jnp.abs(H), 1e-8)
-            Lad = jax.lax.rsqrt(Hpos)
-            nodes = mode + Lad * jnp.asarray(z1, dtype)       # (k,)
-            # evaluate inner nodes first, chaining warm states outward
-            # on each side (adjacent nodes share most of the solution)
-            outs = [None] * k
-            warm_neg = warm_pos = st
-            for j in np.argsort(np.abs(z1)):
-                j = int(j)
-                warm = warm_neg if z1[j] < 0 else warm_pos
-                nllj, packed, stj = _node_eval_packed(
-                    backend, jnp.reshape(nodes[j], (1,)), warm,
-                    return_states)
-                outs[j] = (nllj, packed)
-                if z1[j] < 0:
-                    warm_neg = stj
-                else:
-                    warm_pos = stj
-            nlls = jnp.stack([o[0] for o in outs])
-            if not return_states:
-                return mode, H, nodes, nlls
-            states = jax.tree_util.tree_map(
-                lambda *xs: jnp.stack(xs), *[o[1] for o in outs])
-            return mode, H, nodes, nlls, states
+        # zero tied to f0 so every carry component starts with the
+        # same sharding 'varying' status as the body outputs
+        # (shard_map rejects replicated-init/varying-output carries)
+        z = jnp.asarray(0.0, dtype) * f0
+        c0 = {"th": th0 + z, "f": f0, "g": g0, "state": st0,
+              "h_est": z, "cap": jnp.asarray(2.0, dtype) + z,
+              "last_dir": z, "final": z > jnp.asarray(1.0, dtype),
+              "th_root": z, "done": jnp.abs(g0) < tol,
+              "it": jnp.asarray(0)}
+        c = jax.lax.while_loop(cond, body, c0)
+        mode, st = c["th"], c["state"]
+        # FD Hessian at the mode (see hess_warm_fn for the step-size
+        # rationale vs f32 gradient noise)
+        _, gp, _ = vg(mode + h_fd, st)
+        _, gm, _ = vg(mode - h_fd, st)
+        H = (gp - gm) / (2 * h_fd)
+        Hpos = jnp.maximum(jnp.abs(H), 1e-8)
+        Lad = jax.lax.rsqrt(Hpos)
+        nodes = mode + Lad * jnp.asarray(z1, dtype)       # (k,)
+        # evaluate inner nodes first, chaining warm states outward
+        # on each side (adjacent nodes share most of the solution)
+        outs = [None] * k
+        warm_neg = warm_pos = st
+        for j in np.argsort(np.abs(z1)):
+            j = int(j)
+            warm = warm_neg if z1[j] < 0 else warm_pos
+            nllj, packed, stj = _node_eval_packed(
+                backend, jnp.reshape(nodes[j], (1,)), warm,
+                return_states)
+            outs[j] = (nllj, packed)
+            if z1[j] < 0:
+                warm_neg = stj
+            else:
+                warm_pos = stj
+        nlls = jnp.stack([o[0] for o in outs])
+        if not return_states:
+            return mode, H, nodes, nlls
+        states = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[o[1] for o in outs])
+        return mode, H, nodes, nlls, states
 
-        if not sample_M:
-            return jax.jit(run) if jit else run
+    if not sample_M:
+        return jax.jit(run) if jit else run
 
-        # fit + in-program posterior mixture draws (one dispatch):
-        # node logits and key discipline mirror sampling.sample_marginal
-        _, w1 = ghe_rule(k)
-        logw1 = jnp.asarray(np.log(w1), dtype)
+    # fit + in-program posterior mixture draws (one dispatch):
+    # node logits and key discipline mirror sampling.sample_marginal
+    _, w1 = ghe_rule(k)
+    logw1 = jnp.asarray(np.log(w1), dtype)
 
-        def run_sampled(th0, state0, key):
-            mode, H, nodes, nlls, states = run(th0, state0)
-            Lad = jax.lax.rsqrt(jnp.maximum(jnp.abs(H), 1e-8))
-            lw = -nlls + (logw1 + jnp.log(Lad))
-            m = jnp.max(lw)
-            lnc = m + jnp.log(jnp.sum(jnp.exp(lw - m)))
-            k_idx, k_draw = jax.random.split(key)
-            idx = jax.random.categorical(k_idx, lw - lnc,
-                                         shape=(sample_M,))
-            samps = backend.sample_traceable(k_draw, states, idx,
-                                             sample_M)
-            return mode, H, nodes, nlls, states, idx, samps
+    def run_sampled(th0, state0, key):
+        mode, H, nodes, nlls, states = run(th0, state0)
+        Lad = jax.lax.rsqrt(jnp.maximum(jnp.abs(H), 1e-8))
+        lw = -nlls + (logw1 + jnp.log(Lad))
+        lnc = _logsumexp_j(lw)
+        k_idx, k_draw = jax.random.split(key)
+        idx = jax.random.categorical(k_idx, lw - lnc,
+                                     shape=(sample_M,))
+        samps = backend.sample_traceable(k_draw, states, idx,
+                                         sample_M)
+        return mode, H, nodes, nlls, states, idx, samps
 
-        return jax.jit(run_sampled) if jit else run_sampled
+    return jax.jit(run_sampled) if jit else run_sampled
 
 
 def build_fused_run_1d_batched(backend, k: int, tol: float = 1e-9,
@@ -628,8 +643,9 @@ def build_fused_run_1d_batched(backend, k: int, tol: float = 1e-9,
                                 1e-8)
             ok = jnp.isfinite(f_t) & (f_t <= c["f"] + guard)
             # FREEZE converged replicates: they keep evaluating (lock
-            # step) but never move again
-            acc = (ok | c["final"]) & ~c["done"]
+            # step) but never move again; a non-finite final secant
+            # eval keeps the last good iterate (host-loop guard)
+            acc = (ok | (c["final"] & jnp.isfinite(f_t))) & ~c["done"]
             dth = cand - c["th"]
             h_new = jnp.where(
                 acc & (jnp.abs(dth) > 1e-12), (g_t - c["g"]) / dth,
@@ -885,8 +901,7 @@ def build_fused_nodes(backend, tour, return_states: bool = True,
         adapted log weights from the host-side adaptation)."""
         nlls, sts = run(nodes, warm)
         lw = -nlls + logw
-        m = jnp.max(lw)
-        lnc = m + jnp.log(jnp.sum(jnp.exp(lw - m)))
+        lnc = _logsumexp_j(lw)
         k_idx, k_draw = jax.random.split(key)
         idx = jax.random.categorical(k_idx, lw - lnc, shape=(sample_M,))
         samps = backend.sample_traceable(k_draw, sts, idx, sample_M)
@@ -1032,8 +1047,7 @@ def aghq_fit(md_or_backend, k: int = 4, theta0=None, verbose=False,
         z, logw_base = product_grid(k, 1)
         logw = logw_base + np.log(Lad)
         logpost_w = -np.asarray(nlls) + logw
-        m = logpost_w.max()
-        lognormconst = float(m + np.log(np.sum(np.exp(logpost_w - m))))
+        lognormconst = _logsumexp_np(logpost_w)
         fit = AGHQFit(mode=mode, hessian=H, L=np.asarray([[Lad]]),
                       nodes=nodes, logw=logw, lognll=np.asarray(nlls),
                       lognormconst=lognormconst, states=states, k=k,
@@ -1096,8 +1110,7 @@ def aghq_fit(md_or_backend, k: int = 4, theta0=None, verbose=False,
     nlls = np.asarray(nlls)
 
     logpost_w = -nlls + logw
-    m = logpost_w.max()
-    lognormconst = float(m + np.log(np.sum(np.exp(logpost_w - m))))
+    lognormconst = _logsumexp_np(logpost_w)
 
     fit = AGHQFit(mode=mode, hessian=H, L=L, nodes=nodes, logw=logw,
                   lognll=nlls, lognormconst=lognormconst,
@@ -1157,8 +1170,7 @@ def marginal_posterior(fit: AGHQFit, backend, j: int, warm=None):
     det_other = np.sum(np.log(np.diag(Lp)[1:]))
     for i in range(k):
         vals = -nlls.reshape(k, block)[i] + logw_other[i] + det_other
-        m = vals.max()
-        logpdf[i] = m + np.log(np.sum(np.exp(vals - m))) - fit.lognormconst
+        logpdf[i] = _logsumexp_np(vals) - fit.lognormconst
     order = np.argsort(theta_vals)
     return {"theta": theta_vals[order], "logmargpost": logpdf[order]}
 
