@@ -39,7 +39,7 @@ def make_problem(family="Poisson", n=120, k=12, p=3, seed=0, fixed_col=True):
 
 @pytest.mark.parametrize("family,p,k", [
     ("Poisson", 3, 12), ("Gaussian", 2, 10), ("Binomial", 2, 8),
-    ("Poisson", 1, 7)])
+    ("Poisson", 1, 7), ("Poisson", 4, 14)])
 def test_objective_matches_dense(family, p, k):
     """f'(V', tail) == f_U(T(V' - Z0 t), tail) for random coordinates
     (the fast backend works in tail-orthogonalized primed coords)."""
@@ -60,7 +60,8 @@ def test_objective_matches_dense(family, p, k):
 
 
 @pytest.mark.parametrize("family,p,k", [
-    ("Poisson", 3, 12), ("Gaussian", 2, 10), ("Binomial", 2, 8)])
+    ("Poisson", 3, 12), ("Gaussian", 2, 10), ("Binomial", 2, 8),
+    ("Poisson", 4, 14)])
 def test_laplace_nll_matches_dense(family, p, k):
     md, inst, be = make_problem(family, p=p, k=k, seed=p + k)
     for th in ([0.0], [0.5], [-0.7]):
