@@ -5,8 +5,11 @@ reference delegates to (`aghq::marginal_laplace_tmb` at
 R/02_model_fit.R:284, defaults k=4): optimize the Laplace marginal
 nll(theta), adapt a product Gauss-Hermite grid with the mode and the
 lower Cholesky of the inverse Hessian, and form the log normalizing
-constant and theta marginals. Quadrature nodes evaluate the (expensive)
-Laplace nll via vmap — a parallel axis the reference executes serially.
+constant and theta marginals. On the fused paths the ENTIRE fit runs as
+one or two device programs (build_fused_run_1d / build_fused_opt_nd +
+build_fused_nodes), with node evaluations warm-chained under lax.scan
+and optional in-program posterior draws — the reference runs the same
+loop in R calling TMB per evaluation.
 
 Conventions match aghq/mvQuad 'GHe': nodes are probabilists' Hermite
 roots; weights integrate f against Lebesgue measure for f ~ poly x
