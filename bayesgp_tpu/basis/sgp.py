@@ -45,10 +45,14 @@ def compute_B_sB_helper(refined_x, a: float, k: int, m: int, region,
 
 
 def global_poly_sgp(refined_x, a: float, m: int, initial_location=None) -> np.ndarray:
-    """[cos(i a x), sin(i a x)]_{i=1..m} harmonics. Reference R/01_utility.R:430-440."""
+    """[cos(i a x), sin(i a x)]_{i=1..m} harmonics. Reference
+    global_poly_helper_sGP, R/01_utility.R:430-440: initial_location=None
+    re-centers at min(refined_x), matching the reference's NULL default
+    (and compute_B_sB_helper's convention); pass 0.0 for no shift."""
     refined_x = np.asarray(refined_x, dtype=np.float64)
-    if initial_location is not None:
-        refined_x = refined_x - initial_location
+    if initial_location is None:
+        initial_location = refined_x.min()
+    refined_x = refined_x - initial_location
     cols = []
     for i in range(1, m + 1):
         cols.append(np.cos(i * a * refined_x))

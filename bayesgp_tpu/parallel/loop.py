@@ -12,7 +12,6 @@ until the final gather.
 """
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 
 import numpy as np

@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..inference import aghq
@@ -64,10 +65,9 @@ def replicate_fits(backend, ys, k: int = 4, mesh: Mesh = None,
     if mesh is None:
         modes, lncs = jax.jit(local_map)(ys)
     else:
-        from jax import shard_map
         if R % mesh.shape[axis]:
             raise ValueError(
-                f"R={R} must divide the '{axis}' axis size "
+                f"R={R} must be a multiple of the '{axis}' axis size "
                 f"{mesh.shape[axis]}")
         fn = shard_map(local_map, mesh=mesh,
                        in_specs=P(axis), out_specs=P(axis))
@@ -135,12 +135,10 @@ def replicate_fits_packed(backend, ys, k: int = 4, mesh: Mesh = None,
             lncs.append(np.asarray(l))
         return (np.concatenate(modes)[:R], np.concatenate(lncs)[:R])
 
-    from jax import shard_map
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
     n_dev = mesh.shape[axis]
     if R % n_dev:
-        raise ValueError(f"R={R} must divide the '{axis}' axis {n_dev}")
+        raise ValueError(
+            f"R={R} must be a multiple of the '{axis}' axis size {n_dev}")
     Rloc = R // n_dev
     if Rloc > NRmax:
         raise ValueError(

@@ -91,12 +91,26 @@ def compute_post_fun_sgp(samps, global_samps, k, refined_x, a, region,
                          boundary: bool = True, m: int = 1,
                          intercept_samps=None):
     """Posterior draws of the sGP component at refined_x
-    (reference compute_post_fun_sGP, R/03_post_fit.R:261-276)."""
+    (reference compute_post_fun_sGP, R/03_post_fit.R:261-276).
+
+    DELIBERATE DEVIATION (documented quirk): the reference re-centers
+    both bases at min(refined_x) (initial_location=NULL in
+    Compute_B_sB_helper/global_poly_helper_sGP), which is only
+    consistent with the fit-time coordinate system when the prediction
+    window starts at the training origin — a window excluding it gets a
+    silently different function in the reference. Here both bases stay
+    in the FIT coordinate system (refined_x is already shifted by the
+    term's initial_location; no re-centering), so predictions are
+    window-invariant and identical to the reference whenever
+    min(refined_x) == 0 (every reference vignette/test)."""
     M = samps.shape[1]
     B = sgp_basis.compute_B_sB_helper(refined_x, a=a, k=k, m=m, region=region,
-                                      boundary=boundary, initial_location=None)
+                                      boundary=boundary,
+                                      initial_location=0.0)
     X = np.concatenate([np.ones((len(refined_x), 1)),
-                        sgp_basis.global_poly_sgp(refined_x, a=a, m=m)], axis=1)
+                        sgp_basis.global_poly_sgp(refined_x, a=a, m=m,
+                                                  initial_location=0.0)],
+                       axis=1)
     if intercept_samps is None:
         intercept_samps = np.zeros((1, M))
     if global_samps is None:
@@ -231,8 +245,12 @@ class FitResult:
         names = []
         for t in self.instances:
             names.append(f"theta({t.smoothing_var})")
+        # distinct keys when a custom family has 2+ extra thetas
+        extra = 0
         while len(names) < len(rows):
-            names.append("theta(family)")
+            extra += 1
+            names.append("theta(family)" if len(rows) - len(self.instances)
+                         == 1 else f"theta(family{extra})")
         return dict(zip(names, rows))
 
     def summary(self):
@@ -455,7 +473,8 @@ def _kde(samples, n: int = 512, cut: float = 3.0):
     n_s = len(x)
     sd = np.std(x, ddof=1)
     iqr = np.subtract(*np.percentile(x, [75, 25]))
-    sigma = min(sd, iqr / 1.349) if iqr > 0 else sd
+    # R's bw.nrd0 uses IQR/1.34 (not the asymptotic 1.349)
+    sigma = min(sd, iqr / 1.34) if iqr > 0 else sd
     bw = 0.9 * sigma * n_s ** (-0.2)
     grid = np.linspace(x.min() - cut * bw, x.max() + cut * bw, n)
     diff = (grid[:, None] - x[None, :]) / bw

@@ -184,7 +184,10 @@ def build_sgp_term(smoothing_var: str, x: np.ndarray, *, a=None, freq=None,
     else:
         region = np.asarray(region, dtype=np.float64)
 
-    X = sgp_basis.global_poly_sgp(xs, a=a, m=m)
+    # fit-time harmonics anchor at initial_location with NO further
+    # re-centering (reference global_poly sGP method, R/01_utility.R:
+    # 301-312 — unlike the predict-time helper's min-recentering)
+    X = sgp_basis.global_poly_sgp(xs, a=a, m=m, initial_location=0.0)
     # fit-time B always uses boundary=True (reference quirk, see docstring)
     blocks = [sgp_basis.compute_B_sB(xs, a * i, k, region, boundary=True)
               for i in range(1, m + 1)]

@@ -74,3 +74,56 @@ def test_model_fit_loop_frequency_grid():
     assert out["post"].shape == (5,)
     assert np.isclose(np.trapezoid(out["post"], periods), 1.0)
     assert periods[np.argmax(out["log_ml"])] == 10.0
+
+
+def test_sgp_predict_window_invariance():
+    """Predictions on a SUB-window must equal the matching slice of a
+    full-range prediction (fit-coordinate evaluation; the reference's
+    min(refined_x) re-centering silently changes the function on
+    windows that exclude the training origin — documented deviation,
+    see compute_post_fun_sgp)."""
+    import bayesgp_tpu as bg
+
+    rng = np.random.default_rng(12)
+    n = 150
+    x = np.sort(rng.uniform(0, 20, n))
+    y = (np.sin(2 * np.pi * x / 5.0)
+         + 0.3 * rng.normal(size=n))
+    fit = bg.model_fit(
+        "y ~ f(x=x, model='sGP', period=5, k=15, m=1)",
+        {"x": x, "y": y}, family="Gaussian", M=60, seed=3,
+        engine="dense")
+    grid_full = np.linspace(1.0, 19.0, 91)
+    full = fit.predict("x", newdata={"x": grid_full})
+    sub = grid_full[40:70]            # window excluding the range start
+    win = fit.predict("x", newdata={"x": sub})
+    np.testing.assert_allclose(win["mean"], full["mean"][40:70],
+                               atol=1e-10)
+    np.testing.assert_allclose(win["pupper"], full["pupper"][40:70],
+                               atol=1e-10)
+
+
+def test_sgp_chunked_predict_matches_full():
+    """Chunked sGP predict == single-pass (the chunk blocks must stay
+    in the fit coordinate system)."""
+    import bayesgp_tpu as bg
+    from bayesgp_tpu import postfit
+
+    rng = np.random.default_rng(13)
+    n = 120
+    x = np.sort(rng.uniform(0, 10, n))
+    y = np.cos(2 * np.pi * x / 4.0) + 0.2 * rng.normal(size=n)
+    fit = bg.model_fit(
+        "y ~ f(x=x, model='sGP', period=4, k=12, m=1)",
+        {"x": x, "y": y}, family="Gaussian", M=40, seed=4,
+        engine="dense")
+    grid = {"x": np.linspace(0.2, 9.8, 150)}
+    full = fit.predict("x", newdata=grid)
+    old = postfit._PREDICT_CHUNK_ELEMS
+    try:
+        postfit._PREDICT_CHUNK_ELEMS = 400
+        chunked = fit.predict("x", newdata=grid)
+    finally:
+        postfit._PREDICT_CHUNK_ELEMS = old
+    for key in full:
+        np.testing.assert_allclose(chunked[key], full[key], atol=1e-12)
