@@ -58,6 +58,29 @@ def run_fit(backend, k_quad=4):
 
 def main():
     import jax
+
+    # The axon TPU tunnel can be unavailable (observed: a multi-hour
+    # outage with "UNAVAILABLE: TPU backend setup/compile error" at
+    # init — and init can also HANG for minutes instead of failing).
+    # Probe in a bounded subprocess so the driver still gets ONE honest
+    # JSON line instead of a stack trace or a wedged process.
+    import subprocess
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=300)
+        ok, detail = probe.returncode == 0, probe.stderr.decode()[-400:]
+    except subprocess.TimeoutExpired:
+        ok, detail = False, "backend init hung past 300 s"
+    if not ok:
+        print(json.dumps({
+            "metric": "n1e5_k2000_iwp3_poisson_aghq_fit_seconds",
+            "value": -1.0, "unit": "s", "vs_baseline": 0.0,
+            "note": "accelerator unavailable at bench time "
+                    "(backend init failed or hung)"}))
+        print(f"# TPU init failed: {detail}", file=sys.stderr)
+        return
+
     print(f"# building n=1e5 k=2000 problem...", file=sys.stderr, flush=True)
     t0 = time.time()
     backend = build_problem()
