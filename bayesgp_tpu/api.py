@@ -104,9 +104,11 @@ def assemble_model(formula=None, data=None, method: str = "aghq",
             "engine='banded' requires method='aghq', an elementwise "
             "family (Gaussian/Poisson/Binomial) and at least one IWP or "
             "sGP term")
-    # the big design B is only skippable for IWP terms (sparse-row path);
-    # sGP drivers and tail terms materialize theirs lazily via ensure_B
-    single_iwp = (len(re_calls) == 1 and _call_model(re_calls[0]) == "IWP")
+    # the big (n, d) design B of IWP/sGP terms is skippable whenever the
+    # banded path is a candidate: banded drivers build sparse windows
+    # from x, and every other consumer (banded tail terms, the dense
+    # fallback when candidacy lapses) re-materializes lazily via
+    # ensure_B — so skipping is never wrong, only lazy
 
     if family_is_coxph:
         # reference sorts the data by the response (R/02_model_fit.R:346-350)
@@ -118,9 +120,8 @@ def assemble_model(formula=None, data=None, method: str = "aghq",
         if isinstance(call, terms_mod.TermDesign):
             instances.append(call)
         else:
-            # IWP design B is skippable on the banded path (sparse rows)
-            mat = not (candidate_banded and _call_model(call) == "IWP"
-                       and single_iwp)
+            mat = not (candidate_banded
+                       and _call_model(call) in ("IWP", "sGP"))
             instances.append(terms_mod.build_term_from_call(
                 call, data, env=env, customized_re=customized_re,
                 materialize_B=mat))

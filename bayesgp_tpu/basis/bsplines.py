@@ -38,3 +38,45 @@ def eval_bspline_basis(x, lo: float, hi: float, nbasis: int, norder: int = 4,
         keep = [i for i in range(nbasis) if (i + 1) not in set(dropind)]
         out = out[:, keep]
     return np.asarray(out, dtype=np.float64)
+
+
+def deriv_coef_matrix(t: np.ndarray, degree: int, deriv: int):
+    """Sparse (nbasis - deriv, nbasis) matrix C with
+    f^(deriv) = BSpline(t[deriv:-deriv or None], C @ c, degree - deriv):
+    the BSpline.derivative coefficient recurrence
+    c'[i] = deg * (c[i+1] - c[i]) / (t[i+deg+1] - t[i+1]) applied `deriv`
+    times to the identity, kept sparse (zero denominators — empty-support
+    clamped functions — zero the coefficient, as scipy does)."""
+    import scipy.sparse as sp
+
+    nbasis = len(t) - degree - 1
+    C = sp.identity(nbasis, format="csr")
+    tt = t
+    for deg in range(degree, degree - deriv, -1):
+        m = C.shape[0]
+        dt = tt[deg + 1: deg + m] - tt[1:m]
+        fac = np.where(dt > 0, deg / np.where(dt > 0, dt, 1.0), 0.0)
+        D = sp.diags_array([-fac, fac], offsets=[0, 1],
+                           shape=(m - 1, m), format="csr")
+        C = D @ C
+        tt = tt[1:-1]
+    return C
+
+
+def sparse_design(x, lo: float, hi: float, nbasis: int, norder: int = 4,
+                  deriv: int = 0):
+    """Sparse CSR (len(x), nbasis) design of the basis's `deriv`-th
+    derivative w.r.t. the ORIGINAL coefficients — <= norder nonzeros per
+    row, O(len(x)) build. Requires lo <= x <= hi (no extrapolation);
+    x = hi takes the left-limit piece (fda convention)."""
+    x = np.asarray(x, dtype=np.float64)
+    if len(x) and (x.min() < lo or x.max() > hi):
+        raise ValueError("sparse_design requires x within [lo, hi]")
+    t = bspline_knots(lo, hi, nbasis, norder)
+    degree = norder - 1
+    td = t[deriv:len(t) - deriv] if deriv else t
+    S = BSpline.design_matrix(x, td, degree - deriv,
+                              extrapolate=False).tocsr()
+    if deriv:
+        S = S @ deriv_coef_matrix(t, degree, deriv)
+    return S

@@ -58,10 +58,36 @@ def eval_constrained_bspline(x, knots, p: int, deriv: int = 0) -> np.ndarray:
 
 def transform_T(knots, p: int) -> np.ndarray:
     """(k-1, k-1) matrix with U = T V (O-spline weights from B-spline
-    weights): T[i, j] = psi_j^(p)(midpoint of interval i)."""
+    weights): T[i, j] = psi_j^(p)(midpoint of interval i).
+
+    The p-th derivative of a degree-p B-spline is piecewise CONSTANT, so
+    T is exactly the composition of p bidiagonal differencing steps
+    (the BSpline.derivative coefficient recurrence
+    c'[i] = deg * (c[i+1] - c[i]) / (t[i+deg+1] - t[i+1]) applied to the
+    identity), kept sparse: O(d p^2) instead of the dense
+    (d x nbasis)-coefficient splder path (~2 s at k=2000 -> ~1 ms)."""
+    import scipy.sparse as sp
+
     knots = np.asarray(knots, dtype=np.float64)
-    mids = 0.5 * (knots[:-1] + knots[1:])
-    return eval_constrained_bspline(mids, knots, p, deriv=p)
+    t, nbasis = _basis(knots, p)
+    C = sp.identity(nbasis, format="csr")
+    tt = t
+    for deg in range(p, 0, -1):
+        m = C.shape[0]
+        dt = tt[deg + 1: deg + m] - tt[1:m]          # (m-1,)
+        # zero denominators only occur where the differentiated basis
+        # function's support is empty (fully repeated clamp knots):
+        # its coefficient is irrelevant — zero it, as scipy does.
+        with np.errstate(divide="ignore"):
+            fac = np.where(dt > 0, deg / np.where(dt > 0, dt, 1.0), 0.0)
+        D = sp.diags_array([-fac, fac], offsets=[0, 1],
+                           shape=(m - 1, m), format="csr")
+        C = D @ C
+        tt = tt[1:-1]
+    # C is (nbasis - p, nbasis): degree-0 coefficients = values on the
+    # intervals of tt == knots; row i is the value at mid_i. Drop the
+    # first p (boundary-constrained) basis columns.
+    return np.asarray(C.toarray()[:, p:], dtype=np.float64)
 
 
 def sparse_rows(x, knots, p: int):
@@ -111,27 +137,28 @@ def sparse_rows(x, knots, p: int):
 
 def prior_band(knots, p: int):
     """Banded prior precision of V: P_V = T^T diag(diff(knots)) T,
-    returned as (band (p+1, d), logdetT) with band[o, j] = P_V[j+o, j]."""
+    returned as (band (p+1, d), logdetT) with band[o, j] = P_V[j+o, j].
+
+    T is lower-banded with offsets -p..0 BY CONSTRUCTION (transform_T is
+    a product of bidiagonal differencing steps), so the P_V band is an
+    O(d p^2) diagonal convolution — no dense (d, d) product."""
     knots = np.asarray(knots, dtype=np.float64)
     T = transform_T(knots, p)
     w = np.diff(knots)
     d = T.shape[0]
-    if d > 256:
-        # T is lower-banded (offsets -p..0): sparse product avoids O(d^3)
-        import scipy.sparse as sp
-        Ts = sp.csr_matrix(np.where(np.abs(T) > 0, T, 0.0))
-        P_V = (Ts.T.multiply(w[None, :]) @ Ts).toarray()
-    else:
-        P_V = T.T * w[None, :] @ T
-    band = np.zeros((p + 1, d))
+    # Td[o, i] = T[i, i-o] (zero-padded where i < o)
+    Td = np.zeros((p + 1, d))
     for o in range(p + 1):
-        band[o, :d - o] = np.diagonal(P_V, -o)
-    # bandedness check: nothing beyond offset p
-    assert np.abs(np.tril(P_V, -(p + 1))).max() < 1e-9 * max(
-        1.0, np.abs(P_V).max()), "P_V not banded as expected"
-    # T is lower triangular (offsets -p..0): det = prod(diag)
+        Td[o, o:] = np.diagonal(T, -o)
+    band = np.zeros((p + 1, d))
+    # P_V[j+o, j] = sum_a w[i] T[i, j+o] T[i, j] at i = j + o + a
+    for o in range(p + 1):
+        for a in range(p + 1 - o):
+            i = np.arange(o + a, d)
+            band[o, i - o - a] += w[i] * Td[a, i] * Td[o + a, i]
+    # T lower triangular with nonzero diagonal: det = prod(diag)
     diagT = np.diagonal(T)
-    if np.abs(np.triu(T, 1)).max() < 1e-12 * max(1.0, np.abs(T).max()):
+    if np.all(np.abs(diagT) > 0):
         logdetT = float(np.sum(np.log(np.abs(diagT))))
     else:
         _, logdetT = np.linalg.slogdet(T)

@@ -75,39 +75,55 @@ def compute_Q_sB(a: float, k: int, region, accuracy: float = 0.01,
     nsteps = int(np.floor((hi - lo) / accuracy + 1e-10))
     x = lo + accuracy * np.arange(nsteps + 1)
 
-    dropind = (1, 2) if boundary else ()
-    B0 = eval_bspline_basis(x, lo, hi, k, 4, deriv=0, dropind=dropind)
-    B1 = eval_bspline_basis(x, lo, hi, k, 4, deriv=1, dropind=dropind)
-    B2 = eval_bspline_basis(x, lo, hi, k, 4, deriv=2, dropind=dropind)
+    # Every Gram block is S_dx^T diag(w * mult) S_dy with S_d the SPARSE
+    # (N, k) design of the d-th derivative (<= 4 nonzeros/row) and
+    # mult in {1, c, s, c^2, s^2, cs}: banded O(N) products instead of
+    # 33 dense (k, N)(N, k) matmuls (~100x at k=400, accuracy grids 1e4+).
+    from .bsplines import sparse_design
+    # the seq endpoint can overshoot hi by an ulp (fp accuracy steps);
+    # clip the basis coordinates only (trig/weights keep the exact grid)
+    xb = np.clip(x, lo, hi)
+    S = [sparse_design(xb, lo, hi, k, 4, deriv=r).tocsr() for r in range(3)]
+    ST = [Sd.T.tocsr() for Sd in S]
+    # grid-row index of each stored nonzero (for O(nnz) row scaling)
+    Srows = [np.repeat(np.arange(Sd.shape[0]), np.diff(Sd.indptr))
+             for Sd in S]
+    keep = None
+    if boundary:
+        # dropind=(1, 2) is 1-based (fda): drop basis functions 0 and 1
+        keep = np.arange(2, k)
 
-    c = np.cos(a * x)[:, None]
-    s = np.sin(a * x)[:, None]
-    Bc, B1c, B2c = B0 * c, B1 * c, B2 * c
-    Bs, B1s, B2s = B0 * s, B1 * s, B2 * s
-
+    c = np.cos(a * x)
+    s = np.sin(a * x)
     w = np.diff(np.concatenate([[0.0], x]))  # left-Riemann weights, first = lo
 
-    def ip(Xm, Ym):
-        return Xm.T @ (w[:, None] * Ym)
+    def gram(dx, dy, mult):
+        Sy = S[dy].copy()
+        Sy.data = S[dy].data * (w * mult)[Srows[dy]]
+        G = (ST[dx] @ Sy).toarray()
+        return G[np.ix_(keep, keep)] if keep is not None else G
+
+    one = np.ones_like(x)
+    cc, ss_, cs = c * c, s * s, c * s
 
     def ss(Mm):
         return Mm + Mm.T
 
     # T blocks (cos-cos), L (sin-sin), I (sin-cos)
-    T00, T10, T11 = ip(Bc, Bc), ip(B1c, Bc), ip(B1c, B1c)
-    T20, T21, T22 = ip(B2c, Bc), ip(B2c, B1c), ip(B2c, B2c)
-    L00, L10, L11 = ip(Bs, Bs), ip(B1s, Bs), ip(B1s, B1s)
-    L20, L21, L22 = ip(B2s, Bs), ip(B2s, B1s), ip(B2s, B2s)
-    I00, I10, I11 = ip(Bs, Bc), ip(B1s, Bc), ip(B1s, B1c)
-    I20, I21, I22 = ip(B2s, Bc), ip(B2s, B1c), ip(B2s, B2c)
+    T00, T10, T11 = gram(0, 0, cc), gram(1, 0, cc), gram(1, 1, cc)
+    T20, T21, T22 = gram(2, 0, cc), gram(2, 1, cc), gram(2, 2, cc)
+    L00, L10, L11 = gram(0, 0, ss_), gram(1, 0, ss_), gram(1, 1, ss_)
+    L20, L21, L22 = gram(2, 0, ss_), gram(2, 1, ss_), gram(2, 2, ss_)
+    I00, I10, I11 = gram(0, 0, cs), gram(1, 0, cs), gram(1, 1, cs)
+    I20, I21, I22 = gram(2, 0, cs), gram(2, 1, cs), gram(2, 2, cs)
 
-    BB, B2B2, BB2 = ip(B0, B0), ip(B2, B2), ip(B0, B2)
-    BS, BC = ip(B0, Bs), ip(B0, Bc)
-    BS1, BC1 = ip(B0, B1s), ip(B0, B1c)
-    BS2, BC2 = ip(B0, B2s), ip(B0, B2c)
-    B2S, B2C = ip(B2, Bs), ip(B2, Bc)
-    B2S1, B2C1 = ip(B2, B1s), ip(B2, B1c)
-    B2S2, B2C2 = ip(B2, B2s), ip(B2, B2c)
+    BB, B2B2, BB2 = gram(0, 0, one), gram(2, 2, one), gram(0, 2, one)
+    BS, BC = gram(0, 0, s), gram(0, 0, c)
+    BS1, BC1 = gram(0, 1, s), gram(0, 1, c)
+    BS2, BC2 = gram(0, 2, s), gram(0, 2, c)
+    B2S, B2C = gram(2, 0, s), gram(2, 0, c)
+    B2S1, B2C1 = gram(2, 1, s), gram(2, 1, c)
+    B2S2, B2C2 = gram(2, 2, s), gram(2, 2, c)
 
     a2, a3, a4 = a ** 2, a ** 3, a ** 4
 

@@ -97,11 +97,15 @@ def _sgp_sparse_rows(term):
 
     Returns (vals (n, W), start (n,), kb, G) with row i of the
     interleaved design equal to vals[i] at columns
-    start[i]..start[i]+W-1. Windows are derived from the materialized
-    dense B (term.B, group order): all 3m groups share the B-spline
-    support, so the plain-B block of harmonic 1 locates the 4-wide active
-    B-spline window; interleaving makes it one contiguous 4G window.
+    start[i]..start[i]+W-1. All 3m groups share the 4-wide B-spline
+    support, so interleaving makes it one contiguous 4G window.
+
+    When the term was built with materialize_B=False the windows come
+    straight from the sparse B-spline design (O(n), never materializing
+    the (n, 3m*kb) dense B); otherwise they are extracted from term.B.
     """
+    if term.B is None and term.x_data is not None:
+        return _sgp_sparse_rows_from_x(term)
     Bg = np.asarray(term.ensure_B(), np.float64)   # (n, 3m*kb), group order
     m = term.m
     G = 3 * m
@@ -125,6 +129,69 @@ def _sgp_sparse_rows(term):
     covered = np.abs(vals).sum()
     assert abs(total - covered) <= 1e-9 * max(total, 1.0), \
         "sGP window extraction missed design mass"
+    return vals, start, kb, G
+
+
+def _sgp_sparse_rows_from_x(term):
+    """O(n) sparse construction of the interleaved sB windows from the
+    raw (shifted) x values — equivalent to extracting windows from the
+    dense B (same (vals, start, kb, G) contract as _sgp_sparse_rows)
+    without ever materializing it.
+
+    Each sB group column is (B-spline column) x (rowwise cos/sin/1
+    multiplier), so row i's 4G window is the outer product of its 4
+    B-spline values with its G multipliers.
+    """
+    from ..basis.bsplines import eval_bspline_basis, sparse_design
+
+    xs = np.asarray(term.x_data, np.float64)
+    k, m = term.k, term.m
+    lo = float(np.min(term.region))
+    hi = float(np.max(term.region))
+    kb = k - 2                       # fit-time boundary=True drops 2
+    if kb < 4:
+        raise ValueError("sGP banded driver needs k >= 6 (kb >= 4)")
+    G = 3 * m
+    n = len(xs)
+
+    vals4 = np.zeros((n, 4))
+    start_b = np.zeros(n, np.int64)
+    inside = (xs >= lo) & (xs <= hi)
+    if inside.any():
+        S = sparse_design(xs[inside], lo, hi, k, 4, deriv=0).tocsr()
+        # design_matrix stores exactly degree+1 = 4 contiguous columns/row
+        data4 = S.data.reshape(-1, 4)
+        cold = S.indices.reshape(-1, 4).astype(np.int64) - 2  # dropped idx
+        sb = np.clip(cold[:, 0], 0, kb - 4)
+        off = cold - sb[:, None]
+        ok = (cold >= 0) & (off >= 0) & (off <= 3)
+        ridx = np.broadcast_to(np.arange(len(sb))[:, None], off.shape)
+        v_in = np.zeros((len(sb), 4))
+        v_in[ridx[ok], off[ok]] = data4[ok]
+        vals4[inside] = v_in
+        start_b[inside] = sb
+    if (~inside).any():
+        # polynomial continuation / zero region (rare points): dense eval
+        # of the boundary-dropped basis, windowed
+        xo = xs[~inside]
+        Bo = eval_bspline_basis(xo, lo, hi, k, 4, deriv=0, dropind=(1, 2))
+        so = np.where(xo > hi, kb - 4, 0).astype(np.int64)
+        cols = so[:, None] + np.arange(4)[None, :]
+        vals4[~inside] = Bo[np.arange(len(xo))[:, None], cols]
+        start_b[~inside] = so
+        # coverage: nonzeros outside the window would be silently dropped
+        outside_mass = np.abs(Bo).sum() - np.abs(vals4[~inside]).sum()
+        assert outside_mass <= 1e-9 * max(np.abs(Bo).sum(), 1.0), \
+            "sGP window extraction missed design mass (outside region)"
+
+    # group multipliers in Bg group order: per harmonic i, [cos, sin, 1]
+    mults = np.empty((n, G))
+    for i in range(1, m + 1):
+        mults[:, 3 * (i - 1)] = np.cos(term.a * i * xs)
+        mults[:, 3 * (i - 1) + 1] = np.sin(term.a * i * xs)
+        mults[:, 3 * (i - 1) + 2] = 1.0
+    vals = (vals4[:, :, None] * mults[:, None, :]).reshape(n, 4 * G)
+    start = (start_b * G).astype(np.int64)
     return vals, start, kb, G
 
 

@@ -105,10 +105,21 @@ class TermDesign:
     def ensure_B(self):
         """Materialize the dense local design if it was skipped."""
         if self.B is None:
-            if self.kind != "IWP" or self.x_data is None:
+            if self.x_data is None:
                 raise ValueError("cannot materialize B for this term")
-            self.B = osplines.local_poly_helper(self.knots, self.x_data,
-                                                p=self.order)
+            if self.kind == "IWP":
+                self.B = osplines.local_poly_helper(self.knots, self.x_data,
+                                                    p=self.order)
+            elif self.kind == "sGP":
+                # fit-time semantics: boundary always True (see
+                # build_sgp_term docstring)
+                blocks = [sgp_basis.compute_B_sB(self.x_data, self.a * i,
+                                                 self.k, self.region,
+                                                 boundary=True)
+                          for i in range(1, self.m + 1)]
+                self.B = np.concatenate(blocks, axis=1)
+            else:
+                raise ValueError("cannot materialize B for this term")
         return self.B
 
 
@@ -151,7 +162,7 @@ def build_sgp_term(smoothing_var: str, x: np.ndarray, *, a=None, freq=None,
                    period=None, k: Optional[int] = None, m: int = 1,
                    sd_prior=None, boundary_prior=None, initial_location=None,
                    region=None, accuracy: float = 0.01,
-                   boundary: bool = True) -> TermDesign:
+                   boundary: bool = True, materialize_B=True) -> TermDesign:
     """sGP term build (reference R/02_model_fit.R:493-569).
 
     X = cos/sin harmonics; B = sB basis stacked over harmonics; P =
@@ -189,16 +200,19 @@ def build_sgp_term(smoothing_var: str, x: np.ndarray, *, a=None, freq=None,
     # 301-312 — unlike the predict-time helper's min-recentering)
     X = sgp_basis.global_poly_sgp(xs, a=a, m=m, initial_location=0.0)
     # fit-time B always uses boundary=True (reference quirk, see docstring)
-    blocks = [sgp_basis.compute_B_sB(xs, a * i, k, region, boundary=True)
-              for i in range(1, m + 1)]
-    B = np.concatenate(blocks, axis=1)
+    if materialize_B:
+        blocks = [sgp_basis.compute_B_sB(xs, a * i, k, region, boundary=True)
+                  for i in range(1, m + 1)]
+        B = np.concatenate(blocks, axis=1)
+    else:
+        B = None   # banded driver builds sparse windows from x_data
     P = sgp_basis.compute_Q_sgp_stacked(a, k, m, region, accuracy)
     return TermDesign(
         kind="sGP", smoothing_var=smoothing_var, X=X, B=B, P=P,
         sd_prior=sd_prior, boundary_prior=boundary_prior,
         initial_location=float(initial_location), observed_x=observed_x,
         a=float(a), m=int(m), k=int(k), region=region,
-        accuracy=float(accuracy), boundary=bool(boundary))
+        accuracy=float(accuracy), boundary=bool(boundary), x_data=xs)
 
 
 def build_iid_term(smoothing_var: str, x: np.ndarray, *,
@@ -264,7 +278,8 @@ def build_term_from_call(call, data: dict, env: dict | None = None,
             initial_location=opts.pop("initial_location", None),
             region=opts.pop("region", None),
             accuracy=opts.pop("accuracy", 0.01),
-            boundary=opts.pop("boundary", True))
+            boundary=opts.pop("boundary", True),
+            materialize_B=materialize_B)
     elif model == "IID":
         td = build_iid_term(var, x, sd_prior=sd_prior)
     elif model == "Customized":

@@ -200,3 +200,68 @@ def test_marginal_posterior_indefinite_outer_hessian():
         # unchanged vs the clean fit (marginals depend only on fit.L)
         np.testing.assert_allclose(marg["logmargpost"], clean[j],
                                    rtol=1e-10)
+
+
+def test_sgp_sparse_windows_match_dense_extraction():
+    """materialize_B=False builds the interleaved sB windows straight
+    from x (no (n, 3m*kb) dense design); same reconstructed design as
+    the dense-extraction path, including region-extrapolation rows."""
+    from bayesgp_tpu.fast.banded import (_sgp_sparse_rows,
+                                         _sgp_sparse_rows_from_x)
+    rng = np.random.default_rng(23)
+    for m, k, region in [(1, 12, None), (2, 9, None), (1, 10, (0.0, 30.0))]:
+        x = np.concatenate([rng.uniform(0.0, 36.0, 120), [0.0, 36.0]])
+        kw = dict(a=2 * np.pi / 9.0, k=k, m=m, region=region)
+        td = T.build_sgp_term("x", x, materialize_B=True, **kw)
+        ts = T.build_sgp_term("x", x, materialize_B=False, **kw)
+        assert ts.B is None
+        vd, sd, kb, G = _sgp_sparse_rows(td)
+        vs, ss, kbs, Gs = _sgp_sparse_rows_from_x(ts)
+        assert (kb, G) == (kbs, Gs)
+        n, d, W = len(x), kb * G, 4 * G
+        def dense_of(v, s):
+            D = np.zeros((n, d + W))
+            for i in range(n):
+                D[i, s[i]:s[i] + W] += v[i]
+            return D[:, :d]
+        assert np.abs(dense_of(vd, sd) - dense_of(vs, ss)).max() < 1e-12
+        # ensure_B on the sparse term reproduces the dense fit-time B
+        assert np.abs(ts.ensure_B() - td.B).max() < 1e-12
+
+
+def test_model_fit_single_sgp_skips_dense_design():
+    """A single-sGP-term model on the banded engine never materializes
+    the driver design; posterior matches the dense engine."""
+    rng = np.random.default_rng(5)
+    n = 300
+    x = np.sort(rng.uniform(0, 40, n))
+    y = rng.poisson(np.exp(1.0 + 0.6 * np.sin(2 * np.pi * x / 10)))
+    data = {"x": x, "y": y.astype(float)}
+    fml = "y ~ f(x=x, model='sGP', period=10, k=16)"
+    fit_b = bg.model_fit(fml, data=data, family="Poisson", M=200, seed=0,
+                         engine="banded")
+    assert fit_b.instances[0].B is None
+    fit_d = bg.model_fit(fml, data=data, family="Poisson", M=200, seed=0,
+                         engine="dense")
+    assert abs(fit_b.mod.lognormconst - fit_d.mod.lognormconst) < 1e-5
+    assert np.abs(np.asarray(fit_b.mod.mode)
+                  - np.asarray(fit_d.mod.mode)).max() < 1e-4
+
+
+def test_model_fit_multiterm_driver_skips_dense_design():
+    """Multi-term banded fits build all IWP/sGP terms lazily: the driver
+    keeps B=None (sparse windows), tails materialize via ensure_B."""
+    rng = np.random.default_rng(9)
+    n = 250
+    x = np.sort(rng.uniform(0, 12, n))
+    g = rng.integers(0, 4, n)
+    y = rng.poisson(np.exp(0.4 * np.sin(x) + 0.1 * g + 0.5))
+    data = {"x": x, "g": g.astype(float), "y": y.astype(float)}
+    fml = "y ~ f(x=x, model='IWP', order=2, k=14) + f(x=g, model='IID')"
+    fit_b = bg.model_fit(fml, data=data, family="Poisson", M=200, seed=0,
+                         engine="banded")
+    drv = [t for t in fit_b.instances if t.kind == "IWP"][0]
+    assert drv.B is None
+    fit_d = bg.model_fit(fml, data=data, family="Poisson", M=200, seed=0,
+                         engine="dense")
+    assert abs(fit_b.mod.lognormconst - fit_d.mod.lognormconst) < 1e-5
