@@ -57,13 +57,44 @@ def extract_mean_interval_given_samps(x, samples, level: float = 0.95):
     }
 
 
-def compute_post_fun_iwp(samps, global_samps, knots, refined_x, p,
-                         degree: int = 0, intercept_samps=None):
-    """Posterior draws of the IWP component (or its derivative) at
-    refined_x (reference compute_post_fun_IWP, R/03_post_fit.R:200-241).
+_sum_linear_prog = None
 
-    f_draws = X_global . global_samps (+ intercept) + B . coef_samps with
-    basis order p - degree and factorial rescaling of the monomials."""
+
+def _summarize_linear_device(B, samps, X, g, level: float):
+    """mean/quantile summary of X g + B samps computed ON the
+    accelerator: one (rows, M) matmul + sort per chunk stays on device
+    and only three (rows,) vectors transfer back (vs ~50 s of host
+    np.quantile + a 48 MB transfer per 5e7-element chunk at production
+    scale). R type-7 quantiles = jnp.quantile's default 'linear'
+    interpolation. f32 on device: the draws carry Monte-Carlo error
+    >> f32 eps (same rationale as _post_matmul).
+    Returns (mean, plower, pupper) as f64 numpy."""
+    import jax
+    import jax.numpy as jnp
+
+    global _sum_linear_prog
+    if _sum_linear_prog is None:
+        @jax.jit
+        def _prog(B_, s_, X_, g_, probs):
+            draws = X_ @ g_ + B_ @ s_
+            qs = jnp.quantile(draws, probs, axis=1)
+            return jnp.mean(draws, axis=1), qs[0], qs[1]
+        _sum_linear_prog = _prog
+
+    alpha = 1.0 - level
+    probs = np.asarray([alpha / 2, level + alpha / 2], np.float32)
+    mean, lo, hi = _sum_linear_prog(
+        jnp.asarray(B, jnp.float32), jnp.asarray(samps, jnp.float32),
+        jnp.asarray(X, jnp.float32), jnp.asarray(g, jnp.float32),
+        jnp.asarray(probs))
+    return (np.asarray(mean, np.float64), np.asarray(lo, np.float64),
+            np.asarray(hi, np.float64))
+
+
+def _iwp_design_parts(samps, global_samps, knots, refined_x, p,
+                      degree: int = 0, intercept_samps=None):
+    """(B, coefs, X, g) with f_draws = X g + B coefs for the IWP
+    component (X/g empty when degree leaves no global part)."""
     if p <= degree:
         raise ValueError("derivative degree must be < IWP order")
     M = samps.shape[1]
@@ -81,10 +112,45 @@ def compute_post_fun_iwp(samps, global_samps, knots, refined_x, p,
         X = X * np.array([
             math.factorial(i + degree) / math.factorial(i)
             for i in range(p - degree)])[None, :]
-        f = X @ g[degree:p] + _post_matmul(B, samps)
-    else:
-        f = _post_matmul(B, samps)
+        return B, samps, X, g[degree:p]
+    return B, samps, np.zeros((len(refined_x), 0)), np.zeros((0, M))
+
+
+def compute_post_fun_iwp(samps, global_samps, knots, refined_x, p,
+                         degree: int = 0, intercept_samps=None):
+    """Posterior draws of the IWP component (or its derivative) at
+    refined_x (reference compute_post_fun_IWP, R/03_post_fit.R:200-241).
+
+    f_draws = X_global . global_samps (+ intercept) + B . coef_samps with
+    basis order p - degree and factorial rescaling of the monomials."""
+    B, coefs, X, g = _iwp_design_parts(samps, global_samps, knots,
+                                       refined_x, p, degree,
+                                       intercept_samps)
+    f = _post_matmul(B, coefs)
+    if X.shape[1]:
+        f = X @ g + f
     return np.asarray(refined_x), f
+
+
+def _sgp_design_parts(samps, global_samps, k, refined_x, a, region,
+                      boundary: bool = True, m: int = 1,
+                      intercept_samps=None):
+    """(B, coefs, X, g) with f_draws = X g + B coefs for the sGP
+    component."""
+    M = samps.shape[1]
+    B = sgp_basis.compute_B_sB_helper(refined_x, a=a, k=k, m=m, region=region,
+                                      boundary=boundary,
+                                      initial_location=0.0)
+    X = np.concatenate([np.ones((len(refined_x), 1)),
+                        sgp_basis.global_poly_sgp(refined_x, a=a, m=m,
+                                                  initial_location=0.0)],
+                       axis=1)
+    if intercept_samps is None:
+        intercept_samps = np.zeros((1, M))
+    if global_samps is None:
+        global_samps = np.zeros((2 * m, M))
+    g = np.vstack([intercept_samps, global_samps])
+    return B, samps, X, g
 
 
 def compute_post_fun_sgp(samps, global_samps, k, refined_x, a, region,
@@ -103,20 +169,10 @@ def compute_post_fun_sgp(samps, global_samps, k, refined_x, a, region,
     term's initial_location; no re-centering), so predictions are
     window-invariant and identical to the reference whenever
     min(refined_x) == 0 (every reference vignette/test)."""
-    M = samps.shape[1]
-    B = sgp_basis.compute_B_sB_helper(refined_x, a=a, k=k, m=m, region=region,
-                                      boundary=boundary,
-                                      initial_location=0.0)
-    X = np.concatenate([np.ones((len(refined_x), 1)),
-                        sgp_basis.global_poly_sgp(refined_x, a=a, m=m,
-                                                  initial_location=0.0)],
-                       axis=1)
-    if intercept_samps is None:
-        intercept_samps = np.zeros((1, M))
-    if global_samps is None:
-        global_samps = np.zeros((2 * m, M))
-    g = np.vstack([intercept_samps, global_samps])
-    f = X @ g + _post_matmul(B, samps)
+    B, coefs, X, g = _sgp_design_parts(samps, global_samps, k, refined_x,
+                                       a, region, boundary, m,
+                                       intercept_samps)
+    f = X @ g + _post_matmul(B, coefs)
     return np.asarray(refined_x), f
 
 
@@ -189,20 +245,51 @@ class FitResult:
                     intercept_samps=intercept_samps)
             raise ValueError(f"predict not defined for {inst.kind} terms")
 
+        def parts_fun(xs):
+            if inst.kind == "IWP":
+                return _iwp_design_parts(
+                    coefsamps, global_samps, inst.knots, xs, inst.order,
+                    degree=degree, intercept_samps=intercept_samps)
+            return _sgp_design_parts(
+                coefsamps, global_samps, inst.k, xs, inst.a,
+                inst.region, boundary=inst.boundary, m=inst.m,
+                intercept_samps=intercept_samps)
+
         M = coefsamps.shape[1]
-        if only_samples or len(refined_x) * M <= _PREDICT_CHUNK_ELEMS:
+        n_pred = len(refined_x)
+        if only_samples:
             x, f = post_fun(refined_x)
-            x = x + inst.initial_location
-            if only_samples:
-                return x, f
-            out = extract_mean_interval_given_samps(x, f, level=level)
+            return x + inst.initial_location, f
+        use_device = False
+        if n_pred * M >= 20_000_000 and inst.kind in ("IWP", "sGP"):
+            import jax
+            use_device = jax.default_backend() != "cpu"
+        if use_device:
+            # production scale on an accelerator: draws, means and
+            # quantiles all computed on device per row block; only the
+            # (rows, 3) summaries come back to the host
+            rows = max(1, _PREDICT_CHUNK_ELEMS // M)
+            parts = []
+            for i0 in range(0, n_pred, rows):
+                xs_b = refined_x[i0:i0 + rows]
+                B, coefs, X, g = parts_fun(xs_b)
+                mean, lo, hi = _summarize_linear_device(B, coefs, X, g,
+                                                        level)
+                parts.append({"x": xs_b + inst.initial_location,
+                              "plower": lo, "pupper": hi, "mean": mean})
+            out = {key: np.concatenate([p[key] for p in parts])
+                   for key in parts[0]}
+        elif n_pred * M <= _PREDICT_CHUNK_ELEMS:
+            x, f = post_fun(refined_x)
+            out = extract_mean_interval_given_samps(
+                x + inst.initial_location, f, level=level)
         else:
-            # production scale: never materialize the full
+            # large but no accelerator: never materialize the full
             # (n_pred, M) draw matrix — evaluate and summarize in row
             # blocks (draws are recomputable from the cached samples)
             rows = max(1, _PREDICT_CHUNK_ELEMS // M)
             parts = []
-            for i0 in range(0, len(refined_x), rows):
+            for i0 in range(0, n_pred, rows):
                 x_b, f_b = post_fun(refined_x[i0:i0 + rows])
                 parts.append(extract_mean_interval_given_samps(
                     x_b + inst.initial_location, f_b, level=level))

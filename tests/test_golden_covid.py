@@ -133,3 +133,28 @@ def test_reference_named_exports(covid_fit):
     assert s.shape[1] == 1
     pd_ = bg.para_density(covid_fit)
     assert "intercept" in pd_
+
+
+def test_device_predict_summarizer_matches_host():
+    """_summarize_linear_device (the accelerator predict-summary path)
+    agrees with extract_mean_interval_given_samps to f32 tolerance,
+    including the empty-global-part derivative case."""
+    from bayesgp_tpu import postfit
+    rng = np.random.default_rng(0)
+    B = rng.normal(size=(300, 25))
+    coefs = rng.normal(size=(25, 150))
+    X = rng.normal(size=(300, 3))
+    g = rng.normal(size=(3, 150))
+    ref = postfit.extract_mean_interval_given_samps(
+        np.arange(300.0), X @ g + B @ coefs, level=0.9)
+    mean, lo, hi = postfit._summarize_linear_device(B, coefs, X, g, 0.9)
+    assert np.abs(mean - ref["mean"]).max() < 5e-4
+    assert np.abs(lo - ref["plower"]).max() < 5e-4
+    assert np.abs(hi - ref["pupper"]).max() < 5e-4
+    X0, g0 = np.zeros((300, 0)), np.zeros((0, 150))
+    ref0 = postfit.extract_mean_interval_given_samps(
+        np.arange(300.0), B @ coefs)
+    mean0, lo0, hi0 = postfit._summarize_linear_device(B, coefs, X0, g0,
+                                                       0.95)
+    assert np.abs(mean0 - ref0["mean"]).max() < 5e-4
+    assert np.abs(lo0 - ref0["plower"]).max() < 5e-4
