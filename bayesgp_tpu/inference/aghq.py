@@ -514,33 +514,53 @@ def build_fused_run_1d(backend, k: int, tol: float = 1e-9,
         c = jax.lax.while_loop(cond, body, c0)
         mode, st = c["th"], c["state"]
         # FD Hessian at the mode (see hess_warm_fn for the step-size
-        # rationale vs f32 gradient noise)
-        _, gp, _ = vg(mode + h_fd, st)
-        _, gm, _ = vg(mode - h_fd, st)
-        H = (gp - gm) / (2 * h_fd)
+        # rationale vs f32 gradient noise); the +/- pair runs as a
+        # 2-step scan so the Laplace body is traced ONCE here (compile
+        # time, not semantics — both evals warm-start from st)
+        def fd_step(_, th_j):
+            _, g_j, _ = vg(th_j, st)
+            return 0, g_j
+        _, g_pm = jax.lax.scan(
+            fd_step, 0, jnp.stack([mode + h_fd, mode - h_fd]))
+        H = (g_pm[0] - g_pm[1]) / (2 * h_fd)
         Hpos = jnp.maximum(jnp.abs(H), 1e-8)
         Lad = jax.lax.rsqrt(Hpos)
         nodes = mode + Lad * jnp.asarray(z1, dtype)       # (k,)
-        # evaluate inner nodes first, chaining warm states outward
-        # on each side (adjacent nodes share most of the solution)
-        outs = [None] * k
-        warm_neg = warm_pos = st
-        for j in np.argsort(np.abs(z1)):
-            j = int(j)
-            warm = warm_neg if z1[j] < 0 else warm_pos
+        # evaluate inner nodes first, chaining warm states outward on
+        # each side (adjacent nodes share most of the solution); each
+        # side is a lax.scan so the warm Laplace eval is traced once
+        # per side instead of once per node (scan over full warm evals
+        # is the validated on-chip pattern — see build_fused_nodes)
+        order = [int(j) for j in np.argsort(np.abs(z1))]
+        neg_idx = [j for j in order if z1[j] < 0]
+        pos_idx = [j for j in order if z1[j] >= 0]
+
+        def node_step(warm, th_j):
             nllj, packed, stj = _node_eval_packed(
-                backend, jnp.reshape(nodes[j], (1,)), warm,
-                return_states)
-            outs[j] = (nllj, packed)
-            if z1[j] < 0:
-                warm_neg = stj
-            else:
-                warm_pos = stj
-        nlls = jnp.stack([o[0] for o in outs])
+                backend, jnp.reshape(th_j, (1,)), warm, return_states)
+            ys = (nllj, packed) if return_states else (nllj,)
+            return stj, ys
+
+        def side(idx):
+            if not idx:
+                return None
+            _, ys = jax.lax.scan(node_step, st,
+                                 nodes[jnp.asarray(idx)])
+            return ys
+
+        ys_neg, ys_pos = side(neg_idx), side(pos_idx)
+        per_node = [None] * k
+        for rank, j in enumerate(neg_idx):
+            per_node[j] = jax.tree_util.tree_map(
+                lambda a: a[rank], ys_neg)
+        for rank, j in enumerate(pos_idx):
+            per_node[j] = jax.tree_util.tree_map(
+                lambda a: a[rank], ys_pos)
+        nlls = jnp.stack([o[0] for o in per_node])
         if not return_states:
             return mode, H, nodes, nlls
         states = jax.tree_util.tree_map(
-            lambda *xs: jnp.stack(xs), *[o[1] for o in outs])
+            lambda *xs: jnp.stack(xs), *[o[1] for o in per_node])
         return mode, H, nodes, nlls, states
 
     if not sample_M:
@@ -692,24 +712,40 @@ def build_fused_run_1d_batched(backend, k: int, tol: float = 1e-9,
               "it": jnp.asarray(0)}
         c = jax.lax.while_loop(cond, body, c0)
         mode, st = c["th"], c["state"]
-        _, gp, _ = vg(mode + h_fd, st)
-        _, gm, _ = vg(mode - h_fd, st)
-        H = (gp - gm) / (2 * h_fd)
+        # FD pair + per-side node chains as scans (one traced Laplace
+        # copy each — mirrors build_fused_run_1d)
+        def fd_step(_, th_j):
+            _, g_j, _ = vg(th_j, st)
+            return 0, g_j
+        _, g_pm = jax.lax.scan(
+            fd_step, 0, jnp.stack([mode + h_fd, mode - h_fd]))
+        H = (g_pm[0] - g_pm[1]) / (2 * h_fd)
         Hpos = jnp.maximum(jnp.abs(H), 1e-8)
         Lad = jax.lax.rsqrt(Hpos)
         nodes = mode[:, None] + Lad[:, None] * jnp.asarray(
             z1, dtype)[None]                               # (R, k)
+        order = [int(j) for j in np.argsort(np.abs(z1))]
+        neg_idx = [j for j in order if z1[j] < 0]
+        pos_idx = [j for j in order if z1[j] >= 0]
+
+        def node_step(warm, th_j):
+            nllj, stj, _ = backend.laplace_eval_full(th_j, warm)
+            return stj, nllj
+
+        def side(idx):
+            if not idx:
+                return None
+            _, nlls_side = jax.lax.scan(
+                node_step, st,
+                jnp.transpose(nodes[:, jnp.asarray(idx)], (1, 0)))
+            return nlls_side                               # (m, R)
+
+        nll_neg, nll_pos = side(neg_idx), side(pos_idx)
         outs = [None] * k
-        warm_neg = warm_pos = st
-        for j in np.argsort(np.abs(z1)):
-            j = int(j)
-            warm = warm_neg if z1[j] < 0 else warm_pos
-            nllj, stj, _ = backend.laplace_eval_full(nodes[:, j], warm)
-            outs[j] = nllj
-            if z1[j] < 0:
-                warm_neg = stj
-            else:
-                warm_pos = stj
+        for rank, j in enumerate(neg_idx):
+            outs[j] = nll_neg[rank]
+        for rank, j in enumerate(pos_idx):
+            outs[j] = nll_pos[rank]
         nlls = jnp.stack(outs, axis=1)                     # (R, k)
         return mode, H, nodes, nlls
 
