@@ -139,8 +139,30 @@ def bench_reps_packed(R=16):
                       "modes": np.asarray(modes).tolist()}), flush=True)
 
 
+def bench_build():
+    """Host-side model construction at the headline config (n=1e5,
+    k=2000 IWP3) and a large-sGP config (k=400, m=2, region 400) —
+    all NumPy/SciPy, no accelerator."""
+    t0 = time.time()
+    _build_iwp(100_000, 2000, "Poisson")
+    dt_iwp = time.time() - t0
+    from bayesgp_tpu import terms as T
+    rng = np.random.default_rng(0)
+    x = np.sort(rng.uniform(0.0, 400.0, 100_000))
+    t0 = time.time()
+    T.build_sgp_term("x", x, a=2 * np.pi / 10, k=400, m=2,
+                     region=(0.0, 400.0), materialize_B=False)
+    dt_sgp = time.time() - t0
+    print(json.dumps({"metric": "host_model_build_seconds",
+                      "value": round(dt_iwp, 3), "unit": "s",
+                      "sgp_k400_m2_build_s": round(dt_sgp, 3)}),
+          flush=True)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("build", "all"):
+        bench_build()
     if which in ("gauss2", "all"):
         bench_gauss2()
     if which in ("lynx", "all"):
