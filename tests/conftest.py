@@ -13,3 +13,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# Persistent compile cache: identical programs (same model constants)
+# recompile across test sessions otherwise — a large share of the
+# ~1h15 suite wall-clock on this one-core host.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..",
+                               ".jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
