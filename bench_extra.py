@@ -139,6 +139,70 @@ def bench_reps_packed(R=16):
                       "modes": np.asarray(modes).tolist()}), flush=True)
 
 
+def bench_coxph(n=4000):
+    """BASELINE.json config 3: Cox partial-likelihood survival model
+    with an IWP smooth (Partial_Likelihood vignette shape, scaled up).
+    Full-Hessian family -> dense backend; the suffix-logcumsumexp
+    objective replaces the reference's O(n^2) risk-set loops."""
+    import bayesgp_tpu as bg
+    rng = np.random.default_rng(0)
+    age = rng.uniform(20, 80, n)
+    sex = rng.integers(0, 2, n).astype(float)
+    lam = np.exp(0.3 * np.sin(age / 8.0) - 0.8 * sex)
+    t_ev = rng.exponential(1.0 / lam)
+    t_c = rng.exponential(2.0 / lam.mean(), n)
+    time_obs = np.minimum(t_ev, t_c)
+    cens = (t_ev <= t_c).astype(float)
+    data = {"time": time_obs, "age": age, "sex": sex, "cens": cens}
+    fml = "time ~ sex + f(x=age, model='IWP', order=2, k=30)"
+
+    def run():
+        return bg.model_fit(fml, data=data, family="Coxph", cens="cens",
+                            M=1000, seed=0)
+    t0 = time.time()
+    fit = run()
+    first = time.time() - t0
+    t0 = time.time()
+    fit = run()
+    dt = time.time() - t0
+    print(json.dumps({"metric": f"coxph_n{n}_iwp_fit_seconds",
+                      "value": round(dt, 4), "unit": "s",
+                      "first_compile_s": round(first, 1),
+                      "mode": np.asarray(fit.mod.mode).tolist()}),
+          flush=True)
+
+
+def bench_two_smooths(n=20000, k=100):
+    """BASELINE.json config 4: Gaussian family, IWP + sGP smooths with
+    k=100 each -> s=3 hyperparameters (two smoothing + noise), fused
+    multi-dimensional AGHQ grid."""
+    import bayesgp_tpu as bg
+    rng = np.random.default_rng(1)
+    x = np.sort(rng.uniform(0.0, 100.0, n))
+    season = 0.6 * np.sin(2 * np.pi * x / 10.0)
+    trend = 0.02 * x + 0.4 * np.sin(x / 15.0)
+    y = trend + season + 0.3 * rng.normal(size=n)
+    data = {"x": x, "xs": x.copy(), "y": y}
+    fml = ("y ~ f(x=x, model='IWP', order=2, k=k_iwp) "
+           "+ f(x=xs, model='sGP', period=10, k=k_sgp)")
+
+    def run():
+        return bg.model_fit(fml, data=data, family="Gaussian", M=1000,
+                            seed=0, aghq_k=3,
+                            env={"k_iwp": k, "k_sgp": k})
+    t0 = time.time()
+    fit = run()
+    first = time.time() - t0
+    t0 = time.time()
+    fit = run()
+    dt = time.time() - t0
+    print(json.dumps({"metric": f"two_smooths_n{n}_k{k}_s3_fit_seconds",
+                      "value": round(dt, 4), "unit": "s",
+                      "first_compile_s": round(first, 1),
+                      "mode": np.asarray(fit.mod.mode).tolist()}),
+          flush=True)
+
+
 def bench_build():
     """Host-side model construction at the headline config (n=1e5,
     k=2000 IWP3) and a large-sGP config (k=400, m=2, region 400) —
@@ -163,6 +227,10 @@ if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("build", "all"):
         bench_build()
+    if which in ("coxph", "all"):
+        bench_coxph()
+    if which in ("two_smooths", "all"):
+        bench_two_smooths()
     if which in ("gauss2", "all"):
         bench_gauss2()
     if which in ("lynx", "all"):
