@@ -55,6 +55,10 @@ class ChunkDesign:
     CH: int
     w: int
     n: int          # true row count (rows beyond are zero padding)
+    nc_real: int = 0  # >0 when trailing chunks are all-zero mesh padding
+    #                   (parallel/data_sharded.pad_chunks): they feed the
+    #                   batched einsums (contributing exact zeros) but are
+    #                   excluded from the overlap-add rounds below
 
     @property
     def rounds(self):
@@ -66,7 +70,7 @@ class ChunkDesign:
         (~1.3 ms of f64 DUS per band assembly at n=1e5, BENCH_NOTES)."""
         if not hasattr(self, "_rounds"):
             rounds, ends = [], []
-            for c in range(self.nc):
+            for c in range(self.nc_real or self.nc):
                 b = int(self.bases[c])
                 for ri in range(len(rounds)):
                     if b >= ends[ri]:
@@ -166,6 +170,12 @@ class FastIWPBackend(_JitCacheMixin):
     engine: Any = None     # linalg.band_arrow engine (Pallas on TPU)
     chunks: Any = None     # ChunkDesign (MXU path) or None (gather path)
     row_order: Any = None  # (n,) build-time row sort (raw -> internal)
+    data_sharded: Any = None  # (mesh, axis) when the O(n) arrays carry a
+    #                           NamedSharding over the observation axis
+    #                           (parallel/data_sharded.py) — the fused
+    #                           programs then lift them to arguments so
+    #                           GSPMD partitions the O(n) work (closure
+    #                           constants are materialized REPLICATED)
 
     def with_y(self, y):
         """Backend for a different response on the SAME design (replicate

@@ -349,8 +349,25 @@ def fused_fit_1d(backend, k: int = 4, theta0: float = 0.0,
     sample_M = 0 if sample is None else int(sample[1])
     ckey = (k, tol, max_iter, sample_M)
     if ckey not in cache:
-        cache[ckey] = build_fused_run_1d(backend, k, tol, max_iter,
-                                         sample_M=sample_M)
+        if getattr(backend, "data_sharded", None):
+            # observation-axis-sharded backend: lift the O(n) arrays to
+            # ARGUMENTS so GSPMD partitions the data work over the mesh
+            # (jit materializes closure-captured arrays as replicated
+            # constants — parallel/data_sharded.py)
+            from ..parallel.data_sharded import split_data, rebind
+
+            def _run_sharded(arrs, th0_, st0_, *key_):
+                f = build_fused_run_1d(rebind(backend, arrs), k, tol,
+                                       max_iter, jit=False,
+                                       sample_M=sample_M)
+                return f(th0_, st0_, *key_)
+
+            prog = jax.jit(_run_sharded)
+            arrs0 = split_data(backend)
+            cache[ckey] = lambda *a: prog(arrs0, *a)
+        else:
+            cache[ckey] = build_fused_run_1d(backend, k, tol, max_iter,
+                                             sample_M=sample_M)
 
     th0 = jnp.asarray(float(np.atleast_1d(theta0)[0]), backend.dtype)
     # ONE host transfer for all small outputs (each np.asarray on a

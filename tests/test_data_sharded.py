@@ -1,0 +1,94 @@
+"""Observation-axis (data-parallel) sharding of ONE fit.
+
+Validates parallel/data_sharded.py on the virtual 8-device CPU mesh:
+chunk padding is exact, the GSPMD-sharded fused AGHQ program matches
+the single-device program, and the gather-path guard fires. (The
+reference has no single-fit parallelism at all — SURVEY.md §2.3.)
+"""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bayesgp_tpu import terms as T
+from bayesgp_tpu.model import build as B
+from bayesgp_tpu.fast.iwp import build_fast_iwp
+from bayesgp_tpu.parallel import data_sharded as DS
+
+
+def _chunked_backend(n=6000, k=40, seed=0):
+    rng = np.random.default_rng(seed)
+    x = np.sort(rng.uniform(0.0, 100.0, n))
+    y = rng.poisson(np.exp(1.0 + 0.5 * np.sin(x / 5))).astype(np.float64)
+    inst = T.build_iwp_term("x", x, order=3, k=k)
+    dmf = [np.ones((n, 1))]
+    md = B.build_model_data([inst], dmf, y, "Poisson")
+    xf = np.concatenate([inst.X] + dmf, axis=1)
+    pt = np.full(xf.shape[1], 0.01)
+    be = build_fast_iwp(inst, md, xf, pt, np.zeros_like(pt), inst.x_data)
+    assert be.chunks is not None, "test needs the MXU chunked design"
+    return be
+
+
+def test_pad_chunks_exact():
+    """Zero-padded chunks are bit-transparent: same nll and gradient."""
+    be = _chunked_backend()
+    ck8 = DS.pad_chunks(be.chunks, 8)
+    assert ck8.nc == 8 and ck8.nc_real == be.chunks.nc
+    # padded chunks excluded from the overlap-add coloring
+    covered = sorted(c for r in ck8.rounds for c in r)
+    assert covered == list(range(be.chunks.nc))
+    be8 = dataclasses.replace(be, chunks=ck8)
+    th = jnp.asarray([1.0])
+    v, g = jax.value_and_grad(be.nll)(th)
+    v8, g8 = jax.value_and_grad(be8.nll)(th)
+    np.testing.assert_allclose(float(v8), float(v), rtol=1e-14)
+    np.testing.assert_allclose(np.asarray(g8), np.asarray(g), rtol=1e-12)
+
+
+def test_sharded_fused_fit_matches_single_device():
+    """The GSPMD data-sharded fused s=1 AGHQ fit (with in-program
+    posterior draws) matches the unsharded program to reduction-order
+    noise."""
+    assert len(jax.devices()) >= 8
+    from bayesgp_tpu.inference.aghq import fused_fit_1d
+
+    be = _chunked_backend()
+    key = jax.random.PRNGKey(7)
+    mode, H, nodes, nlls, _, idx, samps = fused_fit_1d(
+        be, k=4, sample=(key, 16))
+
+    mesh = DS.data_mesh(jax.devices()[:8])
+    bes = DS.shard_backend_data(be, mesh)
+    assert bes.chunks.nc == 8 and bes.chunks.nc_real == be.chunks.nc
+    mode_s, H_s, nodes_s, nlls_s, _, idx_s, samps_s = fused_fit_1d(
+        bes, k=4, sample=(key, 16))
+
+    # per-shard partial sums + psum reorder the O(n) reductions; the
+    # secant/Newton trajectory amplifies that slightly through the mode
+    np.testing.assert_allclose(mode_s, mode, atol=1e-7)
+    np.testing.assert_allclose(H_s, H, rtol=1e-6)
+    np.testing.assert_allclose(nodes_s, nodes, atol=1e-7)
+    np.testing.assert_allclose(nlls_s, nlls, rtol=1e-9)
+    np.testing.assert_array_equal(idx_s, idx)
+    np.testing.assert_allclose(samps_s, samps, atol=1e-5)
+
+
+def test_shard_requires_chunked_design():
+    """Clustered x wide enough to defeat the 64-column window falls back
+    to the gather path, which shard_backend_data refuses."""
+    n, k = 2100, 200
+    rng = np.random.default_rng(1)
+    x = np.sort(rng.uniform(0.0, 100.0, n))
+    y = rng.poisson(np.exp(1.0), size=n).astype(np.float64)
+    inst = T.build_iwp_term("x", x, order=3, k=k)
+    dmf = [np.ones((n, 1))]
+    md = B.build_model_data([inst], dmf, y, "Poisson")
+    xf = np.concatenate([inst.X] + dmf, axis=1)
+    pt = np.full(xf.shape[1], 0.01)
+    be = build_fast_iwp(inst, md, xf, pt, np.zeros_like(pt), inst.x_data)
+    assert be.chunks is None
+    with pytest.raises(ValueError, match="chunked"):
+        DS.shard_backend_data(be, DS.data_mesh(jax.devices()[:8]))
