@@ -249,6 +249,10 @@ class BandedBackend:
     solve_dtype: Any = None
     engine: Any = None     # linalg.band_arrow engine (Pallas on TPU)
     chunks: Any = None     # ChunkDesign (MXU path) or None (gather path)
+    data_sharded: Any = None  # (mesh, axis) when the chunk arrays carry a
+    #                           NamedSharding over the observation axis —
+    #                           see fast/iwp.FastIWPBackend.data_sharded
+    #                           and parallel/data_sharded.py
 
     @property
     def n_theta(self):

@@ -316,6 +316,26 @@ def _optimize_theta_1d(backend, theta0, tol, max_iter, verbose):
     return np.asarray(theta), np.asarray(H), float(f), state
 
 
+def _maybe_sharded_jit(backend, builder):
+    """jit the traceable program `builder(backend)`, lifting the
+    observation-axis-sharded chunk arrays to ARGUMENTS when the backend
+    is data-sharded (parallel/data_sharded.py): jit materializes
+    closure-captured arrays as replicated constants, so the sharded
+    arrays must enter through the argument pytree for GSPMD to
+    partition the O(n) work over the mesh. `builder` must return the
+    raw traceable function (jit=False)."""
+    if getattr(backend, "data_sharded", None):
+        from ..parallel.data_sharded import split_data, rebind
+
+        def _run(arrs, *a):
+            return builder(rebind(backend, arrs))(*a)
+
+        prog = jax.jit(_run)
+        arrs0 = split_data(backend)
+        return lambda *a: prog(arrs0, *a)
+    return jax.jit(builder(backend))
+
+
 def fused_fit_1d(backend, k: int = 4, theta0: float = 0.0,
                  tol: float = 1e-9, max_iter: int = 40, sample=None):
     """The ENTIRE s=1 AGHQ fit as ONE jitted device program: secant-
@@ -349,25 +369,9 @@ def fused_fit_1d(backend, k: int = 4, theta0: float = 0.0,
     sample_M = 0 if sample is None else int(sample[1])
     ckey = (k, tol, max_iter, sample_M)
     if ckey not in cache:
-        if getattr(backend, "data_sharded", None):
-            # observation-axis-sharded backend: lift the O(n) arrays to
-            # ARGUMENTS so GSPMD partitions the data work over the mesh
-            # (jit materializes closure-captured arrays as replicated
-            # constants — parallel/data_sharded.py)
-            from ..parallel.data_sharded import split_data, rebind
-
-            def _run_sharded(arrs, th0_, st0_, *key_):
-                f = build_fused_run_1d(rebind(backend, arrs), k, tol,
-                                       max_iter, jit=False,
-                                       sample_M=sample_M)
-                return f(th0_, st0_, *key_)
-
-            prog = jax.jit(_run_sharded)
-            arrs0 = split_data(backend)
-            cache[ckey] = lambda *a: prog(arrs0, *a)
-        else:
-            cache[ckey] = build_fused_run_1d(backend, k, tol, max_iter,
-                                             sample_M=sample_M)
+        cache[ckey] = _maybe_sharded_jit(
+            backend, lambda be: build_fused_run_1d(
+                be, k, tol, max_iter, jit=False, sample_M=sample_M))
 
     th0 = jnp.asarray(float(np.atleast_1d(theta0)[0]), backend.dtype)
     # ONE host transfer for all small outputs (each np.asarray on a
@@ -976,9 +980,11 @@ def _fused_nodes_cached(backend, z: np.ndarray, return_states: bool,
         cache = backend._fused_node_progs = {}
     key = (len(z), return_states, sample_M)
     if key not in cache:
-        cache[key] = build_fused_nodes(backend, _node_tour(z),
-                                       return_states=return_states,
-                                       sample_M=sample_M)
+        tour = _node_tour(z)
+        cache[key] = _maybe_sharded_jit(
+            backend, lambda be: build_fused_nodes(
+                be, tour, return_states=return_states, jit=False,
+                sample_M=sample_M))
     return cache[key]
 
 
@@ -1116,7 +1122,8 @@ def aghq_fit(md_or_backend, k: int = 4, theta0=None, verbose=False,
     if fused_nd:
         # fused outer optimization: BFGS + FD Hessian in one dispatch
         if not hasattr(backend, "_fused_opt_nd"):
-            backend._fused_opt_nd = build_fused_opt_nd(backend, s)
+            backend._fused_opt_nd = _maybe_sharded_jit(
+                backend, lambda be: build_fused_opt_nd(be, s, jit=False))
         th0 = (jnp.zeros((s,), backend.dtype) if theta0 is None
                else jnp.asarray(np.atleast_1d(theta0), backend.dtype))
         mode_d, H_d, warm = backend._fused_opt_nd(th0,

@@ -76,6 +76,44 @@ def test_sharded_fused_fit_matches_single_device():
     np.testing.assert_allclose(samps_s, samps, atol=1e-5)
 
 
+def test_sharded_fused_nd_matches_single_device():
+    """Data sharding through the s>1 two-dispatch fused fit (BFGS
+    program + warm-chained node program + marginal re-adaptations):
+    full aghq_fit parity on the 8-device mesh."""
+    assert len(jax.devices()) >= 8
+    from bayesgp_tpu.fast.banded import build_banded_backend
+    from bayesgp_tpu.inference.aghq import aghq_fit
+
+    n = 3000
+    rng = np.random.default_rng(2)
+    x = np.sort(rng.uniform(0.0, 10.0, n))
+    g = rng.integers(0, 5, n)
+    eta = 0.5 * np.sin(x) + 0.2 * g + 0.5
+    y = rng.poisson(np.exp(eta)).astype(np.float64)
+    t1 = T.build_iwp_term("x", x, order=2, k=15)
+    t2 = T.build_iid_term("g", g)
+    dmf = [np.ones((n, 1))]
+    bf_prec = np.array([0.01])
+    bf_mean = np.zeros(1)
+    md = B.build_model_data([t1, t2], dmf, y, "Poisson",
+                            control_fixed_prec=bf_prec,
+                            control_fixed_mean=bf_mean)
+    be = build_banded_backend([t1, t2], md, dmf, bf_prec, bf_mean)
+    assert be.chunks is not None and be.n_theta == 2
+    fit = aghq_fit(be, k=3)
+
+    bes = DS.shard_backend_data(be, DS.data_mesh(jax.devices()[:8]))
+    fit_s = aghq_fit(bes, k=3)
+
+    assert abs(fit_s.lognormconst - fit.lognormconst) < 1e-8
+    np.testing.assert_allclose(fit_s.mode, fit.mode, atol=1e-6)
+    np.testing.assert_allclose(fit_s.hessian, fit.hessian, rtol=1e-5)
+    for mf, ms in zip(fit.marginals, fit_s.marginals):
+        np.testing.assert_allclose(ms["theta"], mf["theta"], atol=1e-6)
+        np.testing.assert_allclose(ms["logmargpost"], mf["logmargpost"],
+                                   atol=1e-6)
+
+
 def test_shard_requires_chunked_design():
     """Clustered x wide enough to defeat the 64-column window falls back
     to the gather path, which shard_backend_data refuses."""
