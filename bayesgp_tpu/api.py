@@ -221,7 +221,8 @@ def model_fit(formula=None, data=None, method: str = "aghq",
               customized_re=None, customized_template=None,
               option_list=None, seed: int = 0,
               terms=None, fixed=None, response=None,
-              engine: str = "auto", timing: bool = False) -> FitResult:
+              engine: str = "auto", timing: bool = False,
+              data_mesh=None) -> FitResult:
     """Fit a Bayesian hierarchical GP model.
 
     Either pass `formula` (string) + `data`, or `response=`/`fixed=`/
@@ -234,11 +235,20 @@ def model_fit(formula=None, data=None, method: str = "aghq",
     design + block-tridiagonal Cholesky instead of dense O(n w^2 + w^3).
     'auto' picks it when eligible and the problem is large.
 
+    data_mesh: a 1-D `jax.sharding.Mesh` (or "auto" for one over all
+    devices) to shard the OBSERVATION axis of one large fit over —
+    every O(n) pass of the fused AGHQ programs runs SPMD over the mesh
+    (parallel/data_sharded.py). Requires the banded/fast engine's MXU
+    chunked design (method='aghq'); the reference has no single-fit
+    parallelism at all (SURVEY.md section 2.3).
+
     timing=True attaches a per-phase wall-clock breakdown (build /
     inference / sampling) as `fit.timing` (utils.profiling.PhaseTimer;
     print `fit.timing.summary()`). The reference has no tracing story
     (SURVEY.md section 5 — TMB runs silent=TRUE).
     """
+    if data_mesh is not None and method != "aghq":
+        raise ValueError("data_mesh= requires method='aghq'")
     from .utils.profiling import PhaseTimer
     timer = PhaseTimer() if timing else None
     tphase = (timer.phase if timer is not None
@@ -291,6 +301,19 @@ def model_fit(formula=None, data=None, method: str = "aghq",
                                                bf_prec, bf_mean)
             else:
                 backend = aghq_mod.DenseBackend(md)
+            if data_mesh is not None:
+                from .parallel import data_sharded as ds_mod
+                if isinstance(data_mesh, str):
+                    if data_mesh != "auto":
+                        raise ValueError("data_mesh must be a Mesh or 'auto'")
+                    data_mesh = ds_mod.data_mesh()
+                if getattr(backend, "chunks", None) is None:
+                    raise ValueError(
+                        "data_mesh= needs the fast engine's chunked "
+                        "design (a large-n IWP/sGP model on "
+                        "engine='banded'/'auto'); this model resolved "
+                        "to " + type(backend).__name__)
+                backend = ds_mod.shard_backend_data(backend, data_mesh)
         # s=1 fused backends draw the posterior samples INSIDE the fit
         # program (one dispatch total); sample_marginal reuses them
         with tphase("inference (AGHQ fit + posterior draws)"):

@@ -73,9 +73,11 @@ def pad_chunks(ck, mult: int):
                                nc=nc_pad, nc_real=nc_real)
 
 
-def shard_backend_data(be, mesh: Mesh, axis: str = "data"):
-    """Copy of a chunked FastIWPBackend with its O(n·w) chunk arrays
-    sharded over `axis` of `mesh`; everything else stays replicated.
+def shard_backend_data(be, mesh: Mesh, axis: str = None):
+    """Copy of a chunked fast backend (FastIWPBackend/BandedBackend)
+    with its O(n·w) chunk arrays sharded over `axis` of `mesh`;
+    everything else stays replicated. axis=None uses the mesh's only
+    axis (explicit name required for multi-axis meshes).
 
     The returned backend is a drop-in for every inference entry point
     (aghq_fit / fused fits / laplace_nll / sampling): the fused jit
@@ -88,6 +90,11 @@ def shard_backend_data(be, mesh: Mesh, axis: str = "data"):
             "data sharding requires the chunked (MXU) design; this "
             "backend fell back to the gather path (clustered x gave a "
             "window wider than 64 columns)")
+    if axis is None:
+        if len(mesh.axis_names) != 1:
+            raise ValueError(
+                f"multi-axis mesh {mesh.axis_names}: pass axis= explicitly")
+        axis = mesh.axis_names[0]
     if axis not in mesh.axis_names:
         raise ValueError(f"mesh has no axis named {axis!r}")
 

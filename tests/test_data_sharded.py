@@ -114,6 +114,34 @@ def test_sharded_fused_nd_matches_single_device():
                                    atol=1e-6)
 
 
+def test_model_fit_data_mesh():
+    """data_mesh= plumbs observation sharding through the public API."""
+    assert len(jax.devices()) >= 8
+    import bayesgp_tpu as bg
+
+    n = 3000
+    rng = np.random.default_rng(5)
+    x = np.sort(rng.uniform(0.0, 50.0, n))
+    y = rng.poisson(np.exp(1.0 + 0.4 * np.sin(x / 4))).astype(np.float64)
+    data = {"y": y, "x": x}
+    kw = dict(data=data, family="Poisson", method="aghq",
+              engine="banded", M=50, seed=3)
+    f0 = bg.model_fit("y ~ f(x, model='IWP', order=2, k=20)", **kw)
+    f1 = bg.model_fit("y ~ f(x, model='IWP', order=2, k=20)",
+                      data_mesh=DS.data_mesh(jax.devices()[:8]), **kw)
+    assert abs(f1.mod.lognormconst - f0.mod.lognormconst) < 1e-8
+    np.testing.assert_allclose(f1.mod.mode, f0.mod.mode, atol=1e-6)
+
+    # dense backend (tiny model) has no chunked design -> clear error
+    small = {"y": y[:100], "x": x[:100]}
+    with pytest.raises(ValueError, match="chunked"):
+        bg.model_fit("y ~ f(x, model='IWP', order=2, k=8)", data=small,
+                     family="Poisson", data_mesh="auto", M=10)
+    with pytest.raises(ValueError, match="aghq"):
+        bg.model_fit("y ~ f(x, model='IWP', order=2, k=8)", data=small,
+                     family="Poisson", method="MCMC", data_mesh="auto")
+
+
 def test_shard_requires_chunked_design():
     """Clustered x wide enough to defeat the 64-column window falls back
     to the gather path, which shard_backend_data refuses."""
