@@ -35,6 +35,57 @@ from ..inference.aghq import JitCacheMixin as _JitCacheMixin
 
 LOG2PI = math.log(2.0 * math.pi)
 
+# O(n) device arrays of a fast backend (FastIWPBackend / BandedBackend —
+# same field names) that the fused jit programs lift from closure to
+# ARGUMENTS: jit materializes closure-captured arrays as CONSTANTS
+# embedded in the program, which (a) bloats the serialized module ~15x
+# at headline scale (93% of the 63 MB StableHLO was constant payloads —
+# slower cold compile, cache hashing and transfer), and (b) pins them
+# replicated, defeating observation-axis sharding
+# (parallel/data_sharded.py). O(d)-sized state stays in the closure:
+# constants are exactly the intended placement there.
+_LIFT_SELF = ("valsT", "start", "XFpT")
+_LIFT_MD = ("y", "size", "cens", "ranks", "case_day", "control_days",
+            "count")
+
+
+def _liftable(v):
+    return v is not None and np.ndim(v) >= 1 and np.size(v) > 1
+
+
+def backend_device_args(be):
+    """The backend's O(n) arrays as a dict pytree — the argument set of
+    the lifted fused programs (inference/aghq._lifted_jit)."""
+    out = {}
+    for f in _LIFT_SELF:
+        v = getattr(be, f, None)
+        if _liftable(v):
+            out[f] = v
+    for f in _LIFT_MD:
+        v = getattr(be.md, f, None)
+        if _liftable(v):
+            out["md_" + f] = v
+    ck = getattr(be, "chunks", None)
+    if ck is not None:
+        out["ck_D"] = ck.D
+        out["ck_XFp_rows"] = ck.XFp_rows
+    return out
+
+
+def backend_rebind(be, arrs):
+    """Inverse of backend_device_args under trace: the same backend with
+    its lifted arrays replaced by the traced arguments."""
+    import dataclasses as _dcs
+    kw = {f: arrs[f] for f in _LIFT_SELF if f in arrs}
+    md_kw = {f[3:]: arrs[f] for f in arrs if f.startswith("md_")}
+    if md_kw:
+        kw["md"] = _dcs.replace(be.md, **md_kw)
+    ck = getattr(be, "chunks", None)
+    if ck is not None and "ck_D" in arrs:
+        kw["chunks"] = _dcs.replace(ck, D=arrs["ck_D"],
+                                    XFp_rows=arrs["ck_XFp_rows"])
+    return _dcs.replace(be, **kw)
+
 
 @dataclass
 class ChunkDesign:

@@ -316,24 +316,28 @@ def _optimize_theta_1d(backend, theta0, tol, max_iter, verbose):
     return np.asarray(theta), np.asarray(H), float(f), state
 
 
-def _maybe_sharded_jit(backend, builder):
+def _lifted_jit(backend, builder):
     """jit the traceable program `builder(backend)`, lifting the
-    observation-axis-sharded chunk arrays to ARGUMENTS when the backend
-    is data-sharded (parallel/data_sharded.py): jit materializes
-    closure-captured arrays as replicated constants, so the sharded
-    arrays must enter through the argument pytree for GSPMD to
-    partition the O(n) work over the mesh. `builder` must return the
-    raw traceable function (jit=False)."""
-    if getattr(backend, "data_sharded", None):
-        from ..parallel.data_sharded import split_data, rebind
+    backend's O(n) arrays from the closure to ARGUMENTS (fast backends
+    only; see fast/iwp.backend_device_args). jit materializes
+    closure-captured arrays as constants embedded in the program —
+    bloating the serialized module ~15x at headline scale (slower cold
+    compile / cache IO) and pinning them replicated, which would defeat
+    observation-axis sharding (parallel/data_sharded.py): GSPMD can
+    only partition arrays that enter through the argument pytree.
+    `builder` must return the raw traceable function (jit=False)."""
+    from ..fast.iwp import backend_device_args, backend_rebind
 
-        def _run(arrs, *a):
-            return builder(rebind(backend, arrs))(*a)
+    arrs0 = (backend_device_args(backend)
+             if hasattr(backend, "valsT") else None)
+    if not arrs0:
+        return jax.jit(builder(backend))
 
-        prog = jax.jit(_run)
-        arrs0 = split_data(backend)
-        return lambda *a: prog(arrs0, *a)
-    return jax.jit(builder(backend))
+    def _run(arrs, *a):
+        return builder(backend_rebind(backend, arrs))(*a)
+
+    prog = jax.jit(_run)
+    return lambda *a: prog(arrs0, *a)
 
 
 def fused_fit_1d(backend, k: int = 4, theta0: float = 0.0,
@@ -369,7 +373,7 @@ def fused_fit_1d(backend, k: int = 4, theta0: float = 0.0,
     sample_M = 0 if sample is None else int(sample[1])
     ckey = (k, tol, max_iter, sample_M)
     if ckey not in cache:
-        cache[ckey] = _maybe_sharded_jit(
+        cache[ckey] = _lifted_jit(
             backend, lambda be: build_fused_run_1d(
                 be, k, tol, max_iter, jit=False, sample_M=sample_M))
 
@@ -981,7 +985,7 @@ def _fused_nodes_cached(backend, z: np.ndarray, return_states: bool,
     key = (len(z), return_states, sample_M)
     if key not in cache:
         tour = _node_tour(z)
-        cache[key] = _maybe_sharded_jit(
+        cache[key] = _lifted_jit(
             backend, lambda be: build_fused_nodes(
                 be, tour, return_states=return_states, jit=False,
                 sample_M=sample_M))
@@ -1122,7 +1126,7 @@ def aghq_fit(md_or_backend, k: int = 4, theta0=None, verbose=False,
     if fused_nd:
         # fused outer optimization: BFGS + FD Hessian in one dispatch
         if not hasattr(backend, "_fused_opt_nd"):
-            backend._fused_opt_nd = _maybe_sharded_jit(
+            backend._fused_opt_nd = _lifted_jit(
                 backend, lambda be: build_fused_opt_nd(be, s, jit=False))
         th0 = (jnp.zeros((s,), backend.dtype) if theta0 is None
                else jnp.asarray(np.atleast_1d(theta0), backend.dtype))

@@ -28,8 +28,9 @@ Implementation: pure GSPMD. The chunk arrays are device_put with
 `NamedSharding(mesh, P('data'))` (chunk count zero-padded to a mesh
 multiple — padded chunks contribute exact zeros and are skipped by the
 overlap-add rounds via ChunkDesign.nc_real); the fused AGHQ programs
-lift them to ARGUMENTS (jit materializes closure-captured arrays as
-replicated constants) and XLA's SPMD partitioner inserts the
+already lift every O(n) backend array to ARGUMENTS
+(inference/aghq._lifted_jit — jit materializes closure-captured arrays
+as replicated constants) and XLA's SPMD partitioner inserts the
 collectives. No shard_map, no changes in the compute path — the
 sharding IS the program transform.
 """
@@ -108,20 +109,10 @@ def shard_backend_data(be, mesh: Mesh, axis: str = None):
     return dataclasses.replace(be, chunks=ck, data_sharded=(mesh, axis))
 
 
-def split_data(be):
-    """The backend's sharded O(n) arrays as a dict — the argument pytree
-    of the data-sharded fused programs. jit respects shardings of
-    ARGUMENTS only; arrays captured by closure are materialized as
-    replicated constants (verified on jax 0.9), so these must be lifted
-    out. The replicated (n,) arrays (y, XFpT, ...) deliberately stay in
-    the closure — replicated constants are exactly their intended
-    placement."""
-    return {"D": be.chunks.D, "XFp_rows": be.chunks.XFp_rows}
-
-
-def rebind(be, arrs):
-    """Inverse of split_data under trace: the same backend with its
-    sharded arrays replaced by the traced arguments."""
-    ck = dataclasses.replace(be.chunks, D=arrs["D"],
-                             XFp_rows=arrs["XFp_rows"])
-    return dataclasses.replace(be, chunks=ck)
+# The argument-lifting itself lives in fast/iwp.backend_device_args /
+# backend_rebind and is applied UNCONDITIONALLY by the fused program
+# builders (inference/aghq._lifted_jit): every fast backend's O(n)
+# arrays enter as arguments (smaller serialized programs), so a
+# data-sharded backend needs no special program transform — the
+# NamedShardings placed here on the chunk arrays are simply what GSPMD
+# sees on those arguments.
