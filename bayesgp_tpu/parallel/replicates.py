@@ -34,14 +34,19 @@ def replicate_fits(backend, ys, k: int = 4, mesh: Mesh = None,
 
     Returns (modes (R,), lognormconsts (R,)) as numpy arrays.
     """
+    from ..fast.iwp import backend_device_args, backend_rebind
+
     ys = jnp.asarray(ys)
     R = ys.shape[0]
     kq = k
     z, logw_base = aghq.product_grid(kq, 1)
     logw_base = jnp.asarray(logw_base)
+    # O(n) design arrays enter as (replicated) ARGUMENTS, not embedded
+    # program constants — see inference/aghq._lifted_jit
+    arrs0 = backend_device_args(backend)
 
-    def one(y):
-        b2 = backend.with_y(y)
+    def one(be, y):
+        b2 = be.with_y(y)
         run = aghq.build_fused_run_1d(b2, kq, jit=False,
                                       return_states=False)
         # tie the initial latent state (and theta) to y so every loop
@@ -59,20 +64,21 @@ def replicate_fits(backend, ys, k: int = 4, mesh: Mesh = None,
         lnc = m + jnp.log(jnp.sum(jnp.exp(lw - m)))
         return mode, lnc
 
-    def local_map(ys_local):
-        return jax.lax.map(one, ys_local)
+    def local_map(arrs, ys_local):
+        be = backend_rebind(backend, arrs)
+        return jax.lax.map(lambda y: one(be, y), ys_local)
 
     if mesh is None:
-        modes, lncs = jax.jit(local_map)(ys)
+        modes, lncs = jax.jit(local_map)(arrs0, ys)
     else:
         if R % mesh.shape[axis]:
             raise ValueError(
                 f"R={R} must be a multiple of the '{axis}' axis size "
                 f"{mesh.shape[axis]}")
         fn = shard_map(local_map, mesh=mesh,
-                       in_specs=P(axis), out_specs=P(axis))
+                       in_specs=(P(), P(axis)), out_specs=P(axis))
         ys = jax.device_put(ys, NamedSharding(mesh, P(axis)))
-        modes, lncs = jax.jit(fn)(ys)
+        modes, lncs = jax.jit(fn)(arrs0, ys)
     return np.asarray(modes), np.asarray(lncs)
 
 
@@ -91,8 +97,10 @@ def replicate_fits_packed(backend, ys, k: int = 4, mesh: Mesh = None,
     """
     from ..fast.batched import (ll_const_np, make_batched,
                                 make_engine_batched, max_replicates)
+    from ..fast.iwp import backend_device_args, backend_rebind
     from ..inference.aghq import build_fused_run_1d_batched
 
+    arrs0 = backend_device_args(backend)
     ys = np.asarray(ys)
     R, _ = ys.shape
     NRmax = max_replicates(backend.p)
@@ -116,8 +124,9 @@ def replicate_fits_packed(backend, ys, k: int = 4, mesh: Mesh = None,
         eng = make_engine_batched(backend, NRg, force_engine)
 
         @jax.jit
-        def run_group(Yg, llcg):
-            bbg = make_batched(backend, Yg, llcg, NRg, eng)
+        def run_group(arrs, Yg, llcg):
+            bbg = make_batched(backend_rebind(backend, arrs), Yg, llcg,
+                               NRg, eng)
             run = build_fused_run_1d_batched(bbg, k, jit=False)
             th0 = jnp.zeros((NRg,), backend.dtype)
             mode, H, _, nlls = run(th0, bbg.init_state())
@@ -129,7 +138,7 @@ def replicate_fits_packed(backend, ys, k: int = 4, mesh: Mesh = None,
             llc = np.concatenate([llc, llc[-1:].repeat(pad)])
         modes, lncs = [], []
         for g0 in range(0, ys_int.shape[0], NRg):
-            m, l = run_group(jnp.asarray(ys_int[g0:g0 + NRg]),
+            m, l = run_group(arrs0, jnp.asarray(ys_int[g0:g0 + NRg]),
                              jnp.asarray(llc[g0:g0 + NRg]))
             modes.append(np.asarray(m))
             lncs.append(np.asarray(l))
@@ -147,8 +156,9 @@ def replicate_fits_packed(backend, ys, k: int = 4, mesh: Mesh = None,
             f"replicate_fits")
     eng = make_engine_batched(backend, Rloc, force_engine)
 
-    def local_fn(Yl, llcl):
-        bbl = make_batched(backend, Yl, llcl, Rloc, eng)
+    def local_fn(arrs, Yl, llcl):
+        bbl = make_batched(backend_rebind(backend, arrs), Yl, llcl,
+                           Rloc, eng)
         run = build_fused_run_1d_batched(bbl, k, jit=False)
         # tie the starts to the data so every while-loop carry begins
         # sharding-'varying' (see replicate_fits)
@@ -160,10 +170,10 @@ def replicate_fits_packed(backend, ys, k: int = 4, mesh: Mesh = None,
         mode, H, _, nlls = run(th0, st0)
         return mode, lnc_of(nlls, H)
 
-    fn = shard_map(local_fn, mesh=mesh, in_specs=(P(axis), P(axis)),
+    fn = shard_map(local_fn, mesh=mesh, in_specs=(P(), P(axis), P(axis)),
                    out_specs=(P(axis), P(axis)))
     Yd = jax.device_put(jnp.asarray(ys_int),
                         NamedSharding(mesh, P(axis)))
     ld = jax.device_put(jnp.asarray(llc), NamedSharding(mesh, P(axis)))
-    modes, lncs = jax.jit(fn)(Yd, ld)
+    modes, lncs = jax.jit(fn)(arrs0, Yd, ld)
     return np.asarray(modes), np.asarray(lncs)
