@@ -114,6 +114,35 @@ def test_sharded_fused_nd_matches_single_device():
                                    atol=1e-6)
 
 
+def test_sharded_sgp_sparse_driver():
+    """Data sharding over the sparse-sGP banded driver (windows built
+    O(n) from x, never materializing the dense design). The FD outer
+    Hessian amplifies reduction-order noise in the implicit gradient
+    (~1e-7 absolute at this scale / h_fd), so the adapted nodes — and
+    with them lognormconst — agree to quadrature-adaptation tolerance,
+    not fp tolerance; the mode is noise-robust."""
+    assert len(jax.devices()) >= 8
+    from bayesgp_tpu.fast.banded import build_banded_backend
+    from bayesgp_tpu.inference.aghq import aghq_fit
+
+    n = 4000
+    rng = np.random.default_rng(3)
+    x = np.sort(rng.uniform(0.0, 20.0, n))
+    y = rng.poisson(np.exp(1.0 + 0.6 * np.sin(2 * np.pi * x / 5))
+                    ).astype(float)
+    t1 = T.build_sgp_term("x", x, period=5.0, k=30, m=1,
+                          materialize_B=False)
+    dmf = [np.ones((n, 1))]
+    md = B.build_model_data([t1], dmf, y, "Poisson", dense_design=False)
+    be = build_banded_backend([t1], md, dmf, np.array([0.01]), np.zeros(1))
+    assert be.chunks is not None
+    fit = aghq_fit(be, k=3)
+    bes = DS.shard_backend_data(be, DS.data_mesh(jax.devices()[:8]))
+    fit_s = aghq_fit(bes, k=3)
+    np.testing.assert_allclose(fit_s.mode, fit.mode, atol=1e-5)
+    assert abs(fit_s.lognormconst - fit.lognormconst) < 5e-3
+
+
 def test_model_fit_data_mesh():
     """data_mesh= plumbs observation sharding through the public API."""
     assert len(jax.devices()) >= 8
