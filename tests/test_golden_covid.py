@@ -158,3 +158,52 @@ def test_device_predict_summarizer_matches_host():
                                                        0.95)
     assert np.abs(mean0 - ref0["mean"]).max() < 5e-4
     assert np.abs(lo0 - ref0["plower"]).max() < 5e-4
+
+
+def test_device_iwp_block_summarizer_matches_host():
+    """_summarize_iwp_device_blocks (single-dispatch production predict:
+    O-spline design built ON device per row block) agrees with the
+    host-basis path to f32 tolerance, including degree > 0 and the
+    padded last block."""
+    import math
+    from bayesgp_tpu import postfit
+
+    rng = np.random.default_rng(1)
+    p, k, M = 3, 12, 120
+    knots = np.linspace(0.0, 10.0, k)
+    xs = np.sort(rng.uniform(0.0, 10.0, 457))   # 457 % rows != 0
+    coefs = rng.normal(size=(k - 1, M))
+    gfull = rng.normal(size=(p, M))             # [intercept, x, x^2]
+    for degree in (0, 1):
+        p_eff = p - degree
+        B = postfit.osplines.local_poly_helper(knots, xs, p=p_eff)
+        X = postfit.osplines.global_poly_helper(xs, p=p)[:, :p_eff]
+        X = X * np.array([math.factorial(i + degree) / math.factorial(i)
+                          for i in range(p_eff)])[None, :]
+        g = gfull[degree:p]
+        ref = postfit.extract_mean_interval_given_samps(
+            xs, X @ g + B @ coefs, level=0.95)
+        mean, lo, hi = postfit._summarize_iwp_device_blocks(
+            knots, xs, p_eff, coefs, X, g, 0.95, rows=100)
+        assert np.abs(mean - ref["mean"]).max() < 5e-4, degree
+        assert np.abs(lo - ref["plower"]).max() < 5e-4, degree
+        assert np.abs(hi - ref["pupper"]).max() < 5e-4, degree
+
+
+def test_predict_device_branch_wiring(covid_fit, monkeypatch):
+    """predict()'s production-scale device branch (single-dispatch IWP
+    path) returns the same summaries as the host path. The branch gates
+    on a non-CPU backend, so fake the backend check; the computation
+    itself runs wherever jax is configured (CPU here)."""
+    import jax
+    from bayesgp_tpu import postfit
+
+    t = covid_fit.md  # noqa: F841 — fixture builds the model
+    newdata = {"t": np.linspace(0.0, 600.0, 7000)}  # 7000*3000 >= 2e7
+    ref = covid_fit.predict("t", newdata=newdata)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    out = covid_fit.predict("t", newdata=newdata)
+    assert np.allclose(out["t"], ref["t"])
+    for f in ("mean", "plower", "pupper"):
+        scale = np.abs(ref[f]).max()
+        assert np.abs(out[f] - ref[f]).max() < 2e-4 * (1.0 + scale), f
