@@ -91,7 +91,41 @@ def _summarize_linear_device(B, samps, X, g, level: float):
             np.asarray(hi, np.float64))
 
 
-_iwp_device_progs = {}
+_device_predict_progs = {}
+
+
+def _bspline_basis_jnp(t_full, nbasis: int, degree: int, xs):
+    """Device-side clamped B-spline design (values) at `xs`, matching
+    scipy BSpline(t, eye(nbasis), degree, extrapolate=True) as used by
+    basis/bsplines.eval_bspline_basis: the span index is clipped to the
+    valid range, so points outside [lo, hi] evaluate the end pieces'
+    polynomial extensions. Cox-de Boor basis-funs recursion (the NURBS
+    book algorithm); every denominator is a positive knot difference
+    for clipped spans, so no division guards are needed."""
+    import jax.numpy as jnp
+
+    t = t_full
+    p = degree
+    j = jnp.clip(jnp.searchsorted(t, xs, side="right") - 1, p, nbasis - 1)
+    left = [None]
+    right = [None]
+    N = [jnp.ones_like(xs)]
+    for d in range(1, p + 1):
+        left.append(xs - t[j + 1 - d])
+        right.append(t[j + d] - xs)
+        saved = jnp.zeros_like(xs)
+        Nn = []
+        for r in range(d):
+            temp = N[r] / (right[r + 1] + left[d - r])
+            Nn.append(saved + right[r + 1] * temp)
+            saved = left[d - r] * temp
+        Nn.append(saved)
+        N = Nn
+    vals = jnp.stack(N, axis=1)                     # (n, p+1)
+    cols = j[:, None] - p + jnp.arange(p + 1)[None, :]
+    onehot = (cols[:, :, None]
+              == jnp.arange(nbasis)[None, None, :]).astype(vals.dtype)
+    return jnp.einsum("br,brn->bn", vals, onehot)   # (n, nbasis)
 
 
 def _ospline_basis_jnp(knots, xs, p: int):
@@ -115,21 +149,23 @@ def _ospline_basis_jnp(knots, xs, p: int):
     return jnp.where(xx <= kl, 0.0, jnp.where(xx <= kr, inside, tail))
 
 
-def _summarize_iwp_device_blocks(knots, xs, p_eff, coefs, X, g, level,
-                                 rows):
-    """Production-scale IWP predict summaries in ONE device dispatch:
-    the O-spline design is built ON device per row block from the x
-    values (so nothing O(n_pred x basis) ever crosses the host link —
-    the per-block host-built basis upload was ~130 MB/block at headline
-    scale), blocks run under lax.map, and only the (n_pred, 3)
-    summaries come back. coefs/g are uploaded once per call (24 MB at
-    k=2000, M=3000). Returns (mean, plower, pupper) f64.
+def _summarize_design_device_blocks(key, design_fn, xs, coefs, X, g,
+                                    level, rows):
+    """Production-scale predict summaries in ONE device dispatch: the
+    term's design matrix is built ON device per row block from the x
+    values by `design_fn` (so nothing O(n_pred x basis) ever crosses
+    the host link — the per-block host-built basis upload was ~130
+    MB/block at headline scale), blocks run under lax.map, and only the
+    (n_pred, 3) summaries come back. coefs/g are uploaded once per call
+    (24 MB at k=2000, M=3000). `key` must identify design_fn's
+    structure AND constants (it keys the compiled-program cache).
+    Returns (mean, plower, pupper) f64.
 
     Accuracy matches the host-basis device path (_summarize_linear
-    _device): f32 basis values up to (x-k0)^p cancel against the coefs,
-    so summaries carry ~1e-3 absolute noise at window edges (measured
-    on the covid fit; identical order for both device paths) — far
-    below the M=3000 Monte-Carlo error (~1e-2) these draws carry."""
+    _device): f32 basis values cancel against the coefs, so summaries
+    carry ~1e-3 absolute noise at window edges (measured on the covid
+    fit; identical order for both device paths) — far below the M=3000
+    Monte-Carlo error (~1e-2) these draws carry."""
     import jax
     import jax.numpy as jnp
 
@@ -141,31 +177,73 @@ def _summarize_iwp_device_blocks(knots, xs, p_eff, coefs, X, g, level,
     X_pad = np.zeros((nb * rows, X.shape[1]), np.float32)
     X_pad[:n_pred] = X
 
-    key = (p_eff, rows, X.shape[1])
-    if key not in _iwp_device_progs:
+    ckey = (key, rows, X.shape[1])
+    if ckey not in _device_predict_progs:
         @jax.jit
-        def _prog(xs_b, knots_, coefs_, X_b, g_, probs):
+        def _prog(xs_b, coefs_, X_b, g_, probs):
             def block(args):
                 xb, Xb = args
-                B = _ospline_basis_jnp(knots_, xb, p_eff)
+                B = design_fn(xb)
                 draws = Xb @ g_ + B @ coefs_
                 qs = jnp.quantile(draws, probs, axis=1)
                 return jnp.mean(draws, axis=1), qs[0], qs[1]
 
             return jax.lax.map(block, (xs_b, X_b))
-        _iwp_device_progs[key] = _prog
+        _device_predict_progs[ckey] = _prog
 
     alpha = 1.0 - level
     probs = np.asarray([alpha / 2, level + alpha / 2], np.float32)
-    mean, lo, hi = _iwp_device_progs[key](
+    mean, lo, hi = _device_predict_progs[ckey](
         jnp.asarray(xs_pad.reshape(nb, rows)),
-        jnp.asarray(knots, jnp.float32),
         jnp.asarray(coefs, jnp.float32),
         jnp.asarray(X_pad.reshape(nb, rows, X.shape[1])),
         jnp.asarray(g, jnp.float32), jnp.asarray(probs))
     return (np.asarray(mean, np.float64).ravel()[:n_pred],
             np.asarray(lo, np.float64).ravel()[:n_pred],
             np.asarray(hi, np.float64).ravel()[:n_pred])
+
+
+def _summarize_iwp_device_blocks(knots, xs, p_eff, coefs, X, g, level,
+                                 rows):
+    """Single-dispatch IWP predict summaries: O-spline design built on
+    device (_ospline_basis_jnp) per row block."""
+    import jax.numpy as jnp
+
+    knots = np.asarray(knots, np.float64)
+    knots_j = jnp.asarray(knots, jnp.float32)
+    key = ("iwp", p_eff, knots.tobytes())
+    return _summarize_design_device_blocks(
+        key, lambda xb: _ospline_basis_jnp(knots_j, xb, p_eff),
+        xs, coefs, X, g, level, rows)
+
+
+def _summarize_sgp_device_blocks(xs, a, kb, m, region, boundary, coefs,
+                                 X, g, level, rows):
+    """Single-dispatch sGP predict summaries: the sB design
+    ([B cos(iax) | B sin(iax) | B] per harmonic, basis/sgp.compute_B_sB
+    semantics incl. the dropind=(1,2) boundary columns) built on device
+    per row block via the Cox-de Boor kernel."""
+    import jax.numpy as jnp
+    from .basis import bsplines
+
+    lo_r, hi_r = float(np.min(region)), float(np.max(region))
+    t_full = bsplines.bspline_knots(lo_r, hi_r, kb, 4)
+    t_j = jnp.asarray(t_full, jnp.float32)
+
+    def design(xb):
+        B = _bspline_basis_jnp(t_j, kb, 3, xb)
+        if boundary:
+            B = B[:, 2:]
+        blocks = []
+        for i in range(1, m + 1):
+            c = jnp.cos(i * a * xb)[:, None]
+            s = jnp.sin(i * a * xb)[:, None]
+            blocks += [B * c, B * s, B]
+        return jnp.concatenate(blocks, axis=1)
+
+    key = ("sgp", float(a), kb, m, lo_r, hi_r, bool(boundary))
+    return _summarize_design_device_blocks(key, design, xs, coefs, X, g,
+                                           level, rows)
 
 
 def _iwp_design_parts(samps, global_samps, knots, refined_x, p,
@@ -360,6 +438,22 @@ class FitResult:
                 mean, lo, hi = _summarize_iwp_device_blocks(
                     inst.knots, refined_x, inst.order - degree, coefs,
                     X_full, g, level, rows)
+                out = {"x": refined_x + inst.initial_location,
+                       "plower": lo, "pupper": hi, "mean": mean}
+                out[variable] = out.pop("x")
+                return out
+            if inst.kind == "sGP":
+                # same single-dispatch path with the on-device sB design
+                _, coefs, X, g = parts_fun(refined_x[:1])
+                X_full = np.concatenate(
+                    [np.ones((n_pred, 1)),
+                     sgp_basis.global_poly_sgp(refined_x, a=inst.a,
+                                               m=inst.m,
+                                               initial_location=0.0)],
+                    axis=1)
+                mean, lo, hi = _summarize_sgp_device_blocks(
+                    refined_x, inst.a, inst.k, inst.m, inst.region,
+                    inst.boundary, coefs, X_full, g, level, rows)
                 out = {"x": refined_x + inst.initial_location,
                        "plower": lo, "pupper": hi, "mean": mean}
                 out[variable] = out.pop("x")

@@ -190,6 +190,52 @@ def test_device_iwp_block_summarizer_matches_host():
         assert np.abs(hi - ref["pupper"]).max() < 5e-4, degree
 
 
+def test_device_bspline_matches_scipy():
+    """_bspline_basis_jnp == scipy BSpline(extrapolate=True) values,
+    inside the region, at the clamped ends, and extrapolated past both
+    (the end pieces' polynomial extensions)."""
+    import jax.numpy as jnp
+    from bayesgp_tpu import postfit
+    from bayesgp_tpu.basis import bsplines
+
+    lo, hi, kb = 2.0, 12.0, 17
+    t = bsplines.bspline_knots(lo, hi, kb, 4)
+    xs = np.concatenate([np.linspace(1.2, 12.8, 333), [lo, hi]])
+    ref = bsplines.eval_bspline_basis(xs, lo, hi, kb, 4)
+    out = np.asarray(postfit._bspline_basis_jnp(
+        jnp.asarray(t), kb, 3, jnp.asarray(xs)))
+    np.testing.assert_allclose(out, ref, rtol=2e-6, atol=2e-6)
+
+
+def test_device_sgp_block_summarizer_matches_host():
+    """_summarize_sgp_device_blocks (on-device sB design) agrees with
+    the host path to f32 tolerance, boundary and m=2 included."""
+    from bayesgp_tpu import postfit
+    from bayesgp_tpu.basis import sgp as sgp_basis
+
+    rng = np.random.default_rng(4)
+    a, kb, m, M = 2 * np.pi / 5.0, 14, 2, 90
+    region = (0.0, 20.0)
+    xs = np.sort(rng.uniform(0.0, 20.0, 311))
+    ncols = (3 * (kb - 2)) * m
+    coefs = rng.normal(size=(ncols, M))
+    g = rng.normal(size=(1 + 2 * m, M))
+    B = sgp_basis.compute_B_sB_helper(xs, a=a, k=kb, m=m, region=region,
+                                      boundary=True,
+                                      initial_location=0.0)
+    X = np.concatenate([np.ones((len(xs), 1)),
+                        sgp_basis.global_poly_sgp(xs, a=a, m=m,
+                                                  initial_location=0.0)],
+                       axis=1)
+    ref = postfit.extract_mean_interval_given_samps(
+        xs, X @ g + B @ coefs, level=0.95)
+    mean, lo, hi = postfit._summarize_sgp_device_blocks(
+        xs, a, kb, m, region, True, coefs, X, g, 0.95, rows=128)
+    assert np.abs(mean - ref["mean"]).max() < 1e-3
+    assert np.abs(lo - ref["plower"]).max() < 1e-3
+    assert np.abs(hi - ref["pupper"]).max() < 1e-3
+
+
 def test_predict_device_branch_wiring(covid_fit, monkeypatch):
     """predict()'s production-scale device branch (single-dispatch IWP
     path) returns the same summaries as the host path. The branch gates

@@ -127,3 +127,21 @@ def test_sgp_chunked_predict_matches_full():
         postfit._PREDICT_CHUNK_ELEMS = old
     for key in full:
         np.testing.assert_allclose(chunked[key], full[key], atol=1e-12)
+
+
+def test_sgp_predict_device_branch_wiring(lynx_style_fit, monkeypatch):
+    """predict()'s single-dispatch device branch for sGP terms (sB
+    design built on device) matches the host path. The branch gates on
+    a non-CPU backend, so fake the backend check; the computation runs
+    wherever jax is configured (CPU here)."""
+    import jax
+    fit, data, _ = lynx_style_fit
+    lo, hi = float(data["year"].min()), float(data["year"].max())
+    newdata = {"year": np.linspace(lo, hi, 25_000)}  # 25e3*1000 >= 2e7
+    ref = fit.predict("year", newdata=newdata)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    out = fit.predict("year", newdata=newdata)
+    assert np.allclose(out["year"], ref["year"])
+    for f in ("mean", "plower", "pupper"):
+        scale = 1.0 + np.abs(ref[f]).max()
+        assert np.abs(out[f] - ref[f]).max() < 5e-4 * scale, f
