@@ -223,10 +223,52 @@ def bench_build():
           flush=True)
 
 
+def bench_predict(n_pred=100_000, M=3000):
+    """Production-scale predict on the covid-style IWP3 fit: n_pred
+    locations x M draws, mean + 95% interval. Exercises the
+    single-dispatch device path (postfit._summarize_iwp_device_blocks:
+    O-spline design built ON device; only the x vector + samples cross
+    the host link)."""
+    import bayesgp_tpu as bg
+    from bayesgp_tpu.inference.aghq import aghq_fit
+    from bayesgp_tpu.inference import sampling as S
+
+    be = _build_iwp(100_000, 2000, "Poisson")
+    key = jax.random.PRNGKey(0)
+    fit = aghq_fit(be, k=4, sample=(key, M))
+    samps, _, _ = S.sample_marginal(key, fit, M)
+    # package a minimal FitResult-like predict via the public surface
+    from bayesgp_tpu import postfit
+    import math as _m
+    term = be.term
+    d = term.num_basis
+    coefs = samps[:d, :]
+    g = np.vstack([np.zeros((1, M)), samps[d:d + term.order - 1, :]])
+    xs = np.linspace(0.0, 365.0, n_pred)
+    X = postfit.osplines.global_poly_helper(xs, p=term.order)
+    t0 = time.time()
+    mean, lo, hi = postfit._summarize_iwp_device_blocks(
+        term.knots, xs, term.order, coefs, X, g, 0.95,
+        rows=max(1, postfit._PREDICT_CHUNK_ELEMS // M))
+    first = time.time() - t0
+    t0 = time.time()
+    mean, lo, hi = postfit._summarize_iwp_device_blocks(
+        term.knots, xs, term.order, coefs, X, g, 0.95,
+        rows=max(1, postfit._PREDICT_CHUNK_ELEMS // M))
+    steady = time.time() - t0
+    ok = bool(np.all(np.isfinite(mean)) and np.all(lo <= hi))
+    print(json.dumps({"metric": "predict_1e5x3000_summary_seconds",
+                      "value": round(steady, 4), "unit": "s",
+                      "first_s": round(first, 3), "finite": ok}),
+          flush=True)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("build", "all"):
         bench_build()
+    if which in ("predict", "all"):
+        bench_predict()
     if which in ("coxph", "all"):
         bench_coxph()
     if which in ("two_smooths", "all"):
