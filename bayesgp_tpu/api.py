@@ -97,13 +97,14 @@ def assemble_model(formula=None, data=None, method: str = "aghq",
         return c.options.get("model")
     has_banded_driver = any(_call_model(c) in ("IWP", "sGP")
                             for c in re_calls)
-    candidate_banded = (engine in ("auto", "banded") and method == "aghq"
+    candidate_banded = (engine in ("auto", "banded")
+                        and method in ("aghq", "MCMC")
                         and fam_elementwise and has_banded_driver)
     if engine == "banded" and not candidate_banded:
         raise ValueError(
-            "engine='banded' requires method='aghq', an elementwise "
-            "family (Gaussian/Poisson/Binomial) and at least one IWP or "
-            "sGP term")
+            "engine='banded' requires method='aghq' or 'MCMC', an "
+            "elementwise family (Gaussian/Poisson/Binomial) and at "
+            "least one IWP or sGP term")
     # the big (n, d) design B of IWP/sGP terms is skippable whenever the
     # banded path is a candidate: banded drivers build sparse windows
     # from x, and every other consumer (banded tail terms, the dense
@@ -275,31 +276,33 @@ def model_fit(formula=None, data=None, method: str = "aghq",
     mod = None
     samps = None
     theta_samps = None
+
+    def _fast_backend():
+        if use_banded and len(instances) == 1 and instances[0].kind == "IWP":
+            # single-IWP: the specialized reparametrized backend
+            from .fast.iwp import build_fast_iwp
+            inst = instances[0]
+            xf_dense = np.concatenate(
+                [inst.X] + [np.asarray(c) for c in design_mat_fixed],
+                axis=1)
+            p = inst.order
+            prior_diag_tail = np.concatenate([
+                np.full(p - 1, inst.boundary_prior["prec"]), bf_prec])
+            prior_mean_tail = np.concatenate([
+                np.full(p - 1, inst.boundary_prior["mean"]), bf_mean])
+            return build_fast_iwp(inst, md, xf_dense, prior_diag_tail,
+                                  prior_mean_tail, inst.x_data)
+        if use_banded:
+            # sGP driver / multi-term generalized banded arrowhead
+            from .fast.banded import build_banded_backend
+            return build_banded_backend(instances, md, design_mat_fixed,
+                                        bf_prec, bf_mean)
+        return None
+
     if method == "aghq":
         with tphase("backend construction"):
-            if (use_banded and len(instances) == 1
-                    and instances[0].kind == "IWP"):
-                # single-IWP: the specialized reparametrized backend
-                from .fast.iwp import build_fast_iwp
-                inst = instances[0]
-                xf_dense = np.concatenate(
-                    [inst.X] + [np.asarray(c) for c in design_mat_fixed],
-                    axis=1)
-                p = inst.order
-                prior_diag_tail = np.concatenate([
-                    np.full(p - 1, inst.boundary_prior["prec"]), bf_prec])
-                prior_mean_tail = np.concatenate([
-                    np.full(p - 1, inst.boundary_prior["mean"]), bf_mean])
-                backend = build_fast_iwp(inst, md, xf_dense,
-                                         prior_diag_tail,
-                                         prior_mean_tail, inst.x_data)
-            elif use_banded:
-                # sGP driver / multi-term generalized banded arrowhead
-                from .fast.banded import build_banded_backend
-                backend = build_banded_backend(instances, md,
-                                               design_mat_fixed,
-                                               bf_prec, bf_mean)
-            else:
+            backend = _fast_backend()
+            if backend is None:
                 backend = aghq_mod.DenseBackend(md)
             if data_mesh is not None:
                 from .parallel import data_sharded as ds_mod
@@ -332,8 +335,15 @@ def model_fit(formula=None, data=None, method: str = "aghq",
         with tphase("inference (NUTS)"):
             from .inference import mcmc as mcmc_mod
             opts = mcmc_mod.default_option_list(option_list)
-            mod, samps, theta_samps = mcmc_mod.mcmc_fit(md, M=M,
-                                                        options=opts)
+            backend = _fast_backend()
+            if backend is not None:
+                # production-scale NUTS through the fast backend's O(n)
+                # primitives (no dense design, no factorizations)
+                mod, samps, theta_samps = mcmc_mod.mcmc_fit_fast(
+                    backend, M=M, options=opts)
+            else:
+                mod, samps, theta_samps = mcmc_mod.mcmc_fit(md, M=M,
+                                                            options=opts)
     else:
         raise ValueError(f"unknown method '{method}'")
 

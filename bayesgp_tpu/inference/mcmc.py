@@ -178,6 +178,95 @@ def run_chain(logp_fn, z0, key, n_warmup, n_samples, n_leapfrog=32,
     return zs, jnp.mean(accs)
 
 
+def mcmc_fit_fast(backend, M=3000, options=None):
+    """Joint (W, theta) NUTS on a FAST backend (fast/iwp.FastIWPBackend
+    or fast/banded.BandedBackend) — the production-scale method='MCMC'
+    path. Where `mcmc_fit` autodiffs the dense-design objective (O(n w)
+    memory, infeasible at n=1e5/k=2000), this one evaluates log density
+    and gradient through the backend's O(n) primitives: the chunked MXU
+    design products for eta, hand-assembled scatter-free gradients
+    (grad_W), banded prior quadforms — no dense design and no
+    factorization anywhere (the Laplace machinery is bypassed
+    entirely; NUTS needs only logp/grad).
+
+    Sampling runs in the backend's PRIMED latent coordinates (V', t) —
+    a constant-Jacobian (unit-determinant times det T) change of
+    variables, so the chain targets the same posterior; draws are
+    mapped back to reference coordinates [U = T(V' - Z0 t) | beta |
+    fixed] for output, matching `mcmc_fit`'s (w_ref, M_total) layout.
+    The orthogonalized coordinates are also better conditioned for
+    NUTS than raw W (the same reason they exist for the Newton solver).
+    """
+    opts = default_option_list(options)
+    be = backend
+    from ..model import families
+
+    d, q, s = be.d, be.q, be.n_theta
+    dim = d + q + s
+    dtype = be.dtype
+
+    def split(z):
+        Vp = jnp.pad(z[:d], (0, be.dpad - d))
+        return Vp, z[d:d + q], z[d + q:]
+
+    def logp(z):
+        Vp, tail, theta = split(z)
+        return -be.neg_log_post(Vp, tail, theta)
+
+    def val_grad(z):
+        Vp, tail, theta = split(z)
+        e = be.eta(Vp, tail)
+        thc = theta.astype(be.compute_dtype)
+        lp = (families.log_lik(e, be.md, thc).astype(dtype)
+              - be._prior_neg(Vp, tail, theta))
+        gV, gt = be.grad_W(Vp, tail, theta, eta=e)
+        # theta gradient: likelihood part at fixed eta (nonzero only for
+        # the Gaussian noise theta) + prior part — both cheap autodiff
+        # with no design products involved
+        gth = jax.grad(
+            lambda th: -families.log_lik(
+                e, be.md, th.astype(be.compute_dtype)).astype(dtype)
+            + be._prior_neg(Vp, tail, th))(theta)
+        return lp, -jnp.concatenate([gV[:d], gt, gth])
+
+    key = jax.random.PRNGKey(opts["seed"])
+    chains = int(opts["chains"])
+    keys = jax.random.split(key, chains + 1)
+    if opts["init"] == "random":
+        z0 = jax.random.uniform(keys[-1], (chains, dim), dtype, -2.0, 2.0)
+    else:
+        z0 = jnp.zeros((chains, dim), dtype)
+
+    from .nuts import run_chain_nuts
+    run = jax.jit(jax.vmap(
+        partial(run_chain_nuts, logp, n_warmup=int(opts["warmup"]),
+                n_samples=int(M),
+                max_depth=int(opts["max_treedepth"]),
+                target_accept=float(opts["target_accept"]),
+                val_grad_fn=val_grad)))
+    zs, (acc, ndiv, nleap, eps) = run(z0, keys[:chains])
+    mod = {"accept_rate": np.asarray(acc), "chains": chains,
+           "warmup": opts["warmup"], "algorithm": "NUTS-fast",
+           "divergences": np.asarray(ndiv),
+           "mean_leapfrogs": np.asarray(nleap),
+           "step_size": np.asarray(eps)}
+
+    @jax.jit
+    def to_ref(Z):
+        Vs = jnp.pad(Z[:, :d], ((0, 0), (0, be.dpad - d)))
+        ts = Z[:, d:d + q]
+        Vact = jax.vmap(be.to_V)(Vs, ts)
+        U = be.apply_T(Vact[:, :d])
+        full = jnp.concatenate([U, ts], axis=1)
+        rp = getattr(be, "ref_perm", None)
+        return full if rp is None else full[:, rp]
+
+    zs = np.asarray(zs).reshape(chains * int(M), dim)
+    samps = np.asarray(to_ref(jnp.asarray(zs)), np.float64).T
+    theta_samps = zs[:, d + q:]
+    return mod, samps, theta_samps
+
+
 def mcmc_fit(md, M=3000, options=None):
     """Joint (W, theta) MCMC on a ModelData; reference-equivalent output
     shapes: samps (w, M_total), theta_samps (M_total, s)."""

@@ -281,13 +281,18 @@ def nuts_kernel(logp_grad, leaf, key, eps, inv_mass, max_depth=10):
 # ---------------------------------------------------------------------------
 
 def run_chain_nuts(logp_fn, z0, key, n_warmup, n_samples, max_depth=10,
-                   target_accept=0.8):
-    """One adaptive NUTS chain; returns (samples (n_samples, dim), info)."""
+                   target_accept=0.8, val_grad_fn=None):
+    """One adaptive NUTS chain; returns (samples (n_samples, dim), info).
+
+    val_grad_fn: optional z -> (logp, grad) override for targets whose
+    gradient is hand-assembled (the fast backends' scatter-free design
+    products, mcmc.mcmc_fit_fast) instead of autodiffed."""
     from .mcmc import _init_adapt, _dual_avg, _welford
 
     dtype = z0.dtype
     dim = z0.shape[0]
-    val_grad = jax.value_and_grad(logp_fn)
+    val_grad = (jax.value_and_grad(logp_fn) if val_grad_fn is None
+                else val_grad_fn)
 
     def logp_grad(z):
         return val_grad(z)

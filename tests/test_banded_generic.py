@@ -265,3 +265,28 @@ def test_model_fit_multiterm_driver_skips_dense_design():
     fit_d = bg.model_fit(fml, data=data, family="Poisson", M=200, seed=0,
                          engine="dense")
     assert abs(fit_b.mod.lognormconst - fit_d.mod.lognormconst) < 1e-5
+
+
+def test_banded_neg_log_post_matches_dense():
+    """Banded joint neg_log_post == dense objective at W = ref_perm of
+    [T(V' - Z0 t) | t] for random coordinates — the target density of
+    the fast-backend MCMC path (mcmc.mcmc_fit_fast)."""
+    from bayesgp_tpu.model.objective import neg_log_post
+
+    instances, md, dmf, bf_prec, bf_mean = _multiterm_problem()
+    be = build_banded_backend(instances, md, dmf, bf_prec, bf_mean)
+    rng = np.random.default_rng(7)
+    for _ in range(3):
+        Vp = np.zeros(be.dpad)
+        Vp[:be.d] = rng.normal(0, 0.3, be.d)
+        tail = rng.normal(0, 0.2, be.q)
+        theta = rng.normal(0, 0.3, md.n_theta)
+        Vact = be.to_V(jnp.asarray(Vp), jnp.asarray(tail))
+        U = be.apply_T(Vact[:be.d])
+        full = np.concatenate([np.asarray(U), tail])
+        W = full[np.asarray(be.ref_perm)]
+        f_dense = float(neg_log_post(jnp.asarray(W), jnp.asarray(theta),
+                                     md))
+        f_band = float(be.neg_log_post(jnp.asarray(Vp), jnp.asarray(tail),
+                                       jnp.asarray(theta)))
+        assert np.isclose(f_band, f_dense, rtol=1e-10)
