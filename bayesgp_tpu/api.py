@@ -232,9 +232,12 @@ def model_fit(formula=None, data=None, method: str = "aghq",
     Coxph / case-crossover extras).
 
     engine: 'auto' | 'dense' | 'banded'. 'banded' is the TPU fast path
-    (single IWP term, elementwise family, nonnegative knots): sparse-row
-    design + block-tridiagonal Cholesky instead of dense O(n w^2 + w^3).
-    'auto' picks it when eligible and the problem is large.
+    (IWP/sGP driver term, elementwise family): sparse-row design +
+    banded factorization instead of dense O(n w^2 + w^3). 'auto' picks
+    it when eligible and the problem is large. With method='MCMC' the
+    banded engine runs NUTS through the same O(n) primitives
+    (inference/mcmc.mcmc_fit_fast) — no dense design, no
+    factorizations.
 
     data_mesh: a 1-D `jax.sharding.Mesh` (or "auto" for one over all
     devices) to shard the OBSERVATION axis of one large fit over —
