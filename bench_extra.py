@@ -263,12 +263,40 @@ def bench_predict(n_pred=100_000, M=3000):
           flush=True)
 
 
+def bench_mcmc(M=200, warmup=300):
+    """Fast-backend NUTS at the headline config (n=1e5, k=2000): the
+    production-scale method='MCMC' path (mcmc.mcmc_fit_fast — O(n)
+    design products per leapfrog, no factorizations). Short chain: the
+    metric is sampling THROUGHPUT (leapfrog steps/second), not a
+    converged posterior."""
+    from bayesgp_tpu.inference import mcmc as mcmc_mod
+
+    be = _build_iwp(100_000, 2000, "Poisson")
+    opts = {"warmup": warmup, "chains": 1, "seed": 1}
+    t0 = time.time()
+    mod, samps, theta_samps = mcmc_mod.mcmc_fit_fast(be, M=M,
+                                                     options=opts)
+    wall = time.time() - t0
+    nleap = float(np.asarray(mod["mean_leapfrogs"]).mean())
+    total_leaps = nleap * (M + warmup)
+    ok = bool(np.all(np.isfinite(samps)))
+    print(json.dumps({"metric": "mcmc_fast_leapfrogs_per_second",
+                      "value": round(total_leaps / wall, 1),
+                      "unit": "steps/s", "wall_s": round(wall, 1),
+                      "mean_leapfrogs": round(nleap, 1),
+                      "accept": round(float(np.asarray(
+                          mod["accept_rate"]).mean()), 3),
+                      "finite": ok}), flush=True)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("build", "all"):
         bench_build()
     if which in ("predict", "all"):
         bench_predict()
+    if which == "mcmc":   # opt-in: long even on-chip
+        bench_mcmc()
     if which in ("coxph", "all"):
         bench_coxph()
     if which in ("two_smooths", "all"):
