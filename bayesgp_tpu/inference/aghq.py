@@ -333,6 +333,12 @@ def _lifted_jit(backend, builder):
     if not arrs0:
         return jax.jit(builder(backend))
 
+    # put numpy leaves (md.y, ...) on device ONCE: numpy jit arguments
+    # re-upload on every call (~30 ms/dispatch tunnel + transfer);
+    # jnp.asarray leaves placement uncommitted, so sharded programs
+    # still accept them as replicated operands
+    arrs0 = jax.tree_util.tree_map(jnp.asarray, arrs0)
+
     def _run(arrs, *a):
         return builder(backend_rebind(backend, arrs))(*a)
 

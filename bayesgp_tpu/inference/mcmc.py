@@ -128,11 +128,15 @@ def _welford(adapt, z):
 
 
 def run_chain(logp_fn, z0, key, n_warmup, n_samples, n_leapfrog=32,
-              target_accept=0.8):
-    """One adaptive HMC chain; returns (samples (n_samples, dim), accept)."""
+              target_accept=0.8, val_grad_fn=None):
+    """One adaptive HMC chain; returns (samples (n_samples, dim), accept).
+
+    val_grad_fn: optional z -> (logp, grad) override (hand-assembled
+    gradients, see nuts.run_chain_nuts)."""
     dtype = z0.dtype
     dim = z0.shape[0]
-    val_grad = jax.value_and_grad(logp_fn)
+    val_grad = (jax.value_and_grad(logp_fn) if val_grad_fn is None
+                else val_grad_fn)
 
     def logp_grad(z):
         return val_grad(z)
@@ -178,31 +182,14 @@ def run_chain(logp_fn, z0, key, n_warmup, n_samples, n_leapfrog=32,
     return zs, jnp.mean(accs)
 
 
-def mcmc_fit_fast(backend, M=3000, options=None):
-    """Joint (W, theta) NUTS on a FAST backend (fast/iwp.FastIWPBackend
-    or fast/banded.BandedBackend) — the production-scale method='MCMC'
-    path. Where `mcmc_fit` autodiffs the dense-design objective (O(n w)
-    memory, infeasible at n=1e5/k=2000), this one evaluates log density
-    and gradient through the backend's O(n) primitives: the chunked MXU
-    design products for eta, hand-assembled scatter-free gradients
-    (grad_W), banded prior quadforms — no dense design and no
-    factorization anywhere (the Laplace machinery is bypassed
-    entirely; NUTS needs only logp/grad).
-
-    Sampling runs in the backend's PRIMED latent coordinates (V', t) —
-    a constant-Jacobian (unit-determinant times det T) change of
-    variables, so the chain targets the same posterior; draws are
-    mapped back to reference coordinates [U = T(V' - Z0 t) | beta |
-    fixed] for output, matching `mcmc_fit`'s (w_ref, M_total) layout.
-    The orthogonalized coordinates are also better conditioned for
-    NUTS than raw W (the same reason they exist for the Newton solver).
-    """
-    opts = default_option_list(options)
-    be = backend
+def _fast_logp_val_grad(be):
+    """(logp, val_grad) closures of a fast backend's joint (W, theta)
+    posterior over z = [V'_d | tail | theta] — shared by mcmc_fit_fast
+    and its gradient-consistency test (so the test exercises the very
+    function the sampler integrates)."""
     from ..model import families
 
-    d, q, s = be.d, be.q, be.n_theta
-    dim = d + q + s
+    d, q = be.d, be.q
     dtype = be.dtype
 
     def split(z):
@@ -229,6 +216,35 @@ def mcmc_fit_fast(backend, M=3000, options=None):
             + be._prior_neg(Vp, tail, th))(theta)
         return lp, -jnp.concatenate([gV[:d], gt, gth])
 
+    return logp, val_grad
+
+
+def mcmc_fit_fast(backend, M=3000, options=None):
+    """Joint (W, theta) NUTS on a FAST backend (fast/iwp.FastIWPBackend
+    or fast/banded.BandedBackend) — the production-scale method='MCMC'
+    path. Where `mcmc_fit` autodiffs the dense-design objective (O(n w)
+    memory, infeasible at n=1e5/k=2000), this one evaluates log density
+    and gradient through the backend's O(n) primitives: the chunked MXU
+    design products for eta, hand-assembled scatter-free gradients
+    (grad_W), banded prior quadforms — no dense design and no
+    factorization anywhere (the Laplace machinery is bypassed
+    entirely; NUTS needs only logp/grad).
+
+    Sampling runs in the backend's PRIMED latent coordinates (V', t) —
+    a constant-Jacobian (unit-determinant times det T) change of
+    variables, so the chain targets the same posterior; draws are
+    mapped back to reference coordinates [U = T(V' - Z0 t) | beta |
+    fixed] for output, matching `mcmc_fit`'s (w_ref, M_total) layout.
+    The orthogonalized coordinates are also better conditioned for
+    NUTS than raw W (the same reason they exist for the Newton solver).
+    """
+    opts = default_option_list(options)
+    be = backend
+    d, q, s = be.d, be.q, be.n_theta
+    dim = d + q + s
+    dtype = be.dtype
+    logp, val_grad = _fast_logp_val_grad(be)
+
     key = jax.random.PRNGKey(opts["seed"])
     chains = int(opts["chains"])
     keys = jax.random.split(key, chains + 1)
@@ -237,19 +253,31 @@ def mcmc_fit_fast(backend, M=3000, options=None):
     else:
         z0 = jnp.zeros((chains, dim), dtype)
 
-    from .nuts import run_chain_nuts
-    run = jax.jit(jax.vmap(
-        partial(run_chain_nuts, logp, n_warmup=int(opts["warmup"]),
-                n_samples=int(M),
-                max_depth=int(opts["max_treedepth"]),
-                target_accept=float(opts["target_accept"]),
-                val_grad_fn=val_grad)))
-    zs, (acc, ndiv, nleap, eps) = run(z0, keys[:chains])
-    mod = {"accept_rate": np.asarray(acc), "chains": chains,
-           "warmup": opts["warmup"], "algorithm": "NUTS-fast",
-           "divergences": np.asarray(ndiv),
-           "mean_leapfrogs": np.asarray(nleap),
-           "step_size": np.asarray(eps)}
+    algo = str(opts["algorithm"]).upper()
+    if algo == "NUTS":
+        from .nuts import run_chain_nuts
+        run = jax.jit(jax.vmap(
+            partial(run_chain_nuts, logp, n_warmup=int(opts["warmup"]),
+                    n_samples=int(M),
+                    max_depth=int(opts["max_treedepth"]),
+                    target_accept=float(opts["target_accept"]),
+                    val_grad_fn=val_grad)))
+        zs, (acc, ndiv, nleap, eps) = run(z0, keys[:chains])
+        mod = {"accept_rate": np.asarray(acc), "chains": chains,
+               "warmup": opts["warmup"], "algorithm": "NUTS-fast",
+               "divergences": np.asarray(ndiv),
+               "mean_leapfrogs": np.asarray(nleap),
+               "step_size": np.asarray(eps)}
+    else:
+        run = jax.jit(jax.vmap(
+            partial(run_chain, logp, n_warmup=int(opts["warmup"]),
+                    n_samples=int(M),
+                    n_leapfrog=int(opts["num_leapfrog"]),
+                    target_accept=float(opts["target_accept"]),
+                    val_grad_fn=val_grad)))
+        zs, acc = run(z0, keys[:chains])
+        mod = {"accept_rate": np.asarray(acc), "chains": chains,
+               "warmup": opts["warmup"], "algorithm": "adaptive-HMC-fast"}
 
     @jax.jit
     def to_ref(Z):

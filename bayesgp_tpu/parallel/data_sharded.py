@@ -99,8 +99,7 @@ def shard_backend_data(be, mesh: Mesh, axis: str = None):
     if axis not in mesh.axis_names:
         raise ValueError(f"mesh has no axis named {axis!r}")
 
-    nd = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
-    ck = pad_chunks(ck, nd)
+    ck = pad_chunks(ck, int(mesh.shape[axis]))
     sh_chunks = NamedSharding(mesh, P(axis))        # (nc, CH, *) on nc
     ck = dataclasses.replace(
         ck,

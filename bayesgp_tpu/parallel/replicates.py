@@ -42,8 +42,9 @@ def replicate_fits(backend, ys, k: int = 4, mesh: Mesh = None,
     z, logw_base = aghq.product_grid(kq, 1)
     logw_base = jnp.asarray(logw_base)
     # O(n) design arrays enter as (replicated) ARGUMENTS, not embedded
-    # program constants — see inference/aghq._lifted_jit
-    arrs0 = backend_device_args(backend)
+    # program constants — see inference/aghq._lifted_jit (jnp.asarray:
+    # numpy jit arguments would re-upload on every call)
+    arrs0 = jax.tree_util.tree_map(jnp.asarray, backend_device_args(backend))
 
     def one(be, y):
         b2 = be.with_y(y)
@@ -100,7 +101,8 @@ def replicate_fits_packed(backend, ys, k: int = 4, mesh: Mesh = None,
     from ..fast.iwp import backend_device_args, backend_rebind
     from ..inference.aghq import build_fused_run_1d_batched
 
-    arrs0 = backend_device_args(backend)
+    arrs0 = jax.tree_util.tree_map(jnp.asarray,
+                                   backend_device_args(backend))
     ys = np.asarray(ys)
     R, _ = ys.shape
     NRmax = max_replicates(backend.p)

@@ -121,11 +121,16 @@ def _bspline_basis_jnp(t_full, nbasis: int, degree: int, xs):
             saved = left[d - r] * temp
         Nn.append(saved)
         N = Nn
-    vals = jnp.stack(N, axis=1)                     # (n, p+1)
-    cols = j[:, None] - p + jnp.arange(p + 1)[None, :]
-    onehot = (cols[:, :, None]
-              == jnp.arange(nbasis)[None, None, :]).astype(vals.dtype)
-    return jnp.einsum("br,brn->bn", vals, onehot)   # (n, nbasis)
+    # place the p+1 nonzero values into the nbasis columns as p+1
+    # masked rank-1 adds of (n, nbasis) — no (n, p+1, nbasis)
+    # intermediate and no tiny-trailing-dim (n, p+1) stack (the
+    # (n, 4, ...) layouts are a TPU compile-time landmine, CLAUDE.md)
+    ar = jnp.arange(nbasis)[None, :]
+    base = (j - p)[:, None]
+    out = jnp.zeros((xs.shape[0], nbasis), xs.dtype)
+    for r in range(p + 1):
+        out = out + jnp.where(base + r == ar, N[r][:, None], 0.0)
+    return out                                      # (n, nbasis)
 
 
 def _ospline_basis_jnp(knots, xs, p: int):
@@ -179,6 +184,12 @@ def _summarize_design_device_blocks(key, design_fn, xs, coefs, X, g,
 
     ckey = (key, rows, X.shape[1])
     if ckey not in _device_predict_progs:
+        # bound the cache: keys include knot-vector bytes, so sweeps
+        # over many models would otherwise pin compiled programs (and
+        # their captured device knot arrays) forever
+        if len(_device_predict_progs) >= 32:
+            _device_predict_progs.pop(next(iter(_device_predict_progs)))
+
         @jax.jit
         def _prog(xs_b, coefs_, X_b, g_, probs):
             def block(args):
@@ -263,12 +274,29 @@ def _iwp_design_parts(samps, global_samps, knots, refined_x, p,
 
     B = osplines.local_poly_helper(knots, refined_x, p=p - degree)
     if p - degree >= 1:
-        X = osplines.global_poly_helper(refined_x, p=p)[:, :p - degree]
-        X = X * np.array([
-            math.factorial(i + degree) / math.factorial(i)
-            for i in range(p - degree)])[None, :]
-        return B, samps, X, g[degree:p]
+        return B, samps, _iwp_global_X(refined_x, p, degree), g[degree:p]
     return B, samps, np.zeros((len(refined_x), 0)), np.zeros((0, M))
+
+
+def _iwp_global_X(xs, p, degree):
+    """Global-polynomial design for the IWP posterior function at
+    derivative `degree`: first p-degree monomials, factorial-rescaled
+    (reference R/03_post_fit.R:229-234). Shared by the host and device
+    predict paths."""
+    X = osplines.global_poly_helper(xs, p=p)[:, :p - degree]
+    return X * np.array([
+        math.factorial(i + degree) / math.factorial(i)
+        for i in range(p - degree)])[None, :]
+
+
+def _sgp_global_X(xs, a, m):
+    """[1 | cos/sin harmonics] global design for the sGP posterior
+    function (fit coordinate system). Shared by the host and device
+    predict paths."""
+    return np.concatenate(
+        [np.ones((len(xs), 1)),
+         sgp_basis.global_poly_sgp(xs, a=a, m=m, initial_location=0.0)],
+        axis=1)
 
 
 def compute_post_fun_iwp(samps, global_samps, knots, refined_x, p,
@@ -296,10 +324,7 @@ def _sgp_design_parts(samps, global_samps, k, refined_x, a, region,
     B = sgp_basis.compute_B_sB_helper(refined_x, a=a, k=k, m=m, region=region,
                                       boundary=boundary,
                                       initial_location=0.0)
-    X = np.concatenate([np.ones((len(refined_x), 1)),
-                        sgp_basis.global_poly_sgp(refined_x, a=a, m=m,
-                                                  initial_location=0.0)],
-                       axis=1)
+    X = _sgp_global_X(refined_x, a, m)
     if intercept_samps is None:
         intercept_samps = np.zeros((1, M))
     if global_samps is None:
@@ -430,14 +455,10 @@ class FitResult:
                 # crosses the host link (negative-knot reflection falls
                 # through to the per-block host-basis path below)
                 _, coefs, X, g = parts_fun(refined_x[:1])
-                X_full = osplines.global_poly_helper(
-                    refined_x, p=inst.order)[:, :inst.order - degree]
-                X_full = X_full * np.array([
-                    math.factorial(i + degree) / math.factorial(i)
-                    for i in range(inst.order - degree)])[None, :]
                 mean, lo, hi = _summarize_iwp_device_blocks(
                     inst.knots, refined_x, inst.order - degree, coefs,
-                    X_full, g, level, rows)
+                    _iwp_global_X(refined_x, inst.order, degree), g,
+                    level, rows)
                 out = {"x": refined_x + inst.initial_location,
                        "plower": lo, "pupper": hi, "mean": mean}
                 out[variable] = out.pop("x")
@@ -445,15 +466,11 @@ class FitResult:
             if inst.kind == "sGP":
                 # same single-dispatch path with the on-device sB design
                 _, coefs, X, g = parts_fun(refined_x[:1])
-                X_full = np.concatenate(
-                    [np.ones((n_pred, 1)),
-                     sgp_basis.global_poly_sgp(refined_x, a=inst.a,
-                                               m=inst.m,
-                                               initial_location=0.0)],
-                    axis=1)
                 mean, lo, hi = _summarize_sgp_device_blocks(
                     refined_x, inst.a, inst.k, inst.m, inst.region,
-                    inst.boundary, coefs, X_full, g, level, rows)
+                    inst.boundary, coefs,
+                    _sgp_global_X(refined_x, inst.a, inst.m), g, level,
+                    rows)
                 out = {"x": refined_x + inst.initial_location,
                        "plower": lo, "pupper": hi, "mean": mean}
                 out[variable] = out.pop("x")

@@ -48,7 +48,8 @@ devices = jax.devices()
 print(f"{len(devices)} devices: {devices[0].platform}")
 
 # ---- a shared design with R replicate responses --------------------
-n, k, R = 4000, 40, 8
+n_dev = len(devices)
+n, k, R = 4000, 40, n_dev
 rng = np.random.default_rng(0)
 x = np.sort(rng.uniform(0.0, 100.0, n))
 f_true = 1.0 + 0.5 * np.sin(x / 5)
@@ -62,13 +63,13 @@ xf = np.concatenate([inst.X] + dmf, axis=1)
 pt = np.full(xf.shape[1], 0.01)
 be = build_fast_iwp(inst, md, xf, pt, np.zeros_like(pt), inst.x_data)
 
-mesh = make_mesh(devices[:8], ("fits",), (8,))
+mesh = make_mesh(devices, ("fits",), (n_dev,))
 
 # 1. mesh-sharded replicate fits (one replicate per device here)
 modes, lncs = replicate_fits(be, ys, k=3, mesh=mesh)
 print("sharded replicate fits: modes", np.round(modes, 3))
 
-# 2. lane-packed: all 8 replicates through ONE batched program per chip
+# 2. lane-packed: all replicates through ONE batched program per chip
 modes_p, lncs_p = replicate_fits_packed(be, ys, k=3)
 print("packed replicate fits:  modes", np.round(modes_p, 3),
       "max |Δlnc| vs sharded:", float(np.abs(lncs_p - lncs).max()))
@@ -77,7 +78,7 @@ print("packed replicate fits:  modes", np.round(modes_p, 3),
 fit = bg.model_fit("y ~ f(x, model='IWP', order=3, k=40)",
                    data={"y": ys[0], "x": x}, family="Poisson",
                    engine="banded", M=200,
-                   data_mesh=DS.data_mesh(devices[:8]))
+                   data_mesh=DS.data_mesh(devices))
 print("data-sharded single fit: mode", np.round(np.asarray(fit.mod.mode), 4),
       "lognormconst", round(float(fit.mod.lognormconst), 3))
 pr = fit.predict("x")

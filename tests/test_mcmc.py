@@ -84,35 +84,13 @@ def test_mcmc_fast_val_grad_consistent(family):
     """mcmc_fit_fast's hand-assembled (logp, grad) == autodiff of the
     backend's joint neg_log_post (both families: Gaussian adds the
     noise theta to the likelihood)."""
-    from bayesgp_tpu.inference import mcmc as M
+    from bayesgp_tpu.inference.mcmc import _fast_logp_val_grad
 
     be = _fast_backend_small(family)
-    d, q, s = be.d, be.q, be.n_theta
-    dim = d + q + s
-
-    # rebuild the internal closures exactly as mcmc_fit_fast does
-    def split(z):
-        return (jnp.pad(z[:d], (0, be.dpad - d)), z[d:d + q], z[d + q:])
-
-    def logp(z):
-        Vp, tail, theta = split(z)
-        return -be.neg_log_post(Vp, tail, theta)
-
+    dim = be.d + be.q + be.n_theta
     rng = np.random.default_rng(0)
-    from bayesgp_tpu.model import families as fam_mod
-
-    def val_grad(z):
-        Vp, tail, theta = split(z)
-        e = be.eta(Vp, tail)
-        lp = (fam_mod.log_lik(e, be.md, theta.astype(be.compute_dtype))
-              .astype(be.dtype) - be._prior_neg(Vp, tail, theta))
-        gV, gt = be.grad_W(Vp, tail, theta, eta=e)
-        gth = jax.grad(
-            lambda th: -fam_mod.log_lik(
-                e, be.md, th.astype(be.compute_dtype)).astype(be.dtype)
-            + be._prior_neg(Vp, tail, th))(theta)
-        return lp, -jnp.concatenate([gV[:d], gt, gth])
-
+    # the PRODUCTION closures NUTS integrates, not a re-implementation
+    logp, val_grad = _fast_logp_val_grad(be)
     ad = jax.jit(jax.value_and_grad(logp))
     hand = jax.jit(val_grad)
     for t in range(3):
