@@ -24,6 +24,33 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..inference import aghq
 
 
+def _mesh_key(mesh, axis):
+    if mesh is None:
+        return None
+    return (axis, tuple(sorted(mesh.shape.items())),
+            tuple(d.id for d in mesh.devices.flat))
+
+
+def _prog_cache(backend):
+    cache = getattr(backend, "_replicate_progs", None)
+    if cache is None:
+        cache = backend._replicate_progs = {}
+    return cache
+
+
+def _device_args(backend):
+    """Backend O(n) arrays as a device-resident argument tree, uploaded
+    ONCE per backend (jnp.asarray of a numpy leaf re-uploads per call)."""
+    from ..fast.iwp import backend_device_args
+
+    arrs = getattr(backend, "_replicate_device_args", None)
+    if arrs is None:
+        arrs = jax.tree_util.tree_map(jnp.asarray,
+                                      backend_device_args(backend))
+        backend._replicate_device_args = arrs
+    return arrs
+
+
 def replicate_fits(backend, ys, k: int = 4, mesh: Mesh = None,
                    axis: str = "fits"):
     """AGHQ-fit R replicate responses on one design.
@@ -34,7 +61,7 @@ def replicate_fits(backend, ys, k: int = 4, mesh: Mesh = None,
 
     Returns (modes (R,), lognormconsts (R,)) as numpy arrays.
     """
-    from ..fast.iwp import backend_device_args, backend_rebind
+    from ..fast.iwp import backend_rebind
 
     ys = jnp.asarray(ys)
     R = ys.shape[0]
@@ -42,9 +69,8 @@ def replicate_fits(backend, ys, k: int = 4, mesh: Mesh = None,
     z, logw_base = aghq.product_grid(kq, 1)
     logw_base = jnp.asarray(logw_base)
     # O(n) design arrays enter as (replicated) ARGUMENTS, not embedded
-    # program constants — see inference/aghq._lifted_jit (jnp.asarray:
-    # numpy jit arguments would re-upload on every call)
-    arrs0 = jax.tree_util.tree_map(jnp.asarray, backend_device_args(backend))
+    # program constants — see inference/aghq._lifted_jit
+    arrs0 = _device_args(backend)
 
     def one(be, y):
         b2 = be.with_y(y)
@@ -69,17 +95,27 @@ def replicate_fits(backend, ys, k: int = 4, mesh: Mesh = None,
         be = backend_rebind(backend, arrs)
         return jax.lax.map(lambda y: one(be, y), ys_local)
 
+    # memoize the jitted program on the backend: a fresh jax.jit around
+    # a per-call closure would RE-TRACE on every call (measured: ~50 s
+    # of retrace + persistent-cache rebuild per "steady" call at the
+    # headline scale, vs ~0.4 s/fit of actual device time)
+    cache = _prog_cache(backend)
+    pkey = ("map", kq, _mesh_key(mesh, axis))
     if mesh is None:
-        modes, lncs = jax.jit(local_map)(arrs0, ys)
+        if pkey not in cache:
+            cache[pkey] = jax.jit(local_map)
+        modes, lncs = cache[pkey](arrs0, ys)
     else:
         if R % mesh.shape[axis]:
             raise ValueError(
                 f"R={R} must be a multiple of the '{axis}' axis size "
                 f"{mesh.shape[axis]}")
-        fn = shard_map(local_map, mesh=mesh,
-                       in_specs=(P(), P(axis)), out_specs=P(axis))
+        if pkey not in cache:
+            fn = shard_map(local_map, mesh=mesh,
+                           in_specs=(P(), P(axis)), out_specs=P(axis))
+            cache[pkey] = jax.jit(fn)
         ys = jax.device_put(ys, NamedSharding(mesh, P(axis)))
-        modes, lncs = jax.jit(fn)(arrs0, ys)
+        modes, lncs = cache[pkey](arrs0, ys)
     return np.asarray(modes), np.asarray(lncs)
 
 
@@ -98,11 +134,10 @@ def replicate_fits_packed(backend, ys, k: int = 4, mesh: Mesh = None,
     """
     from ..fast.batched import (ll_const_np, make_batched,
                                 make_engine_batched, max_replicates)
-    from ..fast.iwp import backend_device_args, backend_rebind
+    from ..fast.iwp import backend_rebind
     from ..inference.aghq import build_fused_run_1d_batched
 
-    arrs0 = jax.tree_util.tree_map(jnp.asarray,
-                                   backend_device_args(backend))
+    arrs0 = _device_args(backend)
     ys = np.asarray(ys)
     R, _ = ys.shape
     NRmax = max_replicates(backend.p)
@@ -119,20 +154,28 @@ def replicate_fits_packed(backend, ys, k: int = 4, mesh: Mesh = None,
         m = jnp.max(lw, axis=1)
         return m + jnp.log(jnp.sum(jnp.exp(lw - m[:, None]), axis=1))
 
+    cache = _prog_cache(backend)
     if mesh is None:
         # single chip: groups of NRmax through ONE compiled program
-        # (responses are arguments, so every group reuses the program)
+        # (responses are arguments, so every group — and every CALL —
+        # reuses the program; see replicate_fits on why the jit must
+        # be memoized on the backend)
         NRg = min(R, NRmax)
-        eng = make_engine_batched(backend, NRg, force_engine)
+        pkey = ("packed", k, NRg, force_engine, None)
+        if pkey not in cache:
+            eng = make_engine_batched(backend, NRg, force_engine)
 
-        @jax.jit
-        def run_group(arrs, Yg, llcg):
-            bbg = make_batched(backend_rebind(backend, arrs), Yg, llcg,
-                               NRg, eng)
-            run = build_fused_run_1d_batched(bbg, k, jit=False)
-            th0 = jnp.zeros((NRg,), backend.dtype)
-            mode, H, _, nlls = run(th0, bbg.init_state())
-            return mode, lnc_of(nlls, H)
+            @jax.jit
+            def run_group(arrs, Yg, llcg):
+                bbg = make_batched(backend_rebind(backend, arrs), Yg,
+                                   llcg, NRg, eng)
+                run = build_fused_run_1d_batched(bbg, k, jit=False)
+                th0 = jnp.zeros((NRg,), backend.dtype)
+                mode, H, _, nlls = run(th0, bbg.init_state())
+                return mode, lnc_of(nlls, H)
+
+            cache[pkey] = run_group
+        run_group = cache[pkey]
 
         pad = (-R) % NRg
         if pad:
@@ -156,26 +199,29 @@ def replicate_fits_packed(backend, ys, k: int = 4, mesh: Mesh = None,
             f"{Rloc} replicates/chip exceed the lane-group capacity "
             f"{NRmax} at order {backend.p}; use more chips or "
             f"replicate_fits")
-    eng = make_engine_batched(backend, Rloc, force_engine)
+    pkey = ("packed", k, Rloc, force_engine, _mesh_key(mesh, axis))
+    if pkey not in cache:
+        eng = make_engine_batched(backend, Rloc, force_engine)
 
-    def local_fn(arrs, Yl, llcl):
-        bbl = make_batched(backend_rebind(backend, arrs), Yl, llcl,
-                           Rloc, eng)
-        run = build_fused_run_1d_batched(bbl, k, jit=False)
-        # tie the starts to the data so every while-loop carry begins
-        # sharding-'varying' (see replicate_fits)
-        zy = jnp.asarray(0.0, backend.dtype) * Yl[0, 0].astype(
-            backend.dtype)
-        th0 = jnp.zeros((Rloc,), backend.dtype) + zy
-        st0 = jax.tree_util.tree_map(
-            lambda a: a + zy.astype(a.dtype), bbl.init_state())
-        mode, H, _, nlls = run(th0, st0)
-        return mode, lnc_of(nlls, H)
+        def local_fn(arrs, Yl, llcl):
+            bbl = make_batched(backend_rebind(backend, arrs), Yl, llcl,
+                               Rloc, eng)
+            run = build_fused_run_1d_batched(bbl, k, jit=False)
+            # tie the starts to the data so every while-loop carry
+            # begins sharding-'varying' (see replicate_fits)
+            zy = jnp.asarray(0.0, backend.dtype) * Yl[0, 0].astype(
+                backend.dtype)
+            th0 = jnp.zeros((Rloc,), backend.dtype) + zy
+            st0 = jax.tree_util.tree_map(
+                lambda a: a + zy.astype(a.dtype), bbl.init_state())
+            mode, H, _, nlls = run(th0, st0)
+            return mode, lnc_of(nlls, H)
 
-    fn = shard_map(local_fn, mesh=mesh, in_specs=(P(), P(axis), P(axis)),
-                   out_specs=(P(axis), P(axis)))
+        cache[pkey] = jax.jit(shard_map(
+            local_fn, mesh=mesh, in_specs=(P(), P(axis), P(axis)),
+            out_specs=(P(axis), P(axis))))
     Yd = jax.device_put(jnp.asarray(ys_int),
                         NamedSharding(mesh, P(axis)))
     ld = jax.device_put(jnp.asarray(llc), NamedSharding(mesh, P(axis)))
-    modes, lncs = jax.jit(fn)(arrs0, Yd, ld)
+    modes, lncs = cache[pkey](arrs0, Yd, ld)
     return np.asarray(modes), np.asarray(lncs)
