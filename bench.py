@@ -61,17 +61,21 @@ def main():
 
     # The axon TPU tunnel can be unavailable (observed: a multi-hour
     # outage with "UNAVAILABLE: TPU backend setup/compile error" at
-    # init — and init can also HANG for minutes instead of failing).
-    # Probe in a bounded subprocess so the driver still gets ONE honest
-    # JSON line instead of a stack trace or a wedged process.
+    # init; init HANGING for minutes; and a half-up state where
+    # jax.devices() succeeds but the first dispatch never returns).
+    # Probe in a bounded subprocess — including one real round-trip
+    # computation — so the driver still gets ONE honest JSON line
+    # instead of a stack trace or a wedged process.
     import subprocess
     try:
         probe = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; jax.devices(); "
+             "assert float(jnp.ones(2).sum()) == 2.0"],
             capture_output=True, timeout=300)
         ok, detail = probe.returncode == 0, probe.stderr.decode()[-400:]
     except subprocess.TimeoutExpired:
-        ok, detail = False, "backend init hung past 300 s"
+        ok, detail = False, "backend init or first dispatch hung past 300 s"
     if not ok:
         print(json.dumps({
             "metric": "n1e5_k2000_iwp3_poisson_aghq_fit_seconds",
