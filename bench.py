@@ -56,34 +56,70 @@ def run_fit(backend, k_quad=4):
     return aghq_fit(backend, k=k_quad)
 
 
-def main():
-    import jax
+_METRIC = "n1e5_k2000_iwp3_poisson_aghq_fit_seconds"
 
-    # The axon TPU tunnel can be unavailable (observed: a multi-hour
-    # outage with "UNAVAILABLE: TPU backend setup/compile error" at
-    # init; init HANGING for minutes; and a half-up state where
-    # jax.devices() succeeds but the first dispatch never returns).
-    # Probe in a bounded subprocess — including one real round-trip
-    # computation — so the driver still gets ONE honest JSON line
-    # instead of a stack trace or a wedged process.
+
+def _fail_line(note):
+    return json.dumps({"metric": _METRIC, "value": -1.0, "unit": "s",
+                       "vs_baseline": 0.0, "note": note})
+
+
+def main():
+    # The axon TPU tunnel can be unavailable or half-up (observed:
+    # "UNAVAILABLE" at init; init HANGING for minutes; jax.devices()
+    # succeeding while the first dispatch hangs forever; and in
+    # principle a mid-run death — a hung tunnel call blocks in C and
+    # is NOT interruptible by Python signals). So main() is a pure
+    # supervisor: a bounded liveness probe, then the real bench in a
+    # bounded subprocess whose JSON line is forwarded — the driver
+    # always gets ONE honest line and a process that exits.
     import subprocess
-    try:
-        probe = subprocess.run(
-            [sys.executable, "-c",
-             "import jax, jax.numpy as jnp; jax.devices(); "
-             "assert float(jnp.ones(2).sum()) == 2.0"],
-            capture_output=True, timeout=300)
-        ok, detail = probe.returncode == 0, probe.stderr.decode()[-400:]
-    except subprocess.TimeoutExpired:
-        ok, detail = False, "backend init or first dispatch hung past 300 s"
+    if "--inner" in sys.argv:
+        return _run_bench()
+
+    # two attempts: first-dispatch latency through the tunnel has been
+    # observed anywhere from 2 s to 70+ s (server-side state), and one
+    # slow outlier must not turn into a false "accelerator down"
+    for _ in range(2):
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp; jax.devices(); "
+                 "assert float(jnp.ones(2).sum()) == 2.0"],
+                capture_output=True, timeout=300)
+            ok, detail = probe.returncode == 0, probe.stderr.decode()[-400:]
+        except subprocess.TimeoutExpired:
+            ok = False
+            detail = "backend init or first dispatch hung past 300 s"
+        if ok:
+            break
     if not ok:
-        print(json.dumps({
-            "metric": "n1e5_k2000_iwp3_poisson_aghq_fit_seconds",
-            "value": -1.0, "unit": "s", "vs_baseline": 0.0,
-            "note": "accelerator unavailable at bench time "
-                    "(backend init failed or hung)"}))
-        print(f"# TPU init failed: {detail}", file=sys.stderr)
+        print(_fail_line("accelerator unavailable at bench time "
+                         "(backend init failed or hung)"))
+        print(f"# TPU probe failed: {detail}", file=sys.stderr)
         return
+
+    # cold compile can take ~15 min on this 1-core host; bound well
+    # above that so the watchdog only fires on a genuine hang
+    try:
+        r = subprocess.run([sys.executable, __file__, "--inner"],
+                           capture_output=True, timeout=3300)
+        sys.stderr.write(r.stderr.decode()[-2000:])
+        lines = [l for l in r.stdout.decode().splitlines()
+                 if l.startswith("{")]
+        if r.returncode == 0 and lines:
+            print(lines[-1])
+        else:
+            print(_fail_line(f"bench subprocess failed "
+                             f"(returncode {r.returncode})"))
+    except subprocess.TimeoutExpired as e:
+        if e.stderr:
+            sys.stderr.write(e.stderr.decode()[-2000:])
+        print(_fail_line("bench hung past 3300 s (tunnel died mid-run?)"))
+
+
+def _run_bench():
+    import jax
 
     print(f"# building n=1e5 k=2000 problem...", file=sys.stderr, flush=True)
     t0 = time.time()
