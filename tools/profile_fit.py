@@ -1,14 +1,26 @@
-"""Phase-level breakdown of the headline n=1e5/k=2000 AGHQ fit on the
-real chip. Prints wall-clock per phase and call counts so optimization
-effort goes where the time actually is.
+"""On-chip decomposition of the headline fused fit (n=1e5, k=2000
+IWP3-Poisson): times each layer of one warm Laplace evaluation as its
+own jitted program so the 0.3-0.4 s steady fit can be attributed to
+{O(n) f32 data passes, band factorization, O(d) f64 glue, Newton
+iteration count, dispatch overhead}.
 
 Usage: python tools/profile_fit.py [n] [k]
+Prints one JSON line per probe. Every probe repeats the call R times
+after a warmup and reports the median wall time; `dispatch_floor_ms`
+(a trivial jitted op) is the tunnel/dispatch overhead to subtract
+mentally from everything else.
 """
+import json
 import sys
 import time
 
 import numpy as np
 import jax
+
+if "--cpu" in sys.argv:          # sanity runs on the CPU backend
+    sys.argv.remove("--cpu")
+    jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
 
 jax.config.update("jax_default_matmul_precision", "highest")
 jax.config.update("jax_enable_x64", True)
@@ -18,113 +30,88 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 sys.path.insert(0, "/root/repo")
 
 
-def t(fn, *a, **k):
-    t0 = time.time()
-    out = fn(*a, **k)
-    out = jax.block_until_ready(out) if hasattr(out, "block_until_ready") \
-        else jax.tree_util.tree_map(
-            lambda x: x.block_until_ready() if hasattr(x, "block_until_ready")
-            else x, out)
-    return out, time.time() - t0
+def _median_ms(fn, R=20, warmup=2):
+    for _ in range(warmup):
+        jax.block_until_ready(fn())
+    ts = []
+    for _ in range(R):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        ts.append((time.perf_counter() - t0) * 1e3)
+    return float(np.median(ts))
 
 
-def main():
-    n = int(float(sys.argv[1])) if len(sys.argv) > 1 else 100_000
-    k = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
-    from bench import build_problem
-    import jax.numpy as jnp
+def main(n=100_000, k=2000):
+    from bench_extra import _build_iwp
 
-    t0 = time.time()
-    backend = build_problem(n=n, k=k)
-    print(f"build: {time.time()-t0:.2f}s  d={backend.d} q={backend.q} "
-          f"s={backend.s} nb={backend.nb}")
+    be = _build_iwp(n, k, "Poisson")
+    th_mode = jnp.asarray([14.5], be.dtype)
+    st0 = be.init_state()
 
-    dt = backend.dtype
-    th = jnp.zeros((1,), dt)
-    init = backend.init_state()
+    out = {}
 
-    # individual pieces, compiled fresh
-    vg = backend.val_grad_warm_fn()
-    (v, warm), g = vg(th, init)
-    jax.block_until_ready(warm)
-    print("compiled val_grad_warm")
+    trivial = jax.jit(lambda x: x + 1.0)
+    x1 = jnp.zeros((8,), jnp.float32)
+    out["dispatch_floor_ms"] = _median_ms(lambda: trivial(x1))
 
-    (_, warm), _ = vg(th, init)
-    jax.block_until_ready(warm)
-    for label, wstate in (("cold", init), ("warm", warm)):
-        t0 = time.time()
-        (v2, w2), g2 = vg(th + 0.01, wstate)
-        jax.block_until_ready(w2)
-        print(f"val_grad_warm ({label} start): {time.time()-t0:.3f}s")
+    # warm state at the mode (converged)
+    warm_eval = jax.jit(lambda th, st: be.laplace_eval_full(th, st))
+    _, warm_st, _ = warm_eval(th_mode, st0)
+    warm_st = jax.block_until_ready(warm_st)
 
-    # one newton step / hessian_factor / solve granularity
-    one_step = jax.jit(lambda V, tl: backend.newton_step(V, tl, th))
-    V0, t0s = warm
-    out, dt_ = t(one_step, V0, t0s)
-    out, dt_ = t(one_step, V0, t0s)
-    print(f"newton_step: {dt_:.3f}s")
+    out["laplace_eval_full_warm_ms"] = _median_ms(
+        lambda: warm_eval(th_mode, warm_st)[0])
 
-    hf = jax.jit(lambda V, tl: backend.hessian_factor(V, tl, th))
-    f_, dt_ = t(hf, V0, t0s)
-    f_, dt_ = t(hf, V0, t0s)
-    print(f"hessian_factor: {dt_:.3f}s")
+    # nll_warm with gradient (the optimizer-loop unit)
+    vg = jax.jit(lambda th, st: jax.value_and_grad(
+        be.nll_warm, has_aux=True)(th, st))
+    out["nll_warm_valgrad_ms"] = _median_ms(
+        lambda: vg(th_mode, warm_st)[0][0])
 
-    gw = jax.jit(lambda V, tl: backend.grad_W(V, tl, th))
-    _, dt_ = t(gw, V0, t0s)
-    _, dt_ = t(gw, V0, t0s)
-    print(f"grad_W: {dt_:.3f}s")
+    # inner Newton solve alone, from the warm state (counts iterations
+    # implicitly: compare against one refine step below)
+    ns = jax.jit(lambda th, st: be.newton_solve(th, warm=st))
+    out["newton_solve_warm_ms"] = _median_ms(lambda: ns(th_mode, warm_st))
 
-    nlp = jax.jit(lambda V, tl: backend.neg_log_post(V, tl, th))
-    _, dt_ = t(nlp, V0, t0s)
-    _, dt_ = t(nlp, V0, t0s)
-    print(f"neg_log_post: {dt_:.3f}s")
+    # ONE refine step = eta + grad + factor + solve (a Newton iteration
+    # without the line-search likelihood pass)
+    rf = jax.jit(lambda th, st: be._refine(st[0], st[1], th))
+    out["one_refine_step_ms"] = _median_ms(lambda: rf(th_mode, warm_st))
 
-    hw = backend.hess_warm_fn()
-    _, dt_ = t(hw, th, warm)
-    _, dt_ = t(hw, th, warm)
-    print(f"hess_warm (FD, 2 grads): {dt_:.3f}s")
+    # O(n) pieces
+    V, tail = warm_st
+    eta_fn = jax.jit(lambda V, t: be.eta(V, t))
+    e0 = jax.block_until_ready(eta_fn(V, tail))
+    out["eta_pass_ms"] = _median_ms(lambda: eta_fn(V, tail))
 
-    # instrumented outer optimization
-    from bayesgp_tpu.inference import aghq as am
-    calls = {"vg": 0, "hess": 0}
-    orig_vg, orig_h = backend.val_grad_warm_fn, backend.hess_warm_fn
+    from bayesgp_tpu.model import families
+    ll_fn = jax.jit(lambda e, th: families.log_lik(
+        e, be.md, th.astype(be.compute_dtype)))
+    out["log_lik_pass_ms"] = _median_ms(lambda: ll_fn(e0, th_mode))
 
-    def count_vg():
-        f = orig_vg()
-        def wrapped(*a):
-            calls["vg"] += 1
-            return f(*a)
-        return wrapped
+    gw = jax.jit(lambda V, t, th: be.grad_W(V, t, th))
+    out["grad_W_pass_ms"] = _median_ms(lambda: gw(V, tail, th_mode))
 
-    def count_h():
-        f = orig_h()
-        def wrapped(*a):
-            calls["hess"] += 1
-            return f(*a)
-        return wrapped
+    # Hessian factor: O(n) Gram segsum + double-float band factorization
+    hf = jax.jit(lambda V, t, th: be.hessian_factor(V, t, th))
+    fac = jax.block_until_ready(hf(V, tail, th_mode))
+    out["hessian_factor_ms"] = _median_ms(lambda: hf(V, tail, th_mode))
 
-    backend.val_grad_warm_fn = count_vg
-    backend.hess_warm_fn = count_h
-    t0 = time.time()
-    mode, H, fval, state = am.optimize_theta(backend, 1, verbose=True)
-    t_opt = time.time() - t0
-    print(f"optimize_theta: {t_opt:.2f}s  vg_calls={calls['vg']} "
-          f"hess_calls={calls['hess']} mode={mode}")
-    backend.val_grad_warm_fn = orig_vg
-    backend.hess_warm_fn = orig_h
+    # band+arrow solve alone (given factor)
+    gV, gt = jax.block_until_ready(gw(V, tail, th_mode))
+    sh = jax.jit(lambda f, gV, gt: be.solve_H(f, gV, gt))
+    out["solve_H_ms"] = _median_ms(lambda: sh(fac, gV, gt))
 
-    t0 = time.time()
-    nlls, states = backend.node_eval(
-        jnp.asarray(np.linspace(mode - 0.5, mode + 0.5, 4).reshape(4, 1), dt),
-        warm=state)
-    jax.block_until_ready(nlls)
-    print(f"node_eval(4): {time.time()-t0:.2f}s")
+    # half log-det alone (given factor)
+    hl = jax.jit(lambda f: be.half_logdet_H(f))
+    out["half_logdet_ms"] = _median_ms(lambda: hl(fac))
 
-    t0 = time.time()
-    fit = am.aghq_fit(backend, k=4)
-    print(f"full aghq_fit (steady): {time.time()-t0:.2f}s "
-          f"lognormconst={fit.lognormconst:.4f}")
+    print(json.dumps({"probe": "fit_decomposition", "n": n, "k": k,
+                      **{kk: round(vv, 3) for kk, vv in out.items()}}),
+          flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    n = int(float(sys.argv[1])) if len(sys.argv) > 1 else 100_000
+    kk = int(float(sys.argv[2])) if len(sys.argv) > 2 else 2000
+    main(n, kk)
