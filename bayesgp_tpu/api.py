@@ -223,7 +223,7 @@ def model_fit(formula=None, data=None, method: str = "aghq",
               option_list=None, seed: int = 0,
               terms=None, fixed=None, response=None,
               engine: str = "auto", timing: bool = False,
-              data_mesh=None) -> FitResult:
+              data_mesh=None, theta0=None) -> FitResult:
     """Fit a Bayesian hierarchical GP model.
 
     Either pass `formula` (string) + `data`, or `response=`/`fixed=`/
@@ -250,6 +250,11 @@ def model_fit(formula=None, data=None, method: str = "aghq",
     inference / sampling) as `fit.timing` (utils.profiling.PhaseTimer;
     print `fit.timing.summary()`). The reference has no tracing story
     (SURVEY.md section 5 — TMB runs silent=TRUE).
+
+    theta0: optional starting value(s) for the AGHQ hyperparameter
+    optimization (default 0, like the reference's aghq call) — used by
+    model_fit_loop to warm-start each grid fit from its neighbor's
+    mode, saving the cold-start optimizer iterations.
     """
     if data_mesh is not None and method != "aghq":
         raise ValueError("data_mesh= requires method='aghq'")
@@ -323,7 +328,8 @@ def model_fit(formula=None, data=None, method: str = "aghq",
         # s=1 fused backends draw the posterior samples INSIDE the fit
         # program (one dispatch total); sample_marginal reuses them
         with tphase("inference (AGHQ fit + posterior draws)"):
-            mod = aghq_mod.aghq_fit(backend, k=aghq_k, sample=(key, M))
+            mod = aghq_mod.aghq_fit(backend, k=aghq_k, sample=(key, M),
+                                    theta0=theta0)
             samps, _, theta_samps = sampling_mod.sample_marginal(
                 key, mod, M)
     elif method == "nlminb":

@@ -21,7 +21,8 @@ def _trapezoid(x, y):
 
 
 def model_fit_loop(loop_values, formula=None, data=None, loop_holder="LOOP",
-                   prior_func=None, parallel=False, mesh=None, **kwargs):
+                   prior_func=None, parallel=False, mesh=None,
+                   warm_start=True, **kwargs):
     """Fit the model once per value of the loop variable.
 
     The loop value is exposed to the formula's f() options under the name
@@ -33,6 +34,15 @@ def model_fit_loop(loop_values, formula=None, data=None, loop_holder="LOOP",
     (jax.sharding.Mesh with a 'fits' axis, see parallel.mesh.make_mesh)
     to shard the grid over devices — the reference's PSOCK cluster
     (R/02_model_fit.R:754-769) gone SPMD.
+
+    warm_start=True (serial path, method='aghq'): each grid fit starts
+    the hyperparameter optimization at the previous value's posterior
+    mode instead of theta=0 — neighboring grid models have neighboring
+    modes, so this removes the cold-start optimizer iterations (the
+    mode sits ~14 units from 0 at production scale). The results are
+    the same fits (the optimizer converges to the same mode up to the
+    usual fp noise); pass warm_start=False for reference-exact cold
+    starts.
 
     Returns dict(var=grid, post=normalized posterior, log_ml=log marginal
     likelihoods).
@@ -56,11 +66,19 @@ def model_fit_loop(loop_values, formula=None, data=None, loop_holder="LOOP",
         log_ml = parallel_lognormconst(mds, k=aghq_k, mesh=mesh)
     else:
         log_ml = []
+        th_prev = kwargs.pop("theta0", None)
+        use_warm = warm_start and kwargs.get("method", "aghq") == "aghq"
         for v in loop_values:
             env = dict(base_env)
             env[loop_holder] = v
-            fit = model_fit(formula=formula, data=data, env=env, **kwargs)
+            fit = model_fit(formula=formula, data=data, env=env,
+                            theta0=th_prev if use_warm else None,
+                            **kwargs)
             log_ml.append(fit.mod.lognormconst)
+            if use_warm:
+                mode = getattr(fit.mod, "mode", None)
+                if mode is not None and np.all(np.isfinite(mode)):
+                    th_prev = np.asarray(mode, float)
         log_ml = np.asarray(log_ml)
 
     log_joint = log_ml + np.log(prior_func(np.asarray(loop_values, float)))

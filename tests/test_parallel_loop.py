@@ -60,3 +60,18 @@ def test_parallel_loop_sharded_over_mesh():
     assert par["log_ml"].shape == (5,)
     assert periods[np.argmax(par["log_ml"])] == 10.0
     assert np.isclose(np.trapezoid(par["post"], periods), 1.0)
+
+
+def test_loop_warm_start_matches_cold():
+    """warm_start=True (each grid fit starts at the previous mode) gives
+    the same marginal likelihoods as reference-exact cold starts."""
+    data = _cyclic_data()
+    periods = np.array([8.0, 10.0, 13.0])
+    warm = bg.model_fit_loop(
+        loop_values=periods, formula=FORMULA, data=data, family="Poisson",
+        method="aghq", M=10, loop_holder="LOOP", warm_start=True)
+    cold = bg.model_fit_loop(
+        loop_values=periods, formula=FORMULA, data=data, family="Poisson",
+        method="aghq", M=10, loop_holder="LOOP", warm_start=False)
+    np.testing.assert_allclose(warm["log_ml"], cold["log_ml"], atol=1e-5)
+    np.testing.assert_allclose(warm["post"], cold["post"], rtol=1e-4)
