@@ -25,6 +25,9 @@ jax.config.update("jax_default_matmul_precision", "highest")
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+# Caller-independent cache keys (Pallas payloads embed full tracebacks
+# otherwise — every calling script recompiles; see utils/compile_cache.py)
+jax.config.update("jax_include_full_tracebacks_in_locations", False)
 
 
 def build_problem(n=100_000, k=2000, seed=0):

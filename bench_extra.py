@@ -28,6 +28,8 @@ jax.config.update("jax_default_matmul_precision", "highest")
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+# Caller-independent cache keys (see utils/compile_cache.py)
+jax.config.update("jax_include_full_tracebacks_in_locations", False)
 
 
 def _build_iwp(n, k, family, seed=0):

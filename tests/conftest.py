@@ -20,3 +20,7 @@ jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(__file__), "..",
                                ".jax_cache_cpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+# Caller-independent cache keys: Pallas kernel payloads embed full
+# Python tracebacks otherwise, so the same program hashes differently
+# per calling context (see bayesgp_tpu/utils/compile_cache.py)
+jax.config.update("jax_include_full_tracebacks_in_locations", False)
