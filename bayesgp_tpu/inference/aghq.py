@@ -402,6 +402,93 @@ def fused_fit_1d(backend, k: int = 4, theta0: float = 0.0,
             states) + extra
 
 
+def _packed_lane_view(backend, R):
+    """Lane-packed BatchedFastIWP view of `backend` with the SAME
+    response in every slot — the engine of build_fused_run_1d's packed
+    FD/node phase (R = max(k, 2) slots share every O(n) design pass and
+    every band factorization as one batched MXU/Pallas program, instead
+    of 2+k sequential warm Laplace evaluations; device trace round 10:
+    the sequential FD scan + two node-side scans were 116 ms of the
+    337 ms steady fit). Returns None when the backend is not
+    lane-packable. Traceable (md.y may be a lifted-argument tracer);
+    the batched view's ll constant is set to ZERO on purpose: the FD
+    phase consumes only theta-gradients (constants drop), and the node
+    values are computed with families.log_lik directly so they carry
+    the exact constant the optimizer's scalar path uses."""
+    from ..fast.iwp import FastIWPBackend
+    from ..fast import batched as fb
+    if not isinstance(backend, FastIWPBackend):
+        return None
+    if (backend.chunks is None or backend.n_theta != 1
+            or getattr(backend, "data_sharded", None) is not None):
+        return None
+    if int(backend.md.family) not in (1, 2):
+        return None
+    if R > fb.max_replicates(backend.p):
+        return None
+    try:
+        eng = fb.make_engine_batched(backend, R)
+    except Exception:
+        return None
+    y = jnp.asarray(backend.md.y, backend.compute_dtype)
+    Y = jnp.broadcast_to(y[None], (R,) + y.shape)
+    llc = jnp.zeros((R,), backend.dtype)
+    return fb.make_batched(backend, Y, llc, R, eng)
+
+
+def _packed_node_phase(backend, pk, nodes, stR, k, return_states):
+    """All k node evaluations as ONE lane-packed batched Laplace pass.
+
+    pk: the _packed_lane_view (R = max(k, 2) slots); stR: the mode
+    state broadcast to R slots; every node warm-starts from the mode.
+    The lane-packed engine carries the inner Newton solve and the band
+    assembly for all nodes together; the per-node Hessian factors are
+    then re-factored through the SCALAR engine (k small ~1 ms kernels)
+    so that (a) the half log-dets enter the node values exactly as on
+    the scalar path and (b) the sampling states keep the scalar
+    engine's factor format (fast/iwp.sample_traceable). Node values
+    use model/families.log_lik directly — same likelihood constant as
+    the optimizer's scalar evaluations (pk's ll_const is zero).
+
+    Returns (nlls,) or (nlls, states) matching the sequential scans'
+    stacked layout: states = (V (k, dpad), tail (k, q), (af, sc, sd)).
+    """
+    from ..model import families
+    R = pk.R
+    dtype = backend.dtype
+    cdt = backend.compute_dtype
+    thN = (jnp.concatenate([nodes, jnp.broadcast_to(nodes[-1],
+                                                    (R - k,))])
+           if R > k else nodes)
+    Vb, tb = pk.solve_W_star(thN, warm=stR)
+    eN = pk.eta(Vb, tb)
+    band_s, C_s, Hd_b, scb, sdb = pk._assemble_scaled(Vb, tb, thN,
+                                                      eta=eN)
+    lls = jax.vmap(
+        lambda e_, t_: families.log_lik(
+            e_, backend.md, jnp.reshape(t_, (1,)).astype(cdt)))(eN, thN)
+    f_b = -lls.astype(dtype) + pk._prior_neg(Vb, tb, thN)
+    afs = [backend.engine.factor(band_s[j], C_s[j], Hd_b[j])
+           for j in range(k)]
+    hlds = jnp.stack([backend.engine.half_logdet(afs[j])
+                      for j in range(k)])
+    half_logdets = (hlds - jnp.sum(jnp.log(scb[:k]), axis=1)
+                    - jnp.sum(jnp.log(sdb[:k]), axis=1))
+    w_count = backend.d + backend.q
+    nlls = (f_b[:k] + half_logdets
+            - 0.5 * w_count * math.log(2.0 * math.pi) - backend.logdetT)
+    if not return_states:
+        return (nlls,)
+    af_stack = jax.tree_util.tree_map(lambda *x: jnp.stack(x), *afs)
+    factor = (af_stack, scb[:k], sdb[:k])
+    pack = getattr(backend, "node_pack",
+                   lambda st_, f_: (st_[0], st_[1], f_))
+    # st_/factor here are already stacked over the k nodes (the scan
+    # path packs per node then stacks; same leaves either way)
+    states = pack((Vb[:k], tb[:k]), factor)
+    return (nlls, states)
+
+
 def _node_eval_packed(backend, th, warm, return_states):
     """One warm-started Laplace node evaluation inside a fused program.
 
@@ -424,7 +511,8 @@ def _node_eval_packed(backend, th, warm, return_states):
 
 def build_fused_run_1d(backend, k: int, tol: float = 1e-9,
                        max_iter: int = 40, jit: bool = True,
-                       return_states: bool = True, sample_M: int = 0):
+                       return_states: bool = True, sample_M: int = 0,
+                       packed_nodes: bool = None):
     """Construct (without executing) the jitted fused-fit program of
     fused_fit_1d. jit=False returns the raw traceable function (for
     embedding in larger programs, e.g. sharded replicate fits);
@@ -433,14 +521,32 @@ def build_fused_run_1d(backend, k: int, tol: float = 1e-9,
     in-program posterior mixture draws (run takes an extra PRNG key,
     returns extra idx/samps outputs — see fused_fit_1d).
 
+    packed_nodes: None (auto: ON when the backend is lane-packable, see
+    _packed_lane_view) | False (always the sequential scans — REQUIRED
+    when the program itself is mapped over, e.g. replicate fits under
+    lax.map: nesting the batched Pallas kernels under an outer map is
+    untested on-chip) | True (error if ineligible). When ON, the FD
+    Hessian pair and the k node evaluations each run as ONE lane-packed
+    batched Laplace evaluation instead of 2+k sequential warm ones; the
+    node warm start is the mode state for every node (the sequential
+    scans chain adjacent nodes), so converged node states agree with
+    the scan path only to the inner-Newton tolerance.
+
     MAINTENANCE: build_fused_run_1d_batched is the hand-vectorized (R,)
-    twin of this optimizer body — mirror any logic change there."""
+    twin of this optimizer body — mirror any logic change there (the
+    packed FD/node phase intentionally does NOT apply there: R
+    replicates x k nodes would exceed the lane capacity)."""
     if sample_M and not return_states:
         raise ValueError("sample_M requires return_states")
     dtype = backend.dtype
     cdt = getattr(backend, "compute_dtype", dtype)
     f_noise = 1e-9 if cdt in (np.float64, jnp.float64) else 3e-7
     h_fd = 1e-4 if cdt in (np.float64, jnp.float64) else 0.3
+    pk = (None if packed_nodes is False
+          else _packed_lane_view(backend, max(k, 2)))
+    if packed_nodes is True and pk is None:
+        raise ValueError("packed_nodes=True but the backend is not "
+                         "lane-packable (see _packed_lane_view)")
     z1, _ = ghe_rule(k)
     # EM-style jump constants (see em_dims docstring): by the envelope
     # theorem dF/dth = 0.5[e^th(Q + tr(H^-1 P)) - d] + hp'(th), so one
@@ -544,19 +650,37 @@ def build_fused_run_1d(backend, k: int, tol: float = 1e-9,
               "it": jnp.asarray(0)}
         c = jax.lax.while_loop(cond, body, c0)
         mode, st = c["th"], c["state"]
-        # FD Hessian at the mode (see hess_warm_fn for the step-size
-        # rationale vs f32 gradient noise); the +/- pair runs as a
-        # 2-step scan so the Laplace body is traced ONCE here (compile
-        # time, not semantics — both evals warm-start from st)
-        def fd_step(_, th_j):
-            _, g_j, _ = vg(th_j, st)
-            return 0, g_j
-        _, g_pm = jax.lax.scan(
-            fd_step, 0, jnp.stack([mode + h_fd, mode - h_fd]))
-        H = (g_pm[0] - g_pm[1]) / (2 * h_fd)
+        if pk is not None:
+            # ---- packed FD + node phase: 2 lane-packed batched
+            # Laplace evaluations instead of 2+k sequential ones ----
+            R = pk.R
+            stR = jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x[None], (R,) + x.shape), st)
+            # FD pair in slots 0/1; extra slots idle at the mode
+            thR = jnp.concatenate([
+                jnp.stack([mode + h_fd, mode - h_fd]),
+                jnp.broadcast_to(mode, (R - 2,))])
+            g_all = jax.grad(
+                lambda t: jnp.sum(pk.nll_warm(t, stR)[0]))(thR)
+            H = (g_all[0] - g_all[1]) / (2 * h_fd)
+        else:
+            # FD Hessian at the mode (see hess_warm_fn for the
+            # step-size rationale vs f32 gradient noise); the +/- pair
+            # runs as a 2-step scan so the Laplace body is traced ONCE
+            # here (compile time, not semantics — both evals
+            # warm-start from st)
+            def fd_step(_, th_j):
+                _, g_j, _ = vg(th_j, st)
+                return 0, g_j
+            _, g_pm = jax.lax.scan(
+                fd_step, 0, jnp.stack([mode + h_fd, mode - h_fd]))
+            H = (g_pm[0] - g_pm[1]) / (2 * h_fd)
         Hpos = jnp.maximum(jnp.abs(H), 1e-8)
         Lad = jax.lax.rsqrt(Hpos)
         nodes = mode + Lad * jnp.asarray(z1, dtype)       # (k,)
+        if pk is not None:
+            return (mode, H, nodes) + _packed_node_phase(
+                backend, pk, nodes, stR, k, return_states)
         # evaluate inner nodes first, chaining warm states outward on
         # each side (adjacent nodes share most of the solution); each
         # side is a lax.scan so the warm Laplace eval is traced once

@@ -74,8 +74,13 @@ def replicate_fits(backend, ys, k: int = 4, mesh: Mesh = None,
 
     def one(be, y):
         b2 = be.with_y(y)
+        # packed_nodes=False: this program runs under lax.map/shard_map
+        # over replicates — nesting the lane-packed batched kernels
+        # under an outer map is exactly the map->while->scan Mosaic
+        # pattern that faults the TPU worker (CLAUDE.md fact 4)
         run = aghq.build_fused_run_1d(b2, kq, jit=False,
-                                      return_states=False)
+                                      return_states=False,
+                                      packed_nodes=False)
         # tie the initial latent state (and theta) to y so every loop
         # carry in the fused program starts sharding-'varying' under
         # shard_map (replicated-init/varying-output carries are rejected)
