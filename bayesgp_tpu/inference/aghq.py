@@ -347,7 +347,8 @@ def _lifted_jit(backend, builder):
 
 
 def fused_fit_1d(backend, k: int = 4, theta0: float = 0.0,
-                 tol: float = 1e-9, max_iter: int = 40, sample=None):
+                 tol: float = 1e-9, max_iter: int = 40, sample=None,
+                 packed_opt: bool = None):
     """The ENTIRE s=1 AGHQ fit as ONE jitted device program: secant-
     Newton on the gradient root (same scheme as _optimize_theta_1d),
     FD Hessian at the mode, GH adaptation, and the k node evaluations —
@@ -377,11 +378,12 @@ def fused_fit_1d(backend, k: int = 4, theta0: float = 0.0,
     if cache is None:
         cache = backend._fused_fit_progs = {}
     sample_M = 0 if sample is None else int(sample[1])
-    ckey = (k, tol, max_iter, sample_M)
+    ckey = (k, tol, max_iter, sample_M, packed_opt)
     if ckey not in cache:
         cache[ckey] = _lifted_jit(
             backend, lambda be: build_fused_run_1d(
-                be, k, tol, max_iter, jit=False, sample_M=sample_M))
+                be, k, tol, max_iter, jit=False, sample_M=sample_M,
+                packed_opt=packed_opt))
 
     th0 = jnp.asarray(float(np.atleast_1d(theta0)[0]), backend.dtype)
     # ONE host transfer for all small outputs (each np.asarray on a
@@ -489,6 +491,227 @@ def _packed_node_phase(backend, pk, nodes, stR, k, return_states):
     return (nlls, states)
 
 
+_LADDER_R = 8   # preferred slot count for the packed theta ladder
+
+
+def _ladder_offsets(R: int):
+    """Static slot layouts of the packed theta ladder (host constants).
+
+    init: pass-0 offsets from theta0 — one probe below, theta0 itself,
+    and a geometric march upward (log-precision modes are usually
+    positive and can sit ~15 units from the cold start at scale; a
+    negative mode leaves all pass-0 gradients positive and the EM far
+    phase marches downward instead).
+    far:  multiples of the EM-or-descent jump (see em_dims and the
+    body). The top multiple is deliberately LOCAL (2.8): teleporting
+    ladders reached numerically-degraded theta regions whose garbage
+    finite f then poisoned the best-by-f tracking (measured: an IWP3
+    Poisson model with a strong smooth signal has spurious gradient
+    sign changes and NaN f beyond theta ~ 30).
+    fine: bracket-relative offsets for slots 3..R-1 (slots 0-2 are the
+    secant root and the root +/- h_fd FD pair), alternating signs so the
+    innermost pair tightens the bracket superlinearly."""
+    pos = np.geomspace(1.8, 20.0, R - 2)
+    init = np.concatenate([[-2.5], [0.0], pos])
+    far = np.geomspace(0.55, 2.8, R)
+    base = [0.07, 0.24, 0.45, 0.7, 1.0, 1.35, 1.75]
+    fine = [base[min(i // 2, len(base) - 1)] * (1 if i % 2 == 0 else -1)
+            for i in range(R - 3)]
+    return init, far, np.asarray(fine, np.float64)
+
+
+def _build_ladder_opt(backend, pk, tol, max_iter, h_fd, em_dim, em_phi,
+                      th_tol):
+    """Lane-packed theta LADDER: the s=1 outer optimization as a few
+    batched Laplace passes instead of the scalar secant march.
+
+    Every while-loop iteration evaluates R candidate thetas in ONE
+    lane-packed batched pass (same engine as the packed FD/node phase,
+    _packed_lane_view) and uses the R gradients to bracket the gradient
+    root:
+
+      pass 0   static spread around theta0 (usually brackets the mode
+               outright — covid-scale modes sit ~15 units out);
+      far      no bracket yet: EM fixed-point jumps from the best point,
+               laddered over under/over-shoot multiples;
+      fine     bracketed: slots at the secant root, the root +/- h_fd FD
+               pair (the outer Hessian comes FREE from these two — no
+               separate FD pass), and bracket-relative offsets; the
+               innermost sign change tightens the bracket superlinearly.
+
+    Converges when the root slot's Newton correction |g(root)|/H drops
+    below th_tol (the scalar march's criterion) with the FD Hessian in
+    hand. Device trace round 10: the scalar march was 181 ms of the
+    337 ms headline fit (8 sequential warm evaluations) + 35 ms cold
+    eval + 31 ms packed FD; the ladder replaces all three with ~3-4
+    batched passes. Returns (mode, H, st) with st the best slot's
+    latent state (the warm start for the packed node phase)."""
+    R = pk.R
+    dtype = backend.dtype
+    init_o, far_o, fine_o = _ladder_offsets(R)
+    init_j = jnp.asarray(init_o, dtype)
+    far_j = jnp.asarray(far_o, dtype)
+    fine_j = jnp.asarray(fine_o, dtype)
+    em_c = jnp.asarray(math.log(em_dim), dtype)
+
+    def _sum_nll(th, state):
+        f, st = pk.nll_warm(th, state)
+        return jnp.sum(f), (f, st)
+
+    # a slot only counts if its inner Newton actually CONVERGED: at
+    # extreme theta the solver can break down and return chaotic
+    # garbage with FINITE (sometimes low!) f that would poison the
+    # best-by-f tracking and lock the bracket inside the breakdown
+    # zone (measured: an IWP3 Poisson model returns f varying by
+    # hundreds between thetas 1e-7 apart beyond theta ~ 30, residuals
+    # 1e1 vs 1e-8 converged). One extra batched factorization+solve
+    # per pass measures the post-convergence Newton step; the
+    # threshold is a loose multiple of the solver's own steptol
+    # (fast/batched.newton_solve).
+    _cdt = getattr(backend, "compute_dtype", backend.dtype)
+    steptol = 1e-9 if _cdt in (np.float64, jnp.float64) else 3e-6
+    step_thresh = 1e3 * steptol
+
+    def _conv_check(op):
+        thc, V, tail = op
+        gV, gt = pk.grad_W(V, tail, thc)
+        factor = pk.hessian_factor(V, tail, thc)
+        sV, stl = pk.solve_H(factor, gV, gt)
+        snorm = jnp.max(jnp.abs(sV), axis=1)
+        if pk.q:
+            snorm = jnp.maximum(snorm, jnp.max(jnp.abs(stl), axis=1))
+        rel = snorm / (1.0 + jnp.max(jnp.abs(V), axis=1))
+        return jnp.isfinite(rel) & (rel < step_thresh)
+
+    def vgR(th, st1, skip_check):
+        # ONE batched Laplace pass: all R slots warm-start from the
+        # best point's state; the sum's gradient is the per-slot
+        # gradient vector (independent slots). The convergence check
+        # only runs for UNBRACKETED passes (skip_check=False): fine
+        # slots live inside a bracket whose endpoints were already
+        # validated converged, so the extra factorization is skipped
+        stR = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (R,) + x.shape), st1)
+        (_, (f, st)), g = jax.value_and_grad(
+            _sum_nll, has_aux=True)(th, stR)
+        V, tail = jax.lax.stop_gradient(st)
+        thc = jax.lax.stop_gradient(th)
+        conv = jax.lax.cond(skip_check,
+                            lambda op: jnp.ones((R,), bool),
+                            _conv_check, (thc, V, tail))
+        return f, g, st, conv
+
+    def secant_root(lo, g_lo, hi, g_hi):
+        w = hi - lo
+        denom = g_hi - g_lo
+        r = jnp.where(jnp.abs(denom) > 1e-300,
+                      lo - g_lo * w / denom, 0.5 * (lo + hi))
+        return jnp.clip(r, lo, hi)
+
+    def cond(c):
+        return jnp.logical_and(~c["done"], c["it"] < max_iter)
+
+    def body(c):
+        w = c["hi"] - c["lo"]
+        root = secant_root(c["lo"], c["g_lo"], c["hi"], c["g_hi"])
+        eps_w = 1e-3 * w
+        fine = jnp.concatenate([
+            jnp.stack([root, root - h_fd, root + h_fd]),
+            jnp.clip(root + w * fine_j, c["lo"] + eps_w,
+                     c["hi"] - eps_w)])
+        # EM far jump from the best (lowest-f) point (exp-hyperprior
+        # slope hp'(th) = 1/2 - phi/2 e^{-th/2}; build_fused_run_1d).
+        # On the large-theta plateau the envelope term vanishes and
+        # em -> 0 with a noise-dominated sign — fall back to the
+        # descent direction -sign(g); `mscale` shrinks the march when
+        # a pass fails to improve f (the scalar march's trust cap)
+        hp = 0.5 - 0.5 * em_phi * jnp.exp(-0.5 * c["th"])
+        A = 2.0 * (c["g"] - hp) + em_dim
+        em = jnp.clip(em_c - jnp.log(jnp.maximum(A, 1e-4 * em_dim)),
+                      -8.0, 8.0)
+        # the EM fixed point exists only for A > 0 (g above the
+        # envelope's -d/2 floor); outside that, and on the plateau
+        # where em -> 0 with a noise sign, march locally along the
+        # descent direction with unit magnitude instead
+        em_ok = (A > 1e-3 * em_dim) & (jnp.abs(em) >= 0.5)
+        jdir = jnp.where(em_ok, jnp.sign(em), -jnp.sign(c["g"]))
+        jmag = jnp.where(em_ok, jnp.abs(em), 1.0) * c["mscale"]
+        far = c["th"] + jdir * jmag * far_j
+        cands = jnp.where(c["it"] == 0, c["th"] + init_j,
+                          jnp.where(c["have"], fine, far))
+        f, g, sts, conv = vgR(cands, c["st"],
+                              c["have"] & (c["it"] > 0))
+        valid = jnp.isfinite(f) & jnp.isfinite(g) & conv
+        # best point = lowest f (NOT smallest |g|: numerically-degraded
+        # large-theta regions show |g| minima and spurious sign changes
+        # far from the mode at catastrophically worse f — measured on
+        # an IWP3 Poisson model whose plateau g ~ hp' ~ 0.5 undercut
+        # the near-mode gradients)
+        fv = jnp.where(valid, f, jnp.inf)
+        ib = jnp.argmin(fv)
+        better = valid[ib] & (fv[ib] < c["fb"])
+        th2 = jnp.where(better, cands[ib], c["th"])
+        g2 = jnp.where(better, g[ib], c["g"])
+        fb2 = jnp.where(better, f[ib], c["fb"])
+        st2 = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(better, n[ib], o), sts, c["st"])
+        # bracket update ANCHORED at the best point: the tightest
+        # (negative-g at/below, nonnegative-g at/above) pair around it
+        # (a global max-neg/min-pos rule deadlocks on the spurious
+        # large-theta sign changes); lo <= th2 <= hi by construction
+        TH = jnp.concatenate([cands, jnp.stack([c["lo"], c["hi"]])])
+        GG = jnp.concatenate([g, jnp.stack([c["g_lo"], c["g_hi"]])])
+        VV = jnp.concatenate([valid, jnp.stack([c["have"], c["have"]])])
+        negm = VV & (GG < 0) & (TH <= th2)
+        posm = VV & (GG >= 0) & (TH >= th2)
+        i_lo = jnp.argmax(jnp.where(negm, TH, -jnp.inf))
+        i_hi = jnp.argmin(jnp.where(posm, TH, jnp.inf))
+        have2 = jnp.any(negm) & jnp.any(posm)
+        lo2 = jnp.where(have2, TH[i_lo], c["lo"])
+        g_lo2 = jnp.where(have2, GG[i_lo], c["g_lo"])
+        hi2 = jnp.where(have2, TH[i_hi], c["hi"])
+        g_hi2 = jnp.where(have2, GG[i_hi], c["g_hi"])
+        mscale2 = jnp.where(have2 | better, jnp.asarray(1.0, dtype),
+                            jnp.maximum(c["mscale"] * 0.4, 1e-3))
+        used_fine = c["have"] & (c["it"] > 0)
+        fd_ok = used_fine & valid[1] & valid[2]
+        H2 = jnp.where(fd_ok, (g[2] - g[1]) / (2.0 * h_fd), c["H"])
+        seen2 = c["seen_fd"] | fd_ok
+        root2 = secant_root(lo2, g_lo2, hi2, g_hi2)
+        Hc = jnp.maximum(jnp.abs(H2), 1e-12)
+        done = (used_fine & valid[0] & seen2
+                & (jnp.abs(g[0]) / Hc < th_tol))
+        done = done | (seen2 & (jnp.abs(g2) < tol))
+        return {"th": th2, "g": g2, "fb": fb2, "st": st2,
+                "lo": lo2, "hi": hi2,
+                "g_lo": g_lo2, "g_hi": g_hi2, "have": have2,
+                "mscale": mscale2,
+                "H": H2, "seen_fd": seen2, "root": root2,
+                "done": done, "it": c["it"] + 1}
+
+    def run(th0, state0):
+        zs = jnp.asarray(0.0, dtype)
+        c0 = {"th": th0 + zs, "g": jnp.asarray(1e30, dtype),
+              "fb": jnp.asarray(jnp.inf, dtype),
+              "st": state0, "lo": th0 + zs, "hi": th0 + zs,
+              "g_lo": zs, "g_hi": zs, "have": jnp.asarray(False),
+              "mscale": jnp.asarray(1.0, dtype),
+              "H": zs, "seen_fd": jnp.asarray(False), "root": th0 + zs,
+              "done": jnp.asarray(False), "it": jnp.asarray(0)}
+        c = jax.lax.while_loop(cond, body, c0)
+        mode = jnp.where(c["have"], c["root"], c["th"])
+        # H fallback when max_iter ran out before an FD pass: the
+        # bracket's secant slope (only places quadrature nodes)
+        w = c["hi"] - c["lo"]
+        h_sec = jnp.where(c["have"] & (w > 1e-12),
+                          (c["g_hi"] - c["g_lo"]) / jnp.maximum(w, 1e-12),
+                          jnp.maximum(jnp.abs(c["g"]), 1.0))
+        H = jnp.where(c["seen_fd"], c["H"], h_sec)
+        return mode, H, c["st"]
+
+    return run
+
+
 def _node_eval_packed(backend, th, warm, return_states):
     """One warm-started Laplace node evaluation inside a fused program.
 
@@ -512,7 +735,8 @@ def _node_eval_packed(backend, th, warm, return_states):
 def build_fused_run_1d(backend, k: int, tol: float = 1e-9,
                        max_iter: int = 40, jit: bool = True,
                        return_states: bool = True, sample_M: int = 0,
-                       packed_nodes: bool = None):
+                       packed_nodes: bool = None,
+                       packed_opt: bool = None):
     """Construct (without executing) the jitted fused-fit program of
     fused_fit_1d. jit=False returns the raw traceable function (for
     embedding in larger programs, e.g. sharded replicate fits);
@@ -532,21 +756,47 @@ def build_fused_run_1d(backend, k: int, tol: float = 1e-9,
     scans chain adjacent nodes), so converged node states agree with
     the scan path only to the inner-Newton tolerance.
 
+    packed_opt: None (auto: ON when packing is on and the backend has
+    EM structure) | False (scalar secant march, packed FD/nodes only —
+    the round-10 behavior; the mode then matches the sequential program
+    bit-for-bit) | True (error if ineligible). When ON, the outer
+    optimization runs as the lane-packed theta LADDER
+    (_build_ladder_opt): ~3-4 batched passes replace the cold eval +
+    the ~8-iteration scalar march + the separate FD pass, landing on
+    the same |correction| < th_tol criterion — the mode agrees with the
+    scalar march's to optimizer tolerance (~1e-7 f64 / ~1e-4 f32), not
+    bit-for-bit. packed_nodes=False disables the ladder too (both ride
+    the same batched engine).
+
     MAINTENANCE: build_fused_run_1d_batched is the hand-vectorized (R,)
-    twin of this optimizer body — mirror any logic change there (the
-    packed FD/node phase intentionally does NOT apply there: R
-    replicates x k nodes would exceed the lane capacity)."""
+    twin of this SCALAR optimizer body — mirror any logic change there
+    (the packed FD/node/ladder phases intentionally do NOT apply there:
+    R replicates x k slots would exceed the lane capacity)."""
     if sample_M and not return_states:
         raise ValueError("sample_M requires return_states")
     dtype = backend.dtype
     cdt = getattr(backend, "compute_dtype", dtype)
     f_noise = 1e-9 if cdt in (np.float64, jnp.float64) else 3e-7
     h_fd = 1e-4 if cdt in (np.float64, jnp.float64) else 0.3
-    pk = (None if packed_nodes is False
-          else _packed_lane_view(backend, max(k, 2)))
+    th_tol = 1e-7 if cdt in (np.float64, jnp.float64) else 1e-4
+    _dims0 = getattr(backend, "em_dims", None)
+    _em0 = None if _dims0 is None else float(np.asarray(_dims0)[0])
+    want_opt = (packed_nodes is not False and packed_opt is not False
+                and _em0 is not None)
+    pk = None
+    if packed_nodes is not False:
+        if want_opt:
+            pk = _packed_lane_view(backend, max(k, 2, _LADDER_R))
+        if pk is None:
+            pk = _packed_lane_view(backend, max(k, 2))
+    ladder = want_opt and pk is not None and pk.R >= 4
     if packed_nodes is True and pk is None:
         raise ValueError("packed_nodes=True but the backend is not "
                          "lane-packable (see _packed_lane_view)")
+    if packed_opt is True and not ladder:
+        raise ValueError("packed_opt=True but the ladder is not "
+                         "eligible (needs a lane-packable backend with "
+                         "EM structure and >= 4 slots)")
     z1, _ = ghe_rule(k)
     # EM-style jump constants (see em_dims docstring): by the envelope
     # theorem dF/dth = 0.5[e^th(Q + tr(H^-1 P)) - d] + hp'(th), so one
@@ -554,12 +804,15 @@ def build_fused_run_1d(backend, k: int, tol: float = 1e-9,
     # From a cold start this replaces the blind expanding-cap march
     # (the mode sits ~14 units from th0=0 at headline scale) with 2-4
     # self-correcting jumps; the secant polish takes over near the mode.
-    _dims = getattr(backend, "em_dims", None)
-    em_dim = None if _dims is None else float(np.asarray(_dims)[0])
+    em_dim = _em0
     if em_dim is not None:
         _alpha = float(np.asarray(backend.md.alpha).reshape(-1)[0])
         _u = float(np.asarray(backend.md.u).reshape(-1)[0])
         em_phi = -math.log(_alpha) / _u
+
+    ladder_run = (_build_ladder_opt(backend, pk, tol, max_iter, h_fd,
+                                    em_dim, em_phi, th_tol)
+                  if ladder else None)
 
     def vg(th_scalar, state):
         (f, st), g = jax.value_and_grad(
@@ -567,7 +820,11 @@ def build_fused_run_1d(backend, k: int, tol: float = 1e-9,
                 jnp.reshape(th_scalar, (1,)).astype(dtype), state)
         return f, g[0], st
 
-    def run(th0, state0):
+    def _optimize_and_hess(th0, state0):
+        """(mode, H, warm latent state at the mode) — the lane-packed
+        ladder when eligible, else the scalar secant march + FD pair."""
+        if ladder:
+            return ladder_run(th0, state0)
         f0, g0, st0 = vg(th0, state0)
 
         def cond(c):
@@ -651,8 +908,8 @@ def build_fused_run_1d(backend, k: int, tol: float = 1e-9,
         c = jax.lax.while_loop(cond, body, c0)
         mode, st = c["th"], c["state"]
         if pk is not None:
-            # ---- packed FD + node phase: 2 lane-packed batched
-            # Laplace evaluations instead of 2+k sequential ones ----
+            # ---- packed FD pair: ONE lane-packed batched Laplace
+            # evaluation instead of a 2-step sequential scan ----
             R = pk.R
             stR = jax.tree_util.tree_map(
                 lambda x: jnp.broadcast_to(x[None], (R,) + x.shape), st)
@@ -675,10 +932,17 @@ def build_fused_run_1d(backend, k: int, tol: float = 1e-9,
             _, g_pm = jax.lax.scan(
                 fd_step, 0, jnp.stack([mode + h_fd, mode - h_fd]))
             H = (g_pm[0] - g_pm[1]) / (2 * h_fd)
+        return mode, H, st
+
+    def run(th0, state0):
+        mode, H, st = _optimize_and_hess(th0, state0)
         Hpos = jnp.maximum(jnp.abs(H), 1e-8)
         Lad = jax.lax.rsqrt(Hpos)
         nodes = mode + Lad * jnp.asarray(z1, dtype)       # (k,)
         if pk is not None:
+            stR = jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x[None], (pk.R,) + x.shape),
+                st)
             return (mode, H, nodes) + _packed_node_phase(
                 backend, pk, nodes, stR, k, return_states)
         # evaluate inner nodes first, chaining warm states outward on

@@ -57,14 +57,17 @@ def test_sharded_fused_fit_matches_single_device():
 
     be = _chunked_backend()
     key = jax.random.PRNGKey(7)
+    # packed_opt=False: the sharded program can't lane-pack (pk is None
+    # under data sharding), so compare identical scalar-march programs —
+    # this test isolates GSPMD reduction-order noise, not the ladder
     mode, H, nodes, nlls, _, idx, samps = fused_fit_1d(
-        be, k=4, sample=(key, 16))
+        be, k=4, sample=(key, 16), packed_opt=False)
 
     mesh = DS.data_mesh(jax.devices()[:8])
     bes = DS.shard_backend_data(be, mesh)
     assert bes.chunks.nc == 8 and bes.chunks.nc_real == be.chunks.nc
     mode_s, H_s, nodes_s, nlls_s, _, idx_s, samps_s = fused_fit_1d(
-        bes, k=4, sample=(key, 16))
+        bes, k=4, sample=(key, 16), packed_opt=False)
 
     # per-shard partial sums + psum reorder the O(n) reductions; the
     # secant/Newton trajectory amplifies that slightly through the mode
@@ -158,8 +161,11 @@ def test_model_fit_data_mesh():
     f0 = bg.model_fit("y ~ f(x, model='IWP', order=2, k=20)", **kw)
     f1 = bg.model_fit("y ~ f(x, model='IWP', order=2, k=20)",
                       data_mesh=DS.data_mesh(jax.devices()[:8]), **kw)
-    assert abs(f1.mod.lognormconst - f0.mod.lognormconst) < 1e-8
-    np.testing.assert_allclose(f1.mod.mode, f0.mod.mode, atol=1e-6)
+    # the unsharded fit uses the lane-packed theta ladder, the sharded
+    # one the scalar march (pk is None under data sharding): agreement
+    # is to optimizer tolerance; lognormconst is stationary at the mode
+    assert abs(f1.mod.lognormconst - f0.mod.lognormconst) < 1e-6
+    np.testing.assert_allclose(f1.mod.mode, f0.mod.mode, atol=2e-4)
 
     # dense backend (tiny model) has no chunked design -> clear error
     small = {"y": y[:100], "x": x[:100]}

@@ -41,8 +41,12 @@ def test_replicates_match_single_fits():
     for i in range(2):
         b2 = be.with_y(jnp.asarray(ys[i]))
         fit = aghq.aghq_fit(b2, k=4)
-        assert abs(float(modes[i]) - float(fit.mode[0])) < 1e-6
-        assert abs(float(lncs[i]) - fit.lognormconst) < 1e-6
+        # replicate programs run the scalar march (packed_nodes=False
+        # under lax.map); single fits use the lane-packed theta ladder —
+        # agreement is to optimizer tolerance, and lognormconst is
+        # stationary at the mode
+        assert abs(float(modes[i]) - float(fit.mode[0])) < 2e-4
+        assert abs(float(lncs[i]) - fit.lognormconst) < 1e-5
 
 
 def test_replicates_sharded_over_mesh():
