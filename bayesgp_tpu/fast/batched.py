@@ -373,6 +373,19 @@ class BatchedFastIWP:
         return (V - alpha[:, None] * step_V,
                 tail - alpha[:, None] * step_t, smax)
 
+    # stall cutoff of newton_solve: a slot whose step norm hasn't beaten
+    # 0.95x its historical best for 10 consecutive iterations has hit
+    # its f32 noise floor and exits the convergence condition. Without
+    # this, ONE noise-floor-limited slot holds the whole batch at
+    # max_iter: measured on-chip at headline scale (n=1e5, d=2009), a
+    # lane slot at theta=20 stalls at relative step 7.5e-5 (> steptol
+    # 3e-6) while the other 7 converge in 7 iterations — the ladder's
+    # pass-0 then burned 100 batched steps (~0.9 s of the 1.9 s
+    # regression, bench round 11). Converged slots are unaffected and
+    # f64 runs (everything reaches steptol) are bit-identical.
+    _STALL_WINDOW = 10
+    _STALL_FACTOR = 0.95
+
     def newton_solve(self, theta, max_iter=100, warm=None):
         if warm is None:
             V0, t0 = self.init_state()
@@ -381,17 +394,24 @@ class BatchedFastIWP:
         steptol = 1e-9 if self.compute_dtype == jnp.float64 else 3e-6
 
         def cond(state):
-            V, tail, it, smax = state
+            V, tail, it, smax, best, since = state
             small = smax < steptol * (1.0 + jnp.max(jnp.abs(V), axis=1))
-            return jnp.logical_and(~jnp.all(small), it < max_iter)
+            live = ~(small | (since >= self._STALL_WINDOW))
+            return jnp.logical_and(jnp.any(live), it < max_iter)
 
         def body(state):
-            V, tail, it, _ = state
+            V, tail, it, _, best, since = state
             V2, t2, smax = self.newton_step(V, tail, theta)
-            return V2, t2, it + 1, smax
+            improved = smax < self._STALL_FACTOR * best
+            return (V2, t2, it + 1, smax, jnp.minimum(best, smax),
+                    jnp.where(improved, 0, since + 1))
 
+        # both extra carries inherit V0's vma (varying under shard_map)
+        # like `big` does, or the while_loop carry types mismatch
         big = jnp.full((self.R,), 1e30, self.dtype) + 0.0 * V0[:, 0]
-        V, tail, _, _ = jax.lax.while_loop(cond, body, (V0, t0, 0, big))
+        zero = (0.0 * V0[:, 0]).astype(jnp.int32)
+        V, tail, _, _, _, _ = jax.lax.while_loop(
+            cond, body, (V0, t0, 0, big, big, zero))
         return V, tail
 
     def _refine(self, V, tail, theta):

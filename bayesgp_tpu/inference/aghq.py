@@ -416,13 +416,18 @@ def _packed_lane_view(backend, R):
     the batched view's ll constant is set to ZERO on purpose: the FD
     phase consumes only theta-gradients (constants drop), and the node
     values are computed with families.log_lik directly so they carry
-    the exact constant the optimizer's scalar path uses."""
+    the exact constant the optimizer's scalar path uses.
+
+    Data-sharded backends (parallel/data_sharded.py) pack too: the
+    batched view consumes the SAME chunk arrays (ck.D / XFp_rows) that
+    carry the NamedShardings, so GSPMD partitions the replicate-batched
+    einsums over the chunk axis exactly like the scalar ones — the R
+    lane slots stay replicated, the O(n.w) design work shards."""
     from ..fast.iwp import FastIWPBackend
     from ..fast import batched as fb
     if not isinstance(backend, FastIWPBackend):
         return None
-    if (backend.chunks is None or backend.n_theta != 1
-            or getattr(backend, "data_sharded", None) is not None):
+    if backend.chunks is None or backend.n_theta != 1:
         return None
     if int(backend.md.family) not in (1, 2):
         return None
@@ -501,7 +506,10 @@ def _ladder_offsets(R: int):
     and a geometric march upward (log-precision modes are usually
     positive and can sit ~15 units from the cold start at scale; a
     negative mode leaves all pass-0 gradients positive and the EM far
-    phase marches downward instead).
+    phase marches downward instead). The top probe is 15, not further:
+    measured on-chip at headline scale, a theta=20 slot's inner Newton
+    stalls at its f32 noise floor (rel step 7.5e-5 > steptol) and costs
+    the stall-cutoff window of extra batched steps every cold pass.
     far:  multiples of the EM-or-descent jump (see em_dims and the
     body). The top multiple is deliberately LOCAL (2.8): teleporting
     ladders reached numerically-degraded theta regions whose garbage
@@ -511,7 +519,7 @@ def _ladder_offsets(R: int):
     fine: bracket-relative offsets for slots 3..R-1 (slots 0-2 are the
     secant root and the root +/- h_fd FD pair), alternating signs so the
     innermost pair tightens the bracket superlinearly."""
-    pos = np.geomspace(1.8, 20.0, R - 2)
+    pos = np.geomspace(1.8, 15.0, R - 2)
     init = np.concatenate([[-2.5], [0.0], pos])
     far = np.geomspace(0.55, 2.8, R)
     base = [0.07, 0.24, 0.45, 0.7, 1.0, 1.35, 1.75]
@@ -615,10 +623,17 @@ def _build_ladder_opt(backend, pk, tol, max_iter, h_fd, em_dim, em_phi,
         w = c["hi"] - c["lo"]
         root = secant_root(c["lo"], c["g_lo"], c["hi"], c["g_hi"])
         eps_w = 1e-3 * w
+        # Newton-polish slot once the FD Hessian is in hand: quadratic
+        # tightening from the best point (the pure secant root needs
+        # one more pass for the same landing error). Falls back to the
+        # first bracket-relative offset before the first FD pass.
+        Hn = jnp.maximum(jnp.abs(c["H"]), 1e-12)
+        newt = jnp.where(c["seen_fd"], c["th"] - c["g"] / Hn,
+                         root + w * fine_j[0])
         fine = jnp.concatenate([
             jnp.stack([root, root - h_fd, root + h_fd]),
-            jnp.clip(root + w * fine_j, c["lo"] + eps_w,
-                     c["hi"] - eps_w)])
+            jnp.clip(jnp.concatenate([newt[None], root + w * fine_j[1:]]),
+                     c["lo"] + eps_w, c["hi"] - eps_w)])
         # EM far jump from the best (lowest-f) point (exp-hyperprior
         # slope hp'(th) = 1/2 - phi/2 e^{-th/2}; build_fused_run_1d).
         # On the large-theta plateau the envelope term vanishes and
@@ -679,8 +694,12 @@ def _build_ladder_opt(backend, pk, tol, max_iter, h_fd, em_dim, em_phi,
         seen2 = c["seen_fd"] | fd_ok
         root2 = secant_root(lo2, g_lo2, hi2, g_hi2)
         Hc = jnp.maximum(jnp.abs(H2), 1e-12)
-        done = (used_fine & valid[0] & seen2
-                & (jnp.abs(g[0]) / Hc < th_tol))
+        # converged when the root slot OR the Newton-polish slot shows a
+        # sub-th_tol correction (the returned mode is the final
+        # bracket's secant root, which both slots have just tightened)
+        done = (used_fine & seen2
+                & ((valid[0] & (jnp.abs(g[0]) / Hc < th_tol))
+                   | (valid[3] & (jnp.abs(g[3]) / Hc < th_tol))))
         done = done | (seen2 & (jnp.abs(g2) < tol))
         return {"th": th2, "g": g2, "fb": fb2, "st": st2,
                 "lo": lo2, "hi": hi2,

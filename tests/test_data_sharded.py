@@ -57,9 +57,9 @@ def test_sharded_fused_fit_matches_single_device():
 
     be = _chunked_backend()
     key = jax.random.PRNGKey(7)
-    # packed_opt=False: the sharded program can't lane-pack (pk is None
-    # under data sharding), so compare identical scalar-march programs —
-    # this test isolates GSPMD reduction-order noise, not the ladder
+    # packed_opt=False: compare identical scalar-march programs (packed
+    # FD/node phases still on, on BOTH sides) — this test isolates GSPMD
+    # reduction-order noise from ladder-vs-march optimizer differences
     mode, H, nodes, nlls, _, idx, samps = fused_fit_1d(
         be, k=4, sample=(key, 16), packed_opt=False)
 
@@ -77,6 +77,23 @@ def test_sharded_fused_fit_matches_single_device():
     np.testing.assert_allclose(nlls_s, nlls, rtol=1e-9)
     np.testing.assert_array_equal(idx_s, idx)
     np.testing.assert_allclose(samps_s, samps, atol=1e-5)
+
+
+def test_sharded_ladder_matches_single_device():
+    """The DEFAULT sharded program (lane-packed theta ladder + packed
+    FD/node phases, all under GSPMD): the batched engine consumes the
+    same NamedSharding-carrying chunk arrays as the scalar one, so the
+    packed program shards transparently too."""
+    assert len(jax.devices()) >= 8
+    from bayesgp_tpu.inference.aghq import fused_fit_1d
+
+    be = _chunked_backend()
+    mode, H, nodes, nlls, _ = fused_fit_1d(be, k=4)
+    bes = DS.shard_backend_data(be, DS.data_mesh(jax.devices()[:8]))
+    mode_s, H_s, nodes_s, nlls_s, _ = fused_fit_1d(bes, k=4)
+    np.testing.assert_allclose(mode_s, mode, atol=1e-7)
+    np.testing.assert_allclose(H_s, H, rtol=1e-6)
+    np.testing.assert_allclose(nlls_s, nlls, rtol=1e-8)
 
 
 def test_sharded_fused_nd_matches_single_device():
@@ -161,9 +178,8 @@ def test_model_fit_data_mesh():
     f0 = bg.model_fit("y ~ f(x, model='IWP', order=2, k=20)", **kw)
     f1 = bg.model_fit("y ~ f(x, model='IWP', order=2, k=20)",
                       data_mesh=DS.data_mesh(jax.devices()[:8]), **kw)
-    # the unsharded fit uses the lane-packed theta ladder, the sharded
-    # one the scalar march (pk is None under data sharding): agreement
-    # is to optimizer tolerance; lognormconst is stationary at the mode
+    # both fits run the default lane-packed ladder program; agreement is
+    # GSPMD reduction-order noise through the optimizer trajectory
     assert abs(f1.mod.lognormconst - f0.mod.lognormconst) < 1e-6
     np.testing.assert_allclose(f1.mod.mode, f0.mod.mode, atol=2e-4)
 
