@@ -701,23 +701,45 @@ def _build_ladder_opt(backend, pk, tol, max_iter, h_fd, em_dim, em_phi,
                 & ((valid[0] & (jnp.abs(g[0]) / Hc < th_tol))
                    | (valid[3] & (jnp.abs(g[3]) / Hc < th_tol))))
         done = done | (seen2 & (jnp.abs(g2) < tol))
+        # ... or when the BRACKET is tight: the returned mode (the
+        # bracket's secant root) is within w of the gradient's sign
+        # change, the same error class as the |g|/H criteria. This is
+        # the criterion that actually fires at f32 production scale,
+        # where the theta-gradient noise is O(1) (measured +/-3 at
+        # n=1e5/d=2009 within a 3e-4 bracket) and |g|/H can NEVER reach
+        # th_tol — without it the loop burned all max_iter passes
+        # (traced on-chip: bracket 3e-4 wide by pass 3, then 36 stuck
+        # 60 ms passes).
+        w2 = hi2 - lo2
+        done = done | (have2 & seen2
+                       & (w2 < th_tol * (1.0 + jnp.abs(root2))))
+        # ... or on stall: no new best point and no bracket tightening
+        # for 3 consecutive fine passes means every slot is inside the
+        # noise floor — accept the root rather than re-rolling the dice
+        tighter = have2 & (w2 < 0.98 * (c["hi"] - c["lo"]))
+        stall2 = jnp.where(better | tighter | ~have2, 0,
+                           c["stall"] + 1)
+        done = done | (have2 & seen2 & (stall2 >= 3))
         return {"th": th2, "g": g2, "fb": fb2, "st": st2,
                 "lo": lo2, "hi": hi2,
                 "g_lo": g_lo2, "g_hi": g_hi2, "have": have2,
-                "mscale": mscale2,
+                "mscale": mscale2, "stall": stall2,
                 "H": H2, "seen_fd": seen2, "root": root2,
                 "done": done, "it": c["it"] + 1}
 
-    def run(th0, state0):
+    def init_carry(th0, state0):
         zs = jnp.asarray(0.0, dtype)
-        c0 = {"th": th0 + zs, "g": jnp.asarray(1e30, dtype),
-              "fb": jnp.asarray(jnp.inf, dtype),
-              "st": state0, "lo": th0 + zs, "hi": th0 + zs,
-              "g_lo": zs, "g_hi": zs, "have": jnp.asarray(False),
-              "mscale": jnp.asarray(1.0, dtype),
-              "H": zs, "seen_fd": jnp.asarray(False), "root": th0 + zs,
-              "done": jnp.asarray(False), "it": jnp.asarray(0)}
-        c = jax.lax.while_loop(cond, body, c0)
+        return {"th": th0 + zs, "g": jnp.asarray(1e30, dtype),
+                "fb": jnp.asarray(jnp.inf, dtype),
+                "st": state0, "lo": th0 + zs, "hi": th0 + zs,
+                "g_lo": zs, "g_hi": zs, "have": jnp.asarray(False),
+                "mscale": jnp.asarray(1.0, dtype),
+                "stall": jnp.asarray(0),
+                "H": zs, "seen_fd": jnp.asarray(False), "root": th0 + zs,
+                "done": jnp.asarray(False), "it": jnp.asarray(0)}
+
+    def run(th0, state0):
+        c = jax.lax.while_loop(cond, body, init_carry(th0, state0))
         mode = jnp.where(c["have"], c["root"], c["th"])
         # H fallback when max_iter ran out before an FD pass: the
         # bracket's secant slope (only places quadrature nodes)
@@ -728,6 +750,8 @@ def _build_ladder_opt(backend, pk, tol, max_iter, h_fd, em_dim, em_phi,
         H = jnp.where(c["seen_fd"], c["H"], h_sec)
         return mode, H, c["st"]
 
+    # debugging hooks: run the loop eagerly pass-by-pass (tools/)
+    run.cond, run.body, run.init_carry = cond, body, init_carry
     return run
 
 
