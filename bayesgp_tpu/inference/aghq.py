@@ -551,9 +551,11 @@ def _build_ladder_opt(backend, pk, tol, max_iter, h_fd, em_dim, em_phi,
     below th_tol (the scalar march's criterion) with the FD Hessian in
     hand. Device trace round 10: the scalar march was 181 ms of the
     337 ms headline fit (8 sequential warm evaluations) + 35 ms cold
-    eval + 31 ms packed FD; the ladder replaces all three with ~3-4
-    batched passes. Returns (mode, H, st) with st the best slot's
-    latent state (the warm start for the packed node phase)."""
+    eval + 31 ms packed FD; the ladder replaces all three with 4
+    batched passes — but MEASURED SLOWER on-chip (~100 ms/pass; see
+    the packed_opt docstring in build_fused_run_1d), so it is opt-in.
+    Returns (mode, H, st) with st the best slot's latent state (the
+    warm start for the packed node phase)."""
     R = pk.R
     dtype = backend.dtype
     init_o, far_o, fine_o = _ladder_offsets(R)
@@ -799,17 +801,27 @@ def build_fused_run_1d(backend, k: int, tol: float = 1e-9,
     scans chain adjacent nodes), so converged node states agree with
     the scan path only to the inner-Newton tolerance.
 
-    packed_opt: None (auto: ON when packing is on and the backend has
-    EM structure) | False (scalar secant march, packed FD/nodes only —
-    the round-10 behavior; the mode then matches the sequential program
-    bit-for-bit) | True (error if ineligible). When ON, the outer
-    optimization runs as the lane-packed theta LADDER
-    (_build_ladder_opt): ~3-4 batched passes replace the cold eval +
-    the ~8-iteration scalar march + the separate FD pass, landing on
-    the same |correction| < th_tol criterion — the mode agrees with the
-    scalar march's to optimizer tolerance (~1e-7 f64 / ~1e-4 f32), not
-    bit-for-bit. packed_nodes=False disables the ladder too (both ride
-    the same batched engine).
+    packed_opt: None/False (default: the scalar secant march + packed
+    FD/nodes — the mode matches the sequential program bit-for-bit) |
+    True (error if ineligible). When True, the outer optimization runs
+    as the lane-packed theta LADDER (_build_ladder_opt): 4 batched
+    passes replace the cold eval + the ~8-iteration scalar march + the
+    separate FD pass, landing on the same |correction| < th_tol
+    criterion — the mode agrees with the scalar march's to optimizer
+    tolerance (~1e-7 f64 / ~1e-4 f32), not bit-for-bit.
+
+    The ladder is OPT-IN, not the default, on an on-chip MEASUREMENT
+    (headline n=1e5/d=2009, v5 lite, round 11): it converges in 4
+    batched passes but each costs ~100 ms — the batched inner Newton
+    runs max-over-slots iterations, and slots far from the incumbent
+    (pass-0 cold spread, early wide-bracket fine slots) stall at their
+    f32 noise floor for the full stall window — so the optimizer phase
+    measured 410 ms vs the march's 247 ms (steady fit 0.513 s vs
+    0.350 s) and costs ~560 s extra cold compile. The packed FD/node
+    phases (slots at mode +/- h, warm from the MODE state, uniform
+    ~5-iteration convergence) are where lane packing pays; keep them
+    on. packed_nodes=False disables the ladder too (both ride the same
+    batched engine).
 
     MAINTENANCE: build_fused_run_1d_batched is the hand-vectorized (R,)
     twin of this SCALAR optimizer body — mirror any logic change there
@@ -824,7 +836,7 @@ def build_fused_run_1d(backend, k: int, tol: float = 1e-9,
     th_tol = 1e-7 if cdt in (np.float64, jnp.float64) else 1e-4
     _dims0 = getattr(backend, "em_dims", None)
     _em0 = None if _dims0 is None else float(np.asarray(_dims0)[0])
-    want_opt = (packed_nodes is not False and packed_opt is not False
+    want_opt = (packed_nodes is not False and packed_opt is True
                 and _em0 is not None)
     pk = None
     if packed_nodes is not False:

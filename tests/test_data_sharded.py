@@ -80,17 +80,20 @@ def test_sharded_fused_fit_matches_single_device():
 
 
 def test_sharded_ladder_matches_single_device():
-    """The DEFAULT sharded program (lane-packed theta ladder + packed
-    FD/node phases, all under GSPMD): the batched engine consumes the
-    same NamedSharding-carrying chunk arrays as the scalar one, so the
-    packed program shards transparently too."""
+    """The opt-in lane-packed theta ladder (+ packed FD/node phases)
+    under GSPMD: the batched engine consumes the same
+    NamedSharding-carrying chunk arrays as the scalar one, so the
+    packed program shards transparently too. (The ladder is opt-in
+    since round 11 — measured slower than the march on-chip — but its
+    sharding path stays covered here.)"""
     assert len(jax.devices()) >= 8
     from bayesgp_tpu.inference.aghq import fused_fit_1d
 
     be = _chunked_backend()
-    mode, H, nodes, nlls, _ = fused_fit_1d(be, k=4)
+    mode, H, nodes, nlls, _ = fused_fit_1d(be, k=4, packed_opt=True)
     bes = DS.shard_backend_data(be, DS.data_mesh(jax.devices()[:8]))
-    mode_s, H_s, nodes_s, nlls_s, _ = fused_fit_1d(bes, k=4)
+    mode_s, H_s, nodes_s, nlls_s, _ = fused_fit_1d(bes, k=4,
+                                                   packed_opt=True)
     np.testing.assert_allclose(mode_s, mode, atol=1e-7)
     np.testing.assert_allclose(H_s, H, rtol=1e-6)
     np.testing.assert_allclose(nlls_s, nlls, rtol=1e-8)
