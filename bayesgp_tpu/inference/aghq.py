@@ -1632,8 +1632,12 @@ def aghq_fit(md_or_backend, k: int = 4, theta0=None, verbose=False,
                   lognll=nlls, lognormconst=lognormconst,
                   states=states, k=k, backend=backend,
                   presampled=presampled)
-    fit.marginals = [marginal_posterior(fit, backend, j, warm=warm)
-                     for j in range(s)]
+    if fused_nd:
+        # all s marginal grids in one dispatch (vs one per marginal)
+        fit.marginals = _marginals_fused(fit, backend, warm)
+    else:
+        fit.marginals = [marginal_posterior(fit, backend, j, warm=warm)
+                         for j in range(s)]
     return fit
 
 
@@ -1651,21 +1655,9 @@ def marginal_posterior(fit: AGHQFit, backend, j: int, warm=None):
         return {"theta": fit.nodes[order, 0],
                 "logmargpost": (-fit.lognll - fit.lognormconst)[order]}
 
-    idx = [j] + [i for i in range(s) if i != j]
-    # adapted covariance from the fit's (PD-clipped) Cholesky factor, NOT
-    # a fresh inv(hessian): fp-noisy FD Hessians (fused f32 paths) can be
-    # indefinite, and a principal permutation of L L^T stays PD
-    cov = fit.L @ fit.L.T
-    cov_p = cov[np.ix_(idx, idx)]
-    Lp = np.linalg.cholesky(cov_p)
-    mode_p = fit.mode[idx]
-
-    z, logw_base = product_grid(k, s)
-    nodes_p = mode_p[None, :] + z @ Lp.T     # dim 0 is theta_j
-    # invert permutation to evaluate nll with original ordering
-    inv = np.argsort(idx)
-    nodes_orig = nodes_p[:, inv]
+    nodes_orig, mode_p, Lp = _marginal_nodes(fit, j)
     nodes_dev = jnp.asarray(nodes_orig, backend.dtype)
+    z, _ = product_grid(k, s)
     if warm is not None and getattr(backend, "supports_fused_nd", False):
         # single-dispatch stateless node evals (same J as the main grid,
         # so the compiled program is reused across the s marginals)
@@ -1675,7 +1667,34 @@ def marginal_posterior(fit: AGHQFit, backend, j: int, warm=None):
         nlls = np.asarray(backend.vmap_nll_warm_fn()(nodes_dev, warm))
     else:
         nlls = np.asarray(backend.vmap_nll_fn()(nodes_dev))
+    return _marginal_table(fit, nlls, mode_p, Lp)
 
+
+def _marginal_nodes(fit: AGHQFit, j: int):
+    """Re-adapted node grid for the marginal of theta_j: dim j ordered
+    first so its node values collapse to k unique points. Returns
+    (nodes in ORIGINAL theta ordering (J, s), permuted mode, permuted
+    Cholesky factor Lp)."""
+    s, k = len(fit.mode), fit.k
+    idx = [j] + [i for i in range(s) if i != j]
+    # adapted covariance from the fit's (PD-clipped) Cholesky factor, NOT
+    # a fresh inv(hessian): fp-noisy FD Hessians (fused f32 paths) can be
+    # indefinite, and a principal permutation of L L^T stays PD
+    cov = fit.L @ fit.L.T
+    cov_p = cov[np.ix_(idx, idx)]
+    Lp = np.linalg.cholesky(cov_p)
+    mode_p = fit.mode[idx]
+    z, _ = product_grid(k, s)
+    nodes_p = mode_p[None, :] + z @ Lp.T     # dim 0 is theta_j
+    # invert permutation to evaluate nll with original ordering
+    return nodes_p[:, np.argsort(idx)], mode_p, Lp
+
+
+def _marginal_table(fit: AGHQFit, nlls: np.ndarray, mode_p, Lp):
+    """logmargpost of theta_j from its re-adapted grid's nll values
+    (the quadrature over the remaining s-1 dims)."""
+    s, k = len(fit.mode), fit.k
+    _, logw_base = product_grid(k, s)
     z1, w1 = ghe_rule(k)
     # group nodes by leading z value: product() ordering has the first dim
     # slowest-varying in blocks of k^(s-1)
@@ -1689,6 +1708,37 @@ def marginal_posterior(fit: AGHQFit, backend, j: int, warm=None):
         logpdf[i] = _logsumexp_np(vals) - fit.lognormconst
     order = np.argsort(theta_vals)
     return {"theta": theta_vals[order], "logmargpost": logpdf[order]}
+
+
+def _marginals_fused(fit: AGHQFit, backend, warm):
+    """All s marginal posteriors in ONE device dispatch: the s
+    re-adapted k^s-node grids (_marginal_nodes) concatenate into a
+    single (s*J, s) warm-chained fused-nodes scan — s dispatches of
+    ~30 ms tunnel overhead each (BENCH_NOTES.md) become one. Each
+    grid's block keeps its own nearest-neighbor tour (offset into the
+    combined array); the one cross-block warm start is between nodes
+    of adjacent grids, all within ~2 sd of the mode, so it costs a few
+    extra inner-Newton iterations once per boundary. Values match the
+    per-j path (marginal_posterior) to inner-Newton tolerance."""
+    s, k = len(fit.mode), fit.k
+    z, _ = product_grid(k, s)
+    J = len(z)
+    per_j = [_marginal_nodes(fit, j) for j in range(s)]
+    nodes_comb = np.concatenate([p[0] for p in per_j])
+    cache = getattr(backend, "_fused_node_progs", None)
+    if cache is None:
+        cache = backend._fused_node_progs = {}
+    key = ("marg", J, s)
+    if key not in cache:
+        t1 = _node_tour(z)
+        tour = np.concatenate([t1 + j * J for j in range(s)])
+        cache[key] = _lifted_jit(
+            backend, lambda be: build_fused_nodes(
+                be, tour, return_states=False, jit=False))
+    nlls_comb = np.asarray(
+        cache[key](jnp.asarray(nodes_comb, backend.dtype), warm))
+    return [_marginal_table(fit, nlls_comb[j * J:(j + 1) * J],
+                            per_j[j][1], per_j[j][2]) for j in range(s)]
 
 
 def compute_moment(fit: AGHQFit, fn: Callable = None):
