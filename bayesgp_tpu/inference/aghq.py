@@ -1424,16 +1424,23 @@ def build_fused_nodes(backend, tour, return_states: bool = True,
 
 
 def _fused_nodes_cached(backend, z: np.ndarray, return_states: bool,
-                        sample_M: int = 0):
+                        sample_M: int = 0, tour=None, key_tag=None):
     """Per-backend cache of compiled fused node programs, keyed by node
     count (the z grid is fixed given (k, s), so shapes and the chain are
-    static) and the in-program draw count."""
+    static) and the in-program draw count.
+
+    tour/key_tag let callers with a precomputed visiting order (e.g. the
+    concatenated multi-grid tour of _marginals_fused) share this cache
+    protocol instead of re-implementing it; key_tag disambiguates those
+    programs from the plain single-grid ones of the same node count."""
     cache = getattr(backend, "_fused_node_progs", None)
     if cache is None:
         cache = backend._fused_node_progs = {}
-    key = (len(z), return_states, sample_M)
+    key = (key_tag, len(tour) if tour is not None else len(z),
+           return_states, sample_M)
     if key not in cache:
-        tour = _node_tour(z)
+        if tour is None:
+            tour = _node_tour(z)
         cache[key] = _lifted_jit(
             backend, lambda be: build_fused_nodes(
                 be, tour, return_states=return_states, jit=False,
@@ -1657,10 +1664,10 @@ def marginal_posterior(fit: AGHQFit, backend, j: int, warm=None):
 
     nodes_orig, mode_p, Lp = _marginal_nodes(fit, j)
     nodes_dev = jnp.asarray(nodes_orig, backend.dtype)
-    z, _ = product_grid(k, s)
     if warm is not None and getattr(backend, "supports_fused_nd", False):
         # single-dispatch stateless node evals (same J as the main grid,
         # so the compiled program is reused across the s marginals)
+        z, _ = product_grid(k, s)
         nlls = np.asarray(
             _fused_nodes_cached(backend, z, False)(nodes_dev, warm))
     elif warm is not None and hasattr(backend, "vmap_nll_warm_fn"):
@@ -1725,18 +1732,11 @@ def _marginals_fused(fit: AGHQFit, backend, warm):
     J = len(z)
     per_j = [_marginal_nodes(fit, j) for j in range(s)]
     nodes_comb = np.concatenate([p[0] for p in per_j])
-    cache = getattr(backend, "_fused_node_progs", None)
-    if cache is None:
-        cache = backend._fused_node_progs = {}
-    key = ("marg", J, s)
-    if key not in cache:
-        t1 = _node_tour(z)
-        tour = np.concatenate([t1 + j * J for j in range(s)])
-        cache[key] = _lifted_jit(
-            backend, lambda be: build_fused_nodes(
-                be, tour, return_states=False, jit=False))
-    nlls_comb = np.asarray(
-        cache[key](jnp.asarray(nodes_comb, backend.dtype), warm))
+    t1 = _node_tour(z)
+    tour = np.concatenate([t1 + j * J for j in range(s)])
+    prog = _fused_nodes_cached(backend, z, False, tour=tour,
+                               key_tag="marg")
+    nlls_comb = np.asarray(prog(jnp.asarray(nodes_comb, backend.dtype), warm))
     return [_marginal_table(fit, nlls_comb[j * J:(j + 1) * J],
                             per_j[j][1], per_j[j][2]) for j in range(s)]
 

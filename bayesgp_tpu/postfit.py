@@ -547,31 +547,70 @@ class FitResult:
         return dict(zip(names, rows))
 
     def summary(self):
-        """Print a summary (reference summary.FitResult, R/03_post_fit.R:1-42)."""
+        """Print a summary (reference summary.FitResult, R/03_post_fit.R:1-42).
+
+        Format parity: the reference re-prints aghq's own summary header
+        via capture.output text surgery — "AGHQ on a {s} dimensional
+        posterior ...", posterior mode, log normalizing constant, and the
+        R-printed quadrature covariance matrix — then the renamed
+        theta table and the sample-moment fixed-effect table
+        (/root/reference/README.md:73-96 shows the golden layout).
+        """
+        from .inference.aghq import AGHQFit
         lines = []
-        if self.method == "aghq":
+        if self.method == "aghq" and isinstance(self.mod, AGHQFit):
+            mode = np.atleast_1d(np.asarray(self.mod.mode, float))
+            s = mode.shape[0]
+            lines.append(f"AGHQ on a {s} dimensional posterior with "
+                         f" {self.mod.k} quadrature points")
+            lines.append("")
+            lines.append("The posterior mode is: "
+                         + " ".join(f"{v:.6g}" for v in mode) + " ")
+            lines.append("")
+            lines.append("The log of the normalizing constant/marginal "
+                         f"likelihood is: {self.mod.lognormconst:.7g} ")
+            lines.append("")
+            lines.append("The covariance matrix used for the quadrature "
+                         "is...")
+            L = np.atleast_2d(np.asarray(self.mod.L, float))
+            cov = L @ L.T
+            # R matrix print: column header row "[,j]", row labels "[i,]"
+            cells = [[f"{cov[i, j]:.8g}" for j in range(s)]
+                     for i in range(s)]
+            widths = [max(len(f"[,{j + 1}]"),
+                          max(len(cells[i][j]) for i in range(s)))
+                      for j in range(s)]
+            rlab = [f"[{i + 1},]" for i in range(s)]
+            rw = max(len(r) for r in rlab)
+            lines.append(" " * rw + " " + " ".join(
+                f"[,{j + 1}]".rjust(widths[j]) for j in range(s)))
+            for i in range(s):
+                lines.append(rlab[i].ljust(rw) + " " + " ".join(
+                    cells[i][j].rjust(widths[j]) for j in range(s)))
+            lines.append("")
+            lines.append("Here are some moments and quantiles for the "
+                         "log precision: ")
+            ts = self.theta_summary()
+            hdr = f"{'':>12} {'mean':>10} {'sd':>10} {'2.5%':>10} {'median':>10} {'97.5%':>10}"
+            lines.append(hdr)
+            for name, r in ts.items():
+                lines.append(f"{name:<12} {r['mean']:>10.6f} {r['sd']:>10.6f} "
+                             f"{r['q2.5']:>10.6f} {r['median']:>10.6f} "
+                             f"{r['q97.5']:>10.6f}")
+        elif self.method == "aghq":
             lines.append(
                 f"AGHQ on the hyperparameters with {self.mod.k} quadrature "
                 f"points\nlog normalizing constant: {self.mod.lognormconst:.6f}")
-            lines.append("\nHere are some moments and quantiles for the "
-                         "log precision:\n")
-            ts = self.theta_summary()
-            hdr = f"{'':>16} {'mean':>10} {'sd':>10} {'2.5%':>10} {'median':>10} {'97.5%':>10}"
-            lines.append(hdr)
-            for name, r in ts.items():
-                lines.append(f"{name:>16} {r['mean']:>10.6f} {r['sd']:>10.6f} "
-                             f"{r['q2.5']:>10.6f} {r['median']:>10.6f} "
-                             f"{r['q97.5']:>10.6f}")
         fx = self.fixed_effects_summary()
         if fx:
             lines.append("\nHere are some moments and quantiles for the "
                          "fixed effects: \n")
-            hdr = f"{'':>12} {'1st Qu.':>10} {'Median':>10} {'Mean':>10} {'3rd Qu.':>10} {'sd':>10}"
+            hdr = f"{'':>12} {'1st Qu.':>12} {'Median':>12} {'Mean':>12} {'3rd Qu.':>12} {'sd':>12}"
             lines.append(hdr)
             for name, r in fx.items():
-                lines.append(f"{name:>12} {r['1st Qu.']:>10.5f} "
-                             f"{r['Median']:>10.5f} {r['Mean']:>10.5f} "
-                             f"{r['3rd Qu.']:>10.5f} {r['sd']:>10.5f}")
+                lines.append(f"{name:<12} {r['1st Qu.']:>12.8f} "
+                             f"{r['Median']:>12.8f} {r['Mean']:>12.8f} "
+                             f"{r['3rd Qu.']:>12.8f} {r['sd']:>12.8f}")
         text = "\n".join(lines)
         print(text)
         return text

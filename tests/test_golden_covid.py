@@ -109,9 +109,109 @@ def test_predict_runs(covid_fit):
 def test_summary_and_post_table(covid_fit):
     text = covid_fit.summary()
     assert "theta(t)" in text
+    # reference-format header block (R/03_post_fit.R:4-28 re-prints the
+    # aghq summary; golden layout at reference README.md:73-96)
+    assert "AGHQ on a 1 dimensional posterior with  4 quadrature points" in text
+    assert "The posterior mode is:" in text
+    assert "The log of the normalizing constant/marginal likelihood is:" in text
+    assert "The covariance matrix used for the quadrature is..." in text
+    assert "[,1]" in text and "[1,]" in text
+    assert "Here are some moments and quantiles for the log precision:" in text
+    assert "Here are some moments and quantiles for the fixed effects:" in text
     table = covid_fit.post_table()
     names = [r["name"] for r in table]
     assert "intercept" in names and "t (SD)" in names
+
+
+def test_post_table_sd_row_golden(covid_fit):
+    """Numeric pin of the theta->SD table row: the native fit's t (SD)
+    median/quantiles sit within the fp-noise basin of the golden-derived
+    values SD_q = exp(-theta_{1-q}/2) (PARITY.md Group B: the exact-vs-FD
+    Hessian adaptation moves the quadrature cov ~4%, which propagates
+    ~1% into the SD quantiles), plus a tight regression pin of the
+    current values so refactors can't drift silently."""
+    row = [r for r in covid_fit.post_table() if r["name"] == "t (SD)"][0]
+    golden_median = np.exp(-GOLDEN["median"] / 2)      # 5.125
+    golden_lo = np.exp(-GOLDEN["q97.5"] / 2)           # 3.975
+    golden_hi = np.exp(-GOLDEN["q2.5"] / 2)            # 6.956
+    assert abs(row["median"] - golden_median) / golden_median < 0.02
+    assert abs(row["q0.025"] - golden_lo) / golden_lo < 0.02
+    assert abs(row["q0.975"] - golden_hi) / golden_hi < 0.02
+    assert row["prior"] == "Exponential"
+    assert row["prior:P1"] == 1.0 and row["prior:P2"] == 0.5
+    # regression pin (CPU f64 deterministic; values recorded 2026-08-20)
+    np.testing.assert_allclose(
+        [row["median"], row["q0.025"], row["q0.975"]],
+        [5.105, 3.943, 6.897], atol=0.02)
+
+
+def test_var_density_golden_values(covid_fit):
+    """Numeric pin of var_density: posterior SD density integrates to 1,
+    peaks near the golden SD mode, and the prior column is the exact
+    exponential-prior density on the SD scale (value-asserted, not just
+    name-asserted)."""
+    vd = covid_fit.var_density(component="t")
+    sd, post, prior = vd["SD"], vd["post"], vd["prior"]
+    # density normalization (trapezoid over the fine grid)
+    mass = np.trapezoid(post, sd)
+    assert abs(mass - 1.0) < 0.01
+    # the posterior mode on the SD scale sits near exp(-theta_mode/2)
+    sd_mode = sd[np.argmax(post)]
+    assert abs(sd_mode - np.exp(-GOLDEN["mode"] / 2)) < 0.15
+    # prior column: P(sigma > u=1) = alpha=0.5 exponential on sigma,
+    # density lam*exp(-lam*sd) with lam = log(2)
+    lam = np.log(2.0)
+    np.testing.assert_allclose(prior, lam * np.exp(-lam * sd), rtol=1e-10)
+    # regression pin of the peak (recorded 2026-08-20, CPU f64)
+    np.testing.assert_allclose([sd_mode, post.max()],
+                               [4.9808, 0.60777], atol=0.02)
+
+
+def test_reference_adaptation_sd_table_parity(covid_md):
+    """Group-A parity for the SD-scale table: with the reference's own
+    adaptation (mode/cov from README), the var_density machinery's SD
+    quantiles must land on exp(-theta_q/2) of the golden theta quantiles
+    to fine-grid resolution (the reference's aghq uses the identical
+    1000-point extended grid + left-Riemann CDF discretization)."""
+    md = covid_md
+    mode = np.array([GOLDEN["mode"]])
+    H = np.array([[1.0 / GOLDEN["quad_cov"]]])
+    Lc = np.linalg.cholesky(np.linalg.inv(H))
+    z, logw_base = A.product_grid(4, 1)
+    nodes = mode[None, :] + z @ Lc.T
+    logw = logw_base + np.log(np.diag(Lc)).sum()
+    nlls = np.asarray(jax.jit(jax.vmap(
+        lambda th: L.laplace_nll(th, md)[0]))(jnp.asarray(nodes)))
+    lw = -nlls + logw
+    m = lw.max()
+    lognorm = float(m + np.log(np.exp(lw - m).sum()))
+    fit = A.AGHQFit(mode=mode, hessian=H, L=Lc, nodes=nodes, logw=logw,
+                    lognll=nlls, lognormconst=lognorm, states=None, k=4)
+    fit.marginals = [A.marginal_posterior(fit, A.DenseBackend(md), 0)]
+
+    transformation = {"totheta": lambda x: -2 * np.log(x),
+                      "fromtheta": lambda x: np.exp(-x / 2)}
+    pc = A.compute_pdf_and_cdf(fit.marginals[0],
+                               transformation=transformation)
+    sd = pc["transparam"][::-1]
+    pdf_sd = pc["pdf_transparam"][::-1]
+    cdf = np.cumsum(pdf_sd * np.concatenate([[0.0], np.diff(sd)]))
+    # SD-space left-Riemann CDF over the non-uniform transformed grid
+    # differs from the theta-space quantile transform by O(grid step):
+    # measured 0.4-0.7% relative; bound at 1%
+    for p, gq in ((0.025, np.exp(-GOLDEN["q97.5"] / 2)),
+                  (0.5, np.exp(-GOLDEN["median"] / 2)),
+                  (0.975, np.exp(-GOLDEN["q2.5"] / 2))):
+        below = np.where(cdf < p)[0]
+        q = sd[below.max()] if len(below) else sd[0]
+        assert abs(q - gq) / gq < 0.01, (p, q, gq)
+    # tight regression pin of the discretized values (CPU f64,
+    # recorded 2026-08-20)
+    qs = []
+    for p in (0.025, 0.5, 0.975):
+        below = np.where(cdf < p)[0]
+        qs.append(sd[below.max()] if len(below) else sd[0])
+    np.testing.assert_allclose(qs, [3.9490, 5.1049, 6.9104], atol=2e-3)
 
 
 def test_reference_named_exports(covid_fit):
