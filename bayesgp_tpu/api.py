@@ -121,8 +121,11 @@ def assemble_model(formula=None, data=None, method: str = "aghq",
         if isinstance(call, terms_mod.TermDesign):
             instances.append(call)
         else:
+            # IID joins the lazy set so large-q terms (beyond
+            # terms.IID_LAZY_MIN_LEVELS) skip the dense (n, q) indicator
+            # and ride the banded engine's merged-IID path
             mat = not (candidate_banded
-                       and _call_model(call) in ("IWP", "sGP"))
+                       and _call_model(call) in ("IWP", "sGP", "IID"))
             instances.append(terms_mod.build_term_from_call(
                 call, data, env=env, customized_re=customized_re,
                 materialize_B=mat))
@@ -142,13 +145,21 @@ def assemble_model(formula=None, data=None, method: str = "aghq",
                 "engine='banded' needs an eligible driver term (sGP with "
                 "k>=6 or IWP with nonnegative knots)")
         candidate_banded = False
+    has_lazy_iid = any(t.kind == "IID" and t.B is None for t in instances)
     if engine == "auto":
-        # dense is exact and cheap for small problems; banded wins at scale
+        # dense is exact and cheap for small problems; banded wins at
+        # scale — and is REQUIRED for large-q IID terms (merged-IID path)
         drv_nb = max((t.num_basis for t in drivers), default=0)
         use_banded = candidate_banded and (
-            len(data[response]) * drv_nb > 2_000_000 or drv_nb > 300)
+            len(data[response]) * drv_nb > 2_000_000 or drv_nb > 300
+            or has_lazy_iid)
     else:
         use_banded = candidate_banded and engine == "banded"
+    if has_lazy_iid and not use_banded:
+        # dense path needs the materialized indicator design after all
+        for t in instances:
+            if t.kind == "IID" and t.B is None:
+                t.ensure_B()
 
     n = len(data[response])
     design_mat_fixed = []

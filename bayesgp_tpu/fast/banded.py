@@ -207,6 +207,25 @@ class TailTermBlock:
 
 
 @dataclass
+class BandDiagTerm:
+    """A theta-scaled DIAGONAL prior component merged into the band:
+    large-q IID levels interleaved with the driver columns (the
+    merged-IID path — see build_banded_backend). The level coefficients
+    live at band columns mask==1; their precision is e^{theta} I_q.
+
+    The reference rides CHOLMOD's general sparse Cholesky for this
+    regime (R/02_model_fit.R:276-284, IID P=I at R/01_utility.R:245-250);
+    here the diagonal IID Hessian block merges into the band so the
+    whole fit stays one Pallas band factorization with a modestly wider
+    band — no scatter, no dense (q, q) tail."""
+    theta_idx: int
+    mask: Any            # (d,) 1.0 at this term's band columns
+    d_size: int          # number of real levels q_r (excludes padding)
+    logPdet: float       # log det of P = I_q -> 0.0
+    Z0PZ0: Any           # (q_tail, q_tail) Z0^T diag(mask) Z0
+
+
+@dataclass
 class BandedBackend:
     """Generalized banded arrowhead backend. Interface-compatible with
     aghq.DenseBackend / fast.iwp.FastIWPBackend (init_state, nll_warm,
@@ -253,6 +272,14 @@ class BandedBackend:
     #                           NamedSharding over the observation axis —
     #                           see fast/iwp.FastIWPBackend.data_sharded
     #                           and parallel/data_sharded.py
+    # merged-IID extras (see BandDiagTerm): theta-scaled diagonal prior
+    # components inside the band, plus a theta-INDEPENDENT unit diagonal
+    # on padded (empty) level slots, and the count of REAL latent
+    # coordinates (padded slots are excluded from w_count/log(2pi))
+    band_terms: tuple = ()
+    prior_diag_band: Any = None   # (d,) or None
+    Z0PZ0_pad: Any = None         # (q_tail, q_tail) for prior_diag_band
+    w_real: Any = None            # int; defaults to d + q
 
     @property
     def n_theta(self):
@@ -268,8 +295,23 @@ class BandedBackend:
         dims[self.drv_theta] = self.d_drv
         for tb in self.tail_terms:
             dims[tb.theta_idx] = tb.d_size
+        for bt in self.band_terms:
+            dims[bt.theta_idx] = bt.d_size
         dims[dims == 0] = self.md.n
         return dims
+
+    def _band_extra_diag(self, theta):
+        """Merged-IID diagonal prior inside the band: sum of the
+        theta-scaled level masks plus the unit diagonal on padded
+        slots. None when the model has no merged band terms."""
+        if not self.band_terms and self.prior_diag_band is None:
+            return None
+        diag = jnp.zeros((self.d,), self.dtype)
+        for bt in self.band_terms:
+            diag = diag + jnp.exp(theta[bt.theta_idx]) * bt.mask
+        if self.prior_diag_band is not None:
+            diag = diag + self.prior_diag_band
+        return diag
 
     @property
     def compute_dtype(self):
@@ -408,6 +450,9 @@ class BandedBackend:
             band = jnp.stack(rows)
         band = band.at[:, :self.d].add(
             jnp.exp(theta[self.drv_theta]) * self.P_band)
+        extra = self._band_extra_diag(theta)
+        if extra is not None:
+            band = band.at[0, :self.d].add(extra)
         if self.dpad > self.d:
             band = band.at[0, self.d:].set(1.0)
         return band
@@ -435,6 +480,11 @@ class BandedBackend:
                 Cg = Cg.at[shift:shift + L, sub, :].add(M[a][:, :L].T)
                 C = Cg.reshape(self.dpad, self.q)
         C = C.at[:self.d].add(-jnp.exp(theta[self.drv_theta]) * self.PZ0)
+        extra = self._band_extra_diag(theta)
+        if extra is not None:
+            # PZ0 analogue of the merged diagonal components:
+            # diag(extra) Z0, rows of Z0 scaled elementwise
+            C = C.at[:self.d].add(-(extra[:, None] * self.Z0))
         return C
 
     # -- priors ----------------------------------------------------------
@@ -507,6 +557,23 @@ class BandedBackend:
         lp = -0.5 * jnp.exp(theta[self.drv_theta]) * quad
         lp = lp + 0.5 * (self.d_drv * theta[self.drv_theta]
                          + self.logPdet_drv)
+        # merged-IID diagonal components: quad in primed coordinates
+        # expands like the driver's ((V - Z0 t)^T D (V - Z0 t))
+        for bt in self.band_terms:
+            mv = bt.mask * Vd
+            qr = jnp.sum(mv * Vd)
+            if self.q:
+                qr = qr - 2.0 * jnp.dot(tail, self.Z0.T @ mv)
+                qr = qr + tail @ (bt.Z0PZ0 @ tail)
+            lp = lp - 0.5 * jnp.exp(theta[bt.theta_idx]) * qr
+            lp = lp + 0.5 * (bt.d_size * theta[bt.theta_idx] + bt.logPdet)
+        if self.prior_diag_band is not None:
+            pv = self.prior_diag_band * Vd
+            qc = jnp.sum(pv * Vd)
+            if self.q:
+                qc = qc - 2.0 * jnp.dot(tail, self.Z0.T @ pv)
+                qc = qc + tail @ (self.Z0PZ0_pad @ tail)
+            lp = lp - 0.5 * qc
         if self.q:
             lp = lp - 0.5 * self._tail_prior_quad(tail, theta)
             for tb in self.tail_terms:
@@ -540,6 +607,22 @@ class BandedBackend:
                   + self._tail_prior_grad(tail, theta))
         else:
             gt = jnp.zeros((0,), self.dtype)
+        # merged-IID diagonal components (PZ0_r = diag(mask_r) Z0)
+        for bt in self.band_terms:
+            lr = jnp.exp(theta[bt.theta_idx])
+            pr = bt.mask * Vd
+            if self.q:
+                pr = pr - bt.mask * (self.Z0 @ tail)
+                gt = gt + lr * (bt.Z0PZ0 @ tail
+                                - self.Z0.T @ (bt.mask * Vd))
+            gV = gV.at[:self.d].add(lr * pr)
+        if self.prior_diag_band is not None:
+            pc = self.prior_diag_band * Vd
+            if self.q:
+                pc = pc - self.prior_diag_band * (self.Z0 @ tail)
+                gt = gt + (self.Z0PZ0_pad @ tail
+                           - self.Z0.T @ (self.prior_diag_band * Vd))
+            gV = gV.at[:self.d].add(pc)
         return gV, gt
 
     def _assemble_scaled(self, V, tail, theta, eta=None):
@@ -552,6 +635,10 @@ class BandedBackend:
             Hd = (self._gram64(self.XFpT * wts[None, :], self.XFpT)
                   + jnp.exp(theta[self.drv_theta]) * self.Z0PZ0
                   + self._tail_prior_mat(theta))
+            for bt in self.band_terms:
+                Hd = Hd + jnp.exp(theta[bt.theta_idx]) * bt.Z0PZ0
+            if self.prior_diag_band is not None:
+                Hd = Hd + self.Z0PZ0_pad
             sd = jax.lax.rsqrt(jnp.diagonal(Hd))
             Hd = Hd * sd[:, None] * sd[None, :]
         else:
@@ -673,7 +760,7 @@ class BandedBackend:
         half_logdet = hld - jnp.sum(jnp.log(sc)) - jnp.sum(jnp.log(sd))
         ll = families.log_lik(e0, self.md, theta.astype(self.compute_dtype))
         f = -ll.astype(self.dtype) + self._prior_neg(V, tail, theta)
-        w_count = self.d + self.q
+        w_count = self.w_real if self.w_real is not None else self.d + self.q
         return (f + half_logdet - 0.5 * w_count * LOG2PI - self.logdetT)
 
     def _laplace_value_direct(self, V, tail, theta, factor, eta=None):
@@ -683,7 +770,7 @@ class BandedBackend:
         e0 = self.eta(V, tail) if eta is None else eta
         ll = families.log_lik(e0, self.md, theta.astype(self.compute_dtype))
         f = -ll.astype(self.dtype) + self._prior_neg(V, tail, theta)
-        w_count = self.d + self.q
+        w_count = self.w_real if self.w_real is not None else self.d + self.q
         return (f + self.half_logdet_H(factor)
                 - 0.5 * w_count * LOG2PI - self.logdetT)
 
@@ -884,6 +971,120 @@ class BandedBackend:
 # construction
 # ---------------------------------------------------------------------------
 
+def _merge_iid_into_band(vals_d, start_d, p, d_drv, P_band_d, Tdiags_d,
+                         codes, q, max_span_periods=None):
+    """Interleave q IID level coefficients into the IWP driver band.
+
+    Layout: uniform periods of Pm = 1 + Gi merged columns — driver
+    column b at b*Pm, its mapped levels at b*Pm + 1 + g (g < Gi; unused
+    slots are PADDED with a unit-precision empty coordinate). Level j
+    maps to the period of the median driver window start among its
+    rows. The merge is band-limited iff every row's level sits within a
+    few periods of its driver window (x-CLUSTERED levels: an
+    observation-level / binned random effect on the same axis as the
+    smooth — the overdispersion pattern). Scattered levels raise.
+
+    This is the TPU-native counterpart of the reference's CHOLMOD
+    sparse Cholesky for large-q IID terms (R/02_model_fit.R:276-284):
+    the IID Hessian block is DIAGONAL (one indicator per row), so
+    eliminating it alongside the driver keeps one banded factorization
+    with a modestly wider band — no scatter ops, no (q, q) tail.
+
+    Returns (vals_m, start_m, P_band_m, Tdiags_m, G, Wl, d_m, iid_cols,
+    pad_cols) with P_band_m containing ONLY the driver entries (the IID
+    diagonal enters theta-scaled through BandDiagTerm.mask).
+    """
+    n = len(start_d)
+    p1 = vals_d.shape[1]                       # p + 1 window values
+    counts = np.bincount(codes, minlength=q)
+    order_lv = np.argsort(codes, kind="stable")
+    sorted_starts = start_d[order_lv]
+    ends = np.cumsum(counts)
+    med_idx = np.minimum(ends - counts + counts // 2, n - 1)
+    lev_period = np.clip(sorted_starts[med_idx], 0, d_drv - 1)
+
+    # capacity-capped rebalancing: the natural (median-start) mapping
+    # can pile 2-3x the average level count onto a few periods, which
+    # multiplies the merged bandwidth for EVERY row. Spill overflow
+    # greedily to later periods — levels are x-ordered, so the drift is
+    # small and the span check below accounts for it exactly.
+    cap = max(1, -(-q // d_drv))
+    cnt_nat = np.zeros(d_drv, np.int64)
+    order_j = np.argsort(lev_period, kind="stable")
+    for j in order_j:
+        t = int(lev_period[j])
+        while cnt_nat[t] >= cap and t < d_drv - 1:
+            t += 1
+        lev_period[j] = t
+        cnt_nat[t] += 1
+
+    row_lev = lev_period[codes]                # (n,) level period per row
+    row_off = row_lev - start_d
+    span = int(max(int(row_off.max(initial=0)), p1 - 1)
+               - min(int(row_off.min(initial=0)), 0) + 1)
+    limit = max_span_periods or (p1 + 8)
+    if span > d_drv:
+        raise ValueError(
+            f"merged-IID window span {span} exceeds the driver dimension "
+            f"{d_drv}; the driver term is too small to band-merge")
+    if span > limit:
+        raise ValueError(
+            f"merged-IID band span {span} knot intervals exceeds {limit}: "
+            "the IID levels are not x-clustered against the driver (each "
+            "level's observations must fall within a few knot intervals "
+            "of each other). This regime needs a general sparse "
+            "factorization; reduce the level count below "
+            "terms.IID_LAZY_MIN_LEVELS to use the dense-tail path.")
+
+    percnt = np.bincount(lev_period, minlength=d_drv)
+    Gi = int(percnt.max())
+    Pm = 1 + Gi
+    d_m = d_drv * Pm
+    # slot index per level within its period (levels are in sorted-x /
+    # reference factor order; stable order within a period)
+    slot = np.zeros(q, np.int64)
+    seen = np.zeros(d_drv, np.int64)
+    for j in np.argsort(lev_period, kind="stable"):
+        t = lev_period[j]
+        slot[j] = seen[t]
+        seen[t] += 1
+    iid_cols = lev_period * Pm + 1 + slot
+    used = np.zeros(d_m, bool)
+    used[np.arange(d_drv) * Pm] = True
+    used[iid_cols] = True
+    pad_cols = np.nonzero(~used)[0]
+
+    # merged row windows
+    Wl = span * Pm
+    base = np.minimum(start_d, row_lev)
+    base = np.minimum(base, d_drv - span)      # keep window inside d_m
+    base = np.maximum(base, 0)
+    vals_m = np.zeros((n, Wl), vals_d.dtype)
+    rows = np.arange(n)
+    for a in range(p1):
+        vals_m[rows, (start_d - base + a) * Pm] = vals_d[:, a]
+    lev_rel = (row_lev - base) * Pm + 1 + slot[codes]
+    vals_m[rows, lev_rel] += 1.0
+    start_m = base * Pm
+
+    # driver prior band at stride Pm
+    P_band_m = np.zeros((Wl, d_m))
+    for o in range(min(P_band_d.shape[0], span)):
+        P_band_m[o * Pm, np.arange(d_drv - o) * Pm] = P_band_d[o, :d_drv - o]
+
+    # driver T at stride Pm; identity on level and padded columns
+    Tdiags_m = np.zeros(((p1 - 1) * Pm + 1, d_m))
+    for o in range(p1):
+        cols = np.arange(o, d_drv)
+        Tdiags_m[o * Pm, cols * Pm] = Tdiags_d[o, o:]
+    Tdiags_m[0, iid_cols] = 1.0
+    if len(pad_cols):
+        Tdiags_m[0, pad_cols] = 1.0
+
+    return (vals_m, start_m, P_band_m, Tdiags_m, Pm, Wl, d_m,
+            iid_cols, pad_cols)
+
+
 def build_banded_backend(instances, md, design_mat_fixed, bf_prec, bf_mean,
                          dtype=None, driver_idx: Optional[int] = None):
     """Build a BandedBackend for a multi-term / sGP model.
@@ -936,6 +1137,46 @@ def build_banded_backend(instances, md, design_mat_fixed, bf_prec, bf_mean,
         d_drv = d
         inv_perm = perm              # ref column index of interleaved col j
 
+    # ---- merged-IID detection (lazy terms: B is None, P = I implied) --
+    lazy_iid = [i for i, t in enumerate(instances)
+                if i != driver_idx and t.kind == "IID" and t.B is None]
+    iid_cols = pad_cols = None
+    d_drv_real = d
+    merged_iid_idx = None
+    if lazy_iid:
+        q_iid = sum(len(instances[i].levels) for i in lazy_iid)
+
+        def _densify_or_raise(msg):
+            if q_iid <= 4000:
+                import warnings
+                warnings.warn(msg + " — densifying the IID term into the "
+                              "tail (O(q^2) memory, fine at this size)")
+                for i in lazy_iid:
+                    instances[i].ensure_B()
+                return True
+            raise ValueError(msg + f" (q={q_iid} is too large for the "
+                             "dense-tail fallback)")
+
+        if len(lazy_iid) > 1:
+            if _densify_or_raise("merged-IID supports one large IID term"):
+                lazy_iid = []
+        elif drv.kind != "IWP":
+            if _densify_or_raise("merged-IID needs an IWP driver term"):
+                lazy_iid = []
+    if lazy_iid:
+        i_iid = lazy_iid[0]
+        t_iid = instances[i_iid]
+        codes_iid = t_iid.extra["codes"]
+        q_iid = len(t_iid.levels)
+        try:
+            (vals, start, P_band, Tdiags, G, Wl, d,
+             iid_cols, pad_cols) = _merge_iid_into_band(
+                vals, start, p + 1, d, P_band_d, Tdiags, codes_iid, q_iid)
+            merged_iid_idx = i_iid
+        except ValueError as e:
+            if _densify_or_raise(str(e)):
+                iid_cols = pad_cols = None
+
     bw = Wl - 1
     s = _choose_block(d, bw)
     # round the block size to a multiple of G so dpad is G-aligned (the
@@ -962,7 +1203,7 @@ def build_banded_backend(instances, md, design_mat_fixed, bf_prec, bf_mean,
     tail_terms = []
     off = 0
     for i, t in enumerate(instances):
-        if i == driver_idx:
+        if i == driver_idx or i == merged_iid_idx:
             continue
         Bt_ = t.ensure_B()
         tail_cols.append(np.asarray(Bt_, np.float64))
@@ -1014,6 +1255,10 @@ def build_banded_backend(instances, md, design_mat_fixed, bf_prec, bf_mean,
         tau = 1e2 * (Gband[0].mean() / max(P_band[0].mean(), 1e-30))
         Gb = Gband + tau * P_band
         Gb[0] += 1e-9 * max(Gband[0].max(), 1.0)
+        if pad_cols is not None and len(pad_cols):
+            # padded merged slots have no data/prior mass in Gb; their
+            # unit prior keeps the orthogonalization solve conditioned
+            Gb[0, pad_cols] += 1.0
         Z0 = solveh_banded(Gb, BX, lower=True)
         XFp = xf_dense.copy()
         for a in range(Wl):
@@ -1021,13 +1266,20 @@ def build_banded_backend(instances, md, design_mat_fixed, bf_prec, bf_mean,
         # P Z0 and Z0' P Z0 via factored forms where available
         if drv.kind == "IWP":
             wk = np.diff(np.asarray(drv.knots, np.float64))
+            if merged_iid_idx is not None:
+                # driver weights at stride G in the merged layout; the
+                # level/padded columns carry ZERO driver-prior weight
+                wk_m = np.zeros(d)
+                wk_m[np.arange(d_drv_real) * G] = wk
+                wk = wk_m
             Tdiags_np = Tdiags
+            nTo = Tdiags_np.shape[0]
             G0 = Tdiags_np[0][:, None] * Z0
-            for o in range(1, Wl):
+            for o in range(1, nTo):
                 G0[o:] += Tdiags_np[o, o:, None] * Z0[:-o]
             wG0 = wk[:, None] * G0
             PZ0 = Tdiags_np[0][:, None] * wG0
-            for o in range(1, Wl):
+            for o in range(1, nTo):
                 PZ0[:-o] += Tdiags_np[o, o:, None] * wG0[o:]
             Z0PZ0 = ((np.sqrt(wk)[:, None] * G0).T
                      @ (np.sqrt(wk)[:, None] * G0))
@@ -1057,14 +1309,24 @@ def build_banded_backend(instances, md, design_mat_fixed, bf_prec, bf_mean,
     ref_of_backend = np.zeros(d + q, dtype=np.int64)
     # driver U block -> its reference slot, through inv_perm for sGP
     drv_off = int(np.sum(np.asarray(md.d_sizes)[:driver_idx]))
-    if drv.kind == "sGP":
+    if merged_iid_idx is not None:
+        # merged layout: driver col b at b*G, IID level j at iid_cols[j],
+        # padded slots get out-of-range sentinels (never sampled)
+        ref_of_backend[np.arange(d_drv_real) * G] = (
+            drv_off + np.arange(d_drv_real))
+        iid_off = int(np.sum(np.asarray(md.d_sizes)[:merged_iid_idx]))
+        q_iid_m = len(iid_cols)
+        ref_of_backend[iid_cols] = iid_off + np.arange(q_iid_m)
+        if len(pad_cols):
+            ref_of_backend[pad_cols] = w_ref + np.arange(len(pad_cols))
+    elif drv.kind == "sGP":
         # backend col j holds U[inv_perm[j]]
         ref_of_backend[:d] = drv_off + inv_perm
     else:
         ref_of_backend[:d] = drv_off + np.arange(d)
     pos = d
     for i, t in enumerate(instances):
-        if i == driver_idx:
+        if i == driver_idx or i == merged_iid_idx:
             continue
         off_r = int(np.sum(np.asarray(md.d_sizes)[:i]))
         ref_of_backend[pos:pos + t.num_basis] = off_r + np.arange(t.num_basis)
@@ -1080,25 +1342,55 @@ def build_banded_backend(instances, md, design_mat_fixed, bf_prec, bf_mean,
     fix_off = sum(md.d_sizes) + sum(md.x_sizes)
     ref_of_backend[pos:pos + nfix] = fix_off + np.arange(nfix)
     pos += nfix
-    assert pos == d + q == w_ref
+    n_pad = len(pad_cols) if pad_cols is not None else 0
+    assert pos == d + q and pos - n_pad == w_ref
     # sample() produces backend-order rows [U_drv | tail]; we need
-    # full[:, ref_perm][j] = column that lands at reference j:
-    ref_perm = np.argsort(ref_of_backend)
+    # full[:, ref_perm][j] = column that lands at reference j: padded
+    # merged slots sort past w_ref and are dropped
+    ref_perm = np.argsort(ref_of_backend)[:w_ref]
 
+    # ---- merged-IID prior components ----
     x64 = bool(jax.config.read("jax_enable_x64"))
     dt = dtype or (np.float64 if x64 else np.float32)
     if not x64:
         dt = np.float32
     sdt = jnp.float64 if x64 else jnp.float32
+
+    band_terms = ()
+    prior_diag_band = None
+    Z0PZ0_pad = None
+    w_real = None
+    if merged_iid_idx is not None:
+        t_iid = instances[merged_iid_idx]
+        q_iid_m = len(t_iid.levels)
+        mask_iid = np.zeros(d)
+        mask_iid[iid_cols] = 1.0
+        Z0PZ0_iid = (Z0.T @ (mask_iid[:, None] * Z0) if q
+                     else np.zeros((0, 0)))
+        band_terms = (BandDiagTerm(
+            theta_idx=merged_iid_idx, mask=np.asarray(mask_iid, sdt),
+            d_size=q_iid_m, logPdet=0.0,
+            Z0PZ0=np.asarray(Z0PZ0_iid, sdt)),)
+        if len(pad_cols):
+            pd = np.zeros(d)
+            pd[pad_cols] = 1.0
+            prior_diag_band = np.asarray(pd, sdt)
+            Z0PZ0_pad = np.asarray(
+                Z0.T @ (pd[:, None] * Z0) if q else np.zeros((0, 0)), sdt)
+        w_real = w_ref
     md_perm = _dc.replace(
         md_perm, y=np.asarray(md_perm.y, dt),
         size=np.asarray(md_perm.size, dt))
 
-    # dense per-chunk windowed design (MXU path; see fast/iwp.py)
-    CH = 1024
-    nchk = -(-n // CH)
+    # dense per-chunk windowed design (MXU path; see fast/iwp.py).
+    # Merged-IID bands are wider, so the window cap scales with Wl and
+    # the chunk length backs off before giving up on the MXU path.
     chunks = None
-    if n:
+    w_cap = max(128, min(512, 2 * Wl))
+    for CH in (1024, 512, 256):
+        nchk = -(-n // CH)
+        if not n:
+            break
         bases_w = []
         wmax = 0
         for c in range(nchk):
@@ -1107,7 +1399,7 @@ def build_banded_backend(instances, md, design_mat_fixed, bf_prec, bf_mean,
             wmax = max(wmax, int(start[hi - 1]) - b + Wl)
             bases_w.append(b)
         w_win = max(8, -(-wmax // 8) * 8)
-        if w_win <= 128:
+        if w_win <= w_cap:
             Dm = np.zeros((nchk, CH, w_win), dt)
             rows_i = np.arange(n)
             rel = start - np.asarray(bases_w, np.int64)[rows_i // CH]
@@ -1120,6 +1412,7 @@ def build_banded_backend(instances, md, design_mat_fixed, bf_prec, bf_mean,
                 D=jnp.asarray(Dm), XFp_rows=jnp.asarray(XFp_rows),
                 bases=np.asarray(bases_w, np.int64), nc=nchk, CH=CH,
                 w=w_win, n=n)
+            break
 
     return BandedBackend(
         md=md_perm, drv_theta=driver_idx, Wl=Wl, G=G, d=d, dpad=dpad,
@@ -1129,16 +1422,21 @@ def build_banded_backend(instances, md, design_mat_fixed, bf_prec, bf_mean,
         seg_lo=np.asarray(seg_lo, np.int64),
         seg_hi=np.asarray(seg_hi, np.int64), n_seg=n_seg,
         XFpT=jnp.asarray(np.ascontiguousarray(XFp.T), dt),
-        Z0=jnp.asarray(Z0, sdt), PZ0=jnp.asarray(PZ0, sdt),
-        Z0PZ0=jnp.asarray(Z0PZ0, sdt),
-        P_band=jnp.asarray(P_band, sdt),
+        # non-lifted fields stay HOST numpy — device constants cost one
+        # tunnel round trip EACH at MLIR-lowering time (see
+        # fast/iwp.py build_fast_iwp return)
+        Z0=np.asarray(Z0, sdt), PZ0=np.asarray(PZ0, sdt),
+        Z0PZ0=np.asarray(Z0PZ0, sdt),
+        P_band=np.asarray(P_band, sdt),
         logPdet_drv=logPdet_drv, d_drv=d_drv,
-        Tdiags=(jnp.asarray(Tdiags, sdt) if Tdiags is not None else None),
+        Tdiags=(np.asarray(Tdiags, sdt) if Tdiags is not None else None),
         logdetT=float(logdetT),
-        prior_diag_tail=jnp.asarray(prior_diag_tail, sdt),
-        prior_mean_tail=jnp.asarray(prior_mean_tail, sdt),
+        prior_diag_tail=np.asarray(prior_diag_tail, sdt),
+        prior_mean_tail=np.asarray(prior_mean_tail, sdt),
         tail_terms=tuple(tail_terms),
-        ref_perm=jnp.asarray(ref_perm),
+        ref_perm=np.asarray(ref_perm),
         solve_dtype=sdt,
         engine=band_arrow.make_engine(dpad, Wl - 1, q, s),
-        chunks=chunks)
+        chunks=chunks,
+        band_terms=band_terms, prior_diag_band=prior_diag_band,
+        Z0PZ0_pad=Z0PZ0_pad, w_real=w_real)

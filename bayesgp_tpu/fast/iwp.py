@@ -87,6 +87,79 @@ def backend_rebind(be, arrs):
     return _dcs.replace(be, **kw)
 
 
+def backend_host_constants(be, skip=()):
+    """The same backend with every non-sharded device-array field pulled
+    to host numpy (recursively through dataclasses/tuples/dicts).
+    Arrays in `skip` (by identity) are left untouched — the lifted
+    argument set never becomes a constant, so pulling it would be a
+    wasted transfer.
+
+    Why: arrays captured by a traced program as CONSTANTS are
+    materialized on host during MLIR lowering — and with a remote
+    accelerator (the axon tunnel) EVERY such device array costs a
+    blocking device->host round trip at lowering time. Measured at
+    headline scale: the lane-packed fused program lowered in 569 s with
+    device constants vs seconds with host ones (~1900 embedded
+    constants x ~0.3 s tunnel latency each). Big O(n) arrays are lifted
+    to ARGUMENTS separately (backend_device_args); this converts the
+    long tail of small ones. NamedSharding-carrying arrays are left
+    alone (their placement is semantic — parallel/data_sharded.py)."""
+    import dataclasses as _dcs
+    import jax as _jax
+    from jax.sharding import NamedSharding as _NS
+
+    skip_ids = {id(a) for a in skip}
+    arrays = []
+
+    def _collect(x):
+        if isinstance(x, _jax.Array) and not isinstance(
+                getattr(x, "sharding", None), _NS):
+            if id(x) not in skip_ids:
+                arrays.append(x)
+        elif _dcs.is_dataclass(x) and not isinstance(x, type):
+            for f in _dcs.fields(x):
+                _collect(getattr(x, f.name))
+        elif isinstance(x, (tuple, list)):
+            for v in x:
+                _collect(v)
+        elif isinstance(x, dict):
+            for v in x.values():
+                _collect(v)
+
+    _collect(be)
+    if not arrays:
+        return be
+    # overlap the tunnel round trips
+    for a in arrays:
+        try:
+            a.copy_to_host_async()
+        except Exception:
+            pass
+    host = {id(a): np.asarray(a) for a in arrays}
+
+    def _convert(x):
+        if isinstance(x, _jax.Array):
+            return host.get(id(x), x)
+        if _dcs.is_dataclass(x) and not isinstance(x, type):
+            kw = {}
+            for f in _dcs.fields(x):
+                v = getattr(x, f.name)
+                nv = _convert(v)
+                if nv is not v:
+                    kw[f.name] = nv
+            return _dcs.replace(x, **kw) if kw else x
+        if isinstance(x, tuple):
+            new = tuple(_convert(v) for v in x)
+            return new if any(a is not b for a, b in zip(new, x)) else x
+        if isinstance(x, list):
+            return [_convert(v) for v in x]
+        if isinstance(x, dict):
+            return {k: _convert(v) for k, v in x.items()}
+        return x
+
+    return _convert(be)
+
+
 @dataclass
 class ChunkDesign:
     """Dense per-chunk windowed design: the MXU formulation of the
@@ -1098,19 +1171,26 @@ def build_fast_iwp(term, md, xf_dense, prior_diag_tail, prior_mean_tail,
     md_perm = _dc.replace(
         md_perm, y=np.asarray(md_perm.y, dt),
         size=np.asarray(md_perm.size, dt))
+    # Every non-lifted field stays HOST numpy: arrays captured by traced
+    # programs as constants are materialized during MLIR lowering, and
+    # with a remote accelerator each DEVICE array pays a blocking tunnel
+    # round trip there (f64 pulls measured 10-15 s EACH; the packed
+    # fused program lowered in 569 s before this change, ~6 s after).
+    # The big O(n) arrays (valsT/start/XFpT/chunks) become jit ARGUMENTS
+    # in the fused programs (_lifted_jit) and are uploaded once.
     return FastIWPBackend(
         term=term, md=md_perm, p=p, d=d, dpad=dpad, s=s, nb=nb, q=q,
         valsT=jnp.asarray(np.ascontiguousarray(vals.T), dt),
         start=jnp.asarray(start),
         seg_lo=np.asarray(seg_lo, np.int64), seg_hi=np.asarray(seg_hi, np.int64),
         XFpT=jnp.asarray(np.ascontiguousarray(XFp.T), dt),
-        Z0=jnp.asarray(Z0, sdt), PZ0=jnp.asarray(PZ0, sdt),
-        Z0PZ0=jnp.asarray(Z0PZ0, sdt),
-        P_band=jnp.asarray(P_band, sdt), Tdiags=jnp.asarray(Tdiags, sdt),
+        Z0=np.asarray(Z0, sdt), PZ0=np.asarray(PZ0, sdt),
+        Z0PZ0=np.asarray(Z0PZ0, sdt),
+        P_band=np.asarray(P_band, sdt), Tdiags=np.asarray(Tdiags, sdt),
         logdetT=float(logdetT),
-        prior_diag_tail=jnp.asarray(prior_diag_tail, sdt),
-        prior_mean_tail=jnp.asarray(prior_mean_tail, sdt),
+        prior_diag_tail=np.asarray(prior_diag_tail, sdt),
+        prior_mean_tail=np.asarray(prior_mean_tail, sdt),
         solve_dtype=sdt,
         engine=band_arrow.make_engine(dpad, p, q, s),
         chunks=chunks,
-        row_order=jnp.asarray(order))
+        row_order=np.asarray(order))

@@ -326,12 +326,21 @@ def _lifted_jit(backend, builder):
     observation-axis sharding (parallel/data_sharded.py): GSPMD can
     only partition arrays that enter through the argument pytree.
     `builder` must return the raw traceable function (jit=False)."""
-    from ..fast.iwp import backend_device_args, backend_rebind
+    from ..fast.iwp import (backend_device_args, backend_rebind,
+                            backend_host_constants)
 
     arrs0 = (backend_device_args(backend)
              if hasattr(backend, "valsT") else None)
     if not arrs0:
         return jax.jit(builder(backend))
+
+    # non-lifted arrays become embedded constants: pull them to host
+    # FIRST or MLIR lowering pays one tunnel round trip per constant
+    # (measured 569 s -> seconds at headline scale; see
+    # fast/iwp.backend_host_constants). Lifted arrays are skipped —
+    # they enter as arguments, never as constants.
+    backend = backend_host_constants(
+        backend, skip=jax.tree_util.tree_leaves(arrs0))
 
     # put numpy leaves (md.y, ...) on device ONCE: numpy jit arguments
     # re-upload on every call (~30 ms/dispatch tunnel + transfer);

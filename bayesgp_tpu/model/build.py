@@ -190,7 +190,10 @@ def build_model_data(terms, design_mat_fixed, y, family: str, *,
     empty = np.zeros((0,), dtype)
     kw = dict(
         A=np.asarray(A, dtype=dtype), y=y,
-        P_blocks=tuple(np.asarray(t.P, dtype=dtype) for t in terms),
+        # lazy IID terms (P = I implied) carry a (0, 0) sentinel — the
+        # banded engine's merged-IID path never reads it
+        P_blocks=tuple(np.asarray(t.P, dtype=dtype) if t.P is not None
+                       else np.zeros((0, 0), dtype) for t in terms),
         logPdet=np.asarray(logPdet, dtype=dtype),
         u=np.asarray(u, dtype=dtype), alpha=np.asarray(alpha, dtype=dtype),
         betaprec=np.asarray(betaprec, dtype=dtype),

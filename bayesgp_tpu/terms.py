@@ -88,6 +88,8 @@ class TermDesign:
 
     @property
     def logPdet(self) -> float:
+        if self.P is None:          # lazy IID: P = I implied
+            return 0.0
         # IWP / IID penalties are diagonal — avoid an O(d^3) slogdet
         off_diag = self.P - np.diag(np.diagonal(self.P))
         if not off_diag.any():
@@ -100,10 +102,21 @@ class TermDesign:
         """Number of local-basis columns (d_r) without requiring B."""
         if self.B is not None:
             return self.B.shape[1]
-        return self.P.shape[1]
+        if self.P is not None:
+            return self.P.shape[1]
+        return len(self.levels)     # lazy IID
 
     def ensure_B(self):
         """Materialize the dense local design if it was skipped."""
+        if self.B is None and self.kind == "IID":
+            # lazy IID fallback (small enough to densify after all)
+            codes = self.extra["codes"]
+            q = len(self.levels)
+            B = np.zeros((len(codes), q))
+            B[np.arange(len(codes)), codes] = 1.0
+            self.B = B
+            self.P = np.eye(q)
+            return self.B
         if self.B is None:
             if self.x_data is None:
                 raise ValueError("cannot materialize B for this term")
@@ -215,18 +228,40 @@ def build_sgp_term(smoothing_var: str, x: np.ndarray, *, a=None, freq=None,
         accuracy=float(accuracy), boundary=bool(boundary), x_data=xs)
 
 
+# above this level count, an IID term under the banded engine is kept
+# LAZY (no dense (n, q) indicator, no dense (q, q) identity): the banded
+# builder merges its diagonal-precision levels into the driver band
+# (fast/banded.py merged-IID path) instead of the O(n q + d q^2 + q^3)
+# dense tail. The reference handles this regime through CHOLMOD's
+# general sparse Cholesky (R/02_model_fit.R:276-284, IID P=I at
+# R/01_utility.R:245-250).
+IID_LAZY_MIN_LEVELS = 512
+
+
 def build_iid_term(smoothing_var: str, x: np.ndarray, *,
-                   sd_prior=None) -> TermDesign:
+                   sd_prior=None, materialize_B: bool = True) -> TermDesign:
     """IID term: indicator design over factor levels, P = I
-    (reference R/01_utility.R:214-219, 245-250)."""
+    (reference R/01_utility.R:214-219, 245-250).
+
+    materialize_B=False + more than IID_LAZY_MIN_LEVELS levels: B and P
+    stay None (identity precision implied; level codes in extra) for the
+    banded engine's merged-IID path."""
     sd_prior = normalize_sd_prior(sd_prior)
     x = np.asarray(x)
     levels = np.unique(x)  # R factor(): sorted unique levels
+    q = len(levels)
+    codes = np.searchsorted(levels, x)
+    if not materialize_B and q > IID_LAZY_MIN_LEVELS:
+        return TermDesign(kind="IID", smoothing_var=smoothing_var,
+                          X=np.zeros((len(x), 0)), B=None, P=None,
+                          sd_prior=sd_prior, levels=levels,
+                          extra={"codes": codes})
     B = (x[:, None] == levels[None, :]).astype(np.float64)
-    P = np.eye(len(levels))
+    P = np.eye(q)
     return TermDesign(kind="IID", smoothing_var=smoothing_var,
                       X=np.zeros((len(x), 0)), B=B, P=P,
-                      sd_prior=sd_prior, levels=levels)
+                      sd_prior=sd_prior, levels=levels,
+                      extra={"codes": codes})
 
 
 def build_customized_term(smoothing_var: str, x: np.ndarray, *,
@@ -281,7 +316,8 @@ def build_term_from_call(call, data: dict, env: dict | None = None,
             boundary=opts.pop("boundary", True),
             materialize_B=materialize_B)
     elif model == "IID":
-        td = build_iid_term(var, x, sd_prior=sd_prior)
+        td = build_iid_term(var, x, sd_prior=sd_prior,
+                            materialize_B=materialize_B)
     elif model == "Customized":
         cre = customized_re or {}
         td = build_customized_term(
