@@ -889,12 +889,17 @@ def build_fused_run_1d(backend, k: int, tol: float = 1e-9,
         ladder when eligible, else the scalar secant march + FD pair."""
         if ladder:
             return ladder_run(th0, state0)
-        f0, g0, st0 = vg(th0, state0)
 
         def cond(c):
             return jnp.logical_and(~c["done"], c["it"] < max_iter)
 
         def body(c):
+            # iteration 0 is the BOOT evaluation: step forced to 0 so
+            # the body's vg call lands exactly on th0 — the cold eval
+            # folded INTO the loop, so the warm Laplace body is traced
+            # ONCE here instead of once more outside (compile time; the
+            # evaluation sequence, and with it the mode, is unchanged)
+            boot = c["it"] == 0
             have_h = c["h_est"] > 0
             h = jnp.where(have_h, c["h_est"],
                           jnp.maximum(jnp.abs(c["g"]), 1.0))
@@ -909,8 +914,9 @@ def build_fused_run_1d(backend, k: int, tol: float = 1e-9,
                 em = jnp.clip(em, -8.0, 8.0)
                 # far from the mode and not recovering from a
                 # rejection (cap < 2 after any reject -> secant)
-                use_em = (jnp.abs(em) > 0.5) & (c["cap"] >= 2.0)
+                use_em = (jnp.abs(em) > 0.5) & (c["cap"] >= 2.0) & ~boot
                 step = jnp.where(use_em, -em, step)
+            step = jnp.where(boot, 0.0 * step, step)
             full = (~use_em) & (jnp.abs(step) >= c["cap"] * 0.999)
             same_dir = jnp.sign(step) == c["last_dir"]
             cap2 = jnp.where(full & same_dir,
@@ -933,8 +939,9 @@ def build_fused_run_1d(backend, k: int, tol: float = 1e-9,
             h_new = jnp.where(jnp.isfinite(h_new) & (h_new > 0),
                               h_new, c["h_est"])
             # bracket: accepted fine-scale sign flip -> one secant
-            # interpolation next iteration, then stop
-            flip = (acc & ~c["final"]
+            # interpolation next iteration, then stop (never on the
+            # boot iteration — its carry g is a placeholder zero)
+            flip = (acc & ~c["final"] & ~boot
                     & (jnp.sign(g_t) != jnp.sign(c["g"]))
                     & (jnp.abs(dth) < 0.05 * (1.0 + jnp.abs(cand))))
             denom = g_t - c["g"]
@@ -960,14 +967,16 @@ def build_fused_run_1d(backend, k: int, tol: float = 1e-9,
                 "done": done, "it": c["it"] + 1,
             }
 
-        # zero tied to f0 so every carry component starts with the
-        # same sharding 'varying' status as the body outputs
+        # zero tied to the input state so every carry component starts
+        # with the same sharding 'varying' status as the body outputs
         # (shard_map rejects replicated-init/varying-output carries)
-        z = jnp.asarray(0.0, dtype) * f0
-        c0 = {"th": th0 + z, "f": f0, "g": g0, "state": st0,
+        lead = jax.tree_util.tree_leaves(state0)[0]
+        z = jnp.asarray(0.0, dtype) * lead.ravel()[0].astype(dtype)
+        c0 = {"th": th0 + z, "f": jnp.asarray(jnp.inf, dtype) + z,
+              "g": z, "state": state0,
               "h_est": z, "cap": jnp.asarray(2.0, dtype) + z,
               "last_dir": z, "final": z > jnp.asarray(1.0, dtype),
-              "th_root": z, "done": jnp.abs(g0) < tol,
+              "th_root": z, "done": z > jnp.asarray(1.0, dtype),
               "it": jnp.asarray(0)}
         c = jax.lax.while_loop(cond, body, c0)
         mode, st = c["th"], c["state"]
@@ -1276,19 +1285,25 @@ def build_fused_opt_nd(backend, s: int, tol: float = 1e-9,
         return f, g, st
 
     def run(th0, state0):
-        f0, g0, st0 = vg(th0, state0)
-        gmax0 = jnp.max(jnp.abs(g0))
-        z = jnp.asarray(0.0, dtype) * f0   # sharding-varying zero
-        c0 = {"th": th0 + z, "f": f0, "g": g0, "state": st0,
-              "Hinv": eye / jnp.maximum(gmax0, 1.0),
+        # sharding-varying zero tied to the input state (see
+        # build_fused_run_1d); iteration 0 is the BOOT evaluation — the
+        # cold eval folded into the loop so the warm Laplace body is
+        # traced once (the evaluation sequence is unchanged)
+        lead = jax.tree_util.tree_leaves(state0)[0]
+        z = jnp.asarray(0.0, dtype) * lead.ravel()[0].astype(dtype)
+        c0 = {"th": th0 + z, "f": jnp.asarray(jnp.inf, dtype) + z,
+              "g": jnp.zeros((s,), dtype) + z, "state": state0,
+              "Hinv": eye + z,
               "alpha": jnp.asarray(1.0, dtype) + z,
               "stall": jnp.asarray(0),
-              "done": gmax0 < tol, "it": jnp.asarray(0)}
+              "done": z > jnp.asarray(1.0, dtype),
+              "it": jnp.asarray(0)}
 
         def cond(c):
             return jnp.logical_and(~c["done"], c["it"] < max_iter)
 
         def body(c):
+            boot = c["it"] == 0
             g = c["g"]
             gmax = jnp.max(jnp.abs(g))
             step = c["Hinv"] @ g
@@ -1307,8 +1322,10 @@ def build_fused_opt_nd(backend, s: int, tol: float = 1e-9,
                 em = jnp.clip(em, -8.0, 8.0)
                 # far from the mode, and not inside a rejection backoff
                 # (alpha < 1 until the next accepted step)
-                use_em = (jnp.max(jnp.abs(em)) > 0.5) & (c["alpha"] >= 1.0)
+                use_em = ((jnp.max(jnp.abs(em)) > 0.5)
+                          & (c["alpha"] >= 1.0) & ~boot)
                 step = jnp.where(use_em, -em / c["alpha"], step)
+            step = jnp.where(boot, 0.0 * step, step)
             cand = c["th"] - c["alpha"] * step
             f_t, g_t, st_t = vg(cand, c["state"])
             ok = jnp.isfinite(f_t) & (
@@ -1322,6 +1339,9 @@ def build_fused_opt_nd(backend, s: int, tol: float = 1e-9,
             Vm = eye - rho * jnp.outer(sk, yk)
             Hb = Vm @ Hu @ Vm.T + rho * jnp.outer(sk, sk)
             H2 = jnp.where(ok & good_sy, Hb, Hu)
+            # boot: the cautious init the host path uses (eye / |g|max)
+            H2 = jnp.where(
+                boot, eye / jnp.maximum(jnp.max(jnp.abs(g_t)), 1.0), H2)
             improved = (c["f"] - f_t) > f_eps * (1.0 + jnp.abs(c["f"]))
             stall2 = jnp.where(ok & improved, 0,
                                jnp.where(ok, c["stall"] + 1, c["stall"]))
@@ -1335,6 +1355,9 @@ def build_fused_opt_nd(backend, s: int, tol: float = 1e-9,
             gmax2 = jnp.max(jnp.abs(g2))
             done = ((gmax2 < tol) | (stall2 >= 2) | (alpha2 < 1e-6)
                     | (dec < 1e-13 * (1.0 + jnp.abs(f2))))
+            # boot's zero step has dec = 0 — only the gradient test
+            # applies there (matches the host loop's entry condition)
+            done = jnp.where(boot, gmax2 < tol, done)
             return {"th": th2, "f": f2, "g": g2, "state": st2,
                     "Hinv": H2, "alpha": alpha2, "stall": stall2,
                     "done": done, "it": c["it"] + 1}
@@ -1361,6 +1384,45 @@ def build_fused_opt_nd(backend, s: int, tol: float = 1e-9,
         return mode, 0.5 * (H + H.T), st
 
     return jax.jit(run) if jit else run
+
+
+def _jacobi_eigh_small(A, s: int, sweeps: int = 10):
+    """Eigendecomposition of a symmetric (s, s) device matrix by
+    statically unrolled cyclic Jacobi sweeps (s <= 4): returns
+    (evals (s,), V (s, s)) with A ~= V diag(evals) V^T. Branch-free
+    rotations (atan2(0, 0) = 0 makes converged pairs a no-op); machine
+    precision after ~6 sweeps for these tiny adaptation matrices. Used
+    by the single-dispatch s>1 fit to run the quadrature adaptation
+    (host np.linalg.eigh in the 3-dispatch path) ON device."""
+    V = jnp.eye(s, dtype=A.dtype)
+    for _ in range(sweeps):
+        for p in range(s - 1):
+            for q in range(p + 1, s):
+                th = 0.5 * jnp.arctan2(2.0 * A[p, q], A[p, p] - A[q, q])
+                c, sn = jnp.cos(th), jnp.sin(th)
+                R = (jnp.eye(s, dtype=A.dtype)
+                     .at[p, p].set(c).at[q, q].set(c)
+                     .at[p, q].set(-sn).at[q, p].set(sn))
+                A = R.T @ A @ R
+                V = V @ R
+    return jnp.diagonal(A), V
+
+
+def _chol_small(Am, s: int):
+    """Closed-form (statically unrolled) Cholesky of a tiny (s, s) PD
+    device matrix — same recurrence as LAPACK potrf, so it matches the
+    host np.linalg.cholesky of the 3-dispatch path to fp rounding."""
+    L = [[None] * s for _ in range(s)]
+    for i in range(s):
+        for j in range(i + 1):
+            acc = Am[i, j]
+            for t in range(j):
+                acc = acc - L[i][t] * L[j][t]
+            L[i][j] = jnp.sqrt(acc) if i == j else acc / L[j][j]
+    rows = [jnp.stack([L[i][j] if j <= i
+                       else jnp.zeros((), Am.dtype)
+                       for j in range(s)]) for i in range(s)]
+    return jnp.stack(rows)
 
 
 def _node_tour(z: np.ndarray):
@@ -1455,6 +1517,100 @@ def _fused_nodes_cached(backend, z: np.ndarray, return_states: bool,
                 be, tour, return_states=return_states, jit=False,
                 sample_M=sample_M))
     return cache[key]
+
+
+def build_fused_full_nd(backend, s: int, k: int, tol: float = 1e-9,
+                        max_iter: int = 60, sample_M: int = 0,
+                        jit: bool = True):
+    """The ENTIRE s>1 AGHQ fit as ONE jitted device program (s <= 3):
+    BFGS optimization + FD outer Hessian (build_fused_opt_nd), the s x s
+    quadrature adaptation ON device (Jacobi eigendecomposition with the
+    host path's PD-clip semantics + closed-form Cholesky), the k^s
+    warm-chained main-grid evaluations, the s re-adapted marginal grids,
+    and (sample_M > 0) the posterior mixture draws — one dispatch
+    instead of three (opt+FD, nodes+draws, marginals), ~30 ms tunnel
+    overhead each (BENCH_NOTES.md). Mirrors the one-call semantics of
+    aghq::marginal_laplace_tmb (/root/reference/R/02_model_fit.R:284).
+
+    Adaptation parity with the 3-dispatch host path: cov = V diag(1/l) V'
+    from the eigendecomposition of H equals np.linalg.inv(H) to fp
+    rounding; when any eigenvalue is nonpositive the host's clip branch
+    (|evals| of cov clipped below at 1e-8 of the max) is applied — the
+    selection between the two matches the host's try/except on
+    np.linalg.cholesky. Values agree with the 3-dispatch path to ~1e-12
+    relative in f64 (LAPACK vs unrolled arithmetic), not bit-for-bit.
+
+    Returns run(th0, state0[, key]) ->
+      (mode (s,), H (s,s), L (s,s), nodes (J,s), nlls (J,), states,
+       marg_nlls (s, J), Lps (s, s, s)[, idx (M,), samps (w, M)]).
+    """
+    if s > 3:
+        raise ValueError("single-dispatch s>1 fit implements the "
+                         "closed-form adaptation for s <= 3")
+    dtype = backend.dtype
+    opt_run = build_fused_opt_nd(backend, s, tol, max_iter, jit=False)
+    z, logw_base = product_grid(k, s)
+    J = len(z)
+    tour = _node_tour(z)
+    nodes_body = build_fused_nodes(backend, tour, return_states=True,
+                                   jit=False)
+    t_marg = np.concatenate([tour + j * J for j in range(s)])
+    marg_body = build_fused_nodes(backend, t_marg, return_states=False,
+                                  jit=False)
+    perms = [np.array([j] + [i for i in range(s) if i != j])
+             for j in range(s)]
+    z_dev = jnp.asarray(z, dtype)
+    logw1 = jnp.asarray(logw_base, dtype)
+
+    def adapt(H):
+        """Device (cov_sel, L) with host clip semantics (see aghq_fit)."""
+        Hs = 0.5 * (H + H.T)
+        lam, V = _jacobi_eigh_small(Hs, s)
+        ok = jnp.all(lam > 0)
+        inv_lam = 1.0 / jnp.where(lam == 0, 1e-300, lam)
+        cov_direct = (V * inv_lam[None, :]) @ V.T
+        ev = jnp.abs(inv_lam)
+        ev = jnp.maximum(ev, 1e-8 * jnp.maximum(jnp.max(ev), 1e-8))
+        cov_clip = (V * ev[None, :]) @ V.T
+        cov = jnp.where(ok, cov_direct, cov_clip)
+        cov = 0.5 * (cov + cov.T)
+        return cov, _chol_small(cov, s)
+
+    def run_core(th0, state0):
+        mode, H, st = opt_run(th0, state0)
+        cov, L = adapt(H)
+        nodes = mode[None, :] + z_dev @ L.T
+        nlls, sts = nodes_body(nodes, st)
+        # marginal grids: dim j reordered first (cov permuted), same
+        # k^s node count so the three scans share shapes
+        marg_nodes = []
+        Lps = []
+        for j in range(s):
+            pj = perms[j]
+            covp = cov[np.ix_(pj, pj)]
+            Lp = _chol_small(covp, s)
+            nodes_p = mode[pj][None, :] + z_dev @ Lp.T
+            marg_nodes.append(nodes_p[:, np.argsort(pj)])
+            Lps.append(Lp)
+        marg_nlls = marg_body(jnp.concatenate(marg_nodes), st)
+        return (mode, H, L, nodes, nlls, sts,
+                marg_nlls.reshape(s, J), jnp.stack(Lps))
+
+    if not sample_M:
+        return jax.jit(run_core) if jit else run_core
+
+    def run_sampled(th0, state0, key):
+        out = run_core(th0, state0)
+        mode, H, L, nodes, nlls, sts = out[:6]
+        logw = logw1 + jnp.sum(jnp.log(jnp.diagonal(L)))
+        lw = -nlls + logw
+        lnc = _logsumexp_j(lw)
+        k_idx, k_draw = jax.random.split(key)
+        idx = jax.random.categorical(k_idx, lw - lnc, shape=(sample_M,))
+        samps = backend.sample_traceable(k_draw, sts, idx, sample_M)
+        return out + (idx, samps)
+
+    return jax.jit(run_sampled) if jit else run_sampled
 
 
 def optimize_theta(backend, s: int, theta0=None, tol=1e-9, max_iter=100,
@@ -1588,6 +1744,10 @@ def aghq_fit(md_or_backend, k: int = 4, theta0=None, verbose=False,
         return fit
 
     fused_nd = s > 1 and getattr(backend, "supports_fused_nd", False)
+    if fused_nd and s <= 3:
+        # the ENTIRE s>1 fit (opt + on-device adaptation + main and
+        # marginal grids + optional draws) as ONE dispatch
+        return _aghq_fit_full_nd(backend, s, k, theta0, sample)
     if fused_nd:
         # fused outer optimization: BFGS + FD Hessian in one dispatch
         if not hasattr(backend, "_fused_opt_nd"):
@@ -1654,6 +1814,60 @@ def aghq_fit(md_or_backend, k: int = 4, theta0=None, verbose=False,
     else:
         fit.marginals = [marginal_posterior(fit, backend, j, warm=warm)
                          for j in range(s)]
+    return fit
+
+
+def _aghq_fit_full_nd(backend, s: int, k: int, theta0, sample) -> AGHQFit:
+    """aghq_fit via the single-dispatch s>1 program
+    (build_fused_full_nd); host work is only the table arithmetic."""
+    fuse_sample = (sample is not None
+                   and hasattr(backend, "sample_traceable"))
+    sample_M = int(sample[1]) if fuse_sample else 0
+    cache = getattr(backend, "_fused_full_nd", None)
+    if cache is None:
+        cache = backend._fused_full_nd = {}
+    ckey = (s, k, sample_M)
+    if ckey not in cache:
+        cache[ckey] = _lifted_jit(
+            backend, lambda be: build_fused_full_nd(
+                be, s, k, sample_M=sample_M, jit=False))
+    th0 = (jnp.zeros((s,), backend.dtype) if theta0 is None
+           else jnp.asarray(np.atleast_1d(theta0), backend.dtype))
+    args = (th0, backend.init_state())
+    if sample_M:
+        out = cache[ckey](*args, sample[0])
+        (mode, H, L, nodes, nlls, states, marg_nlls, Lps,
+         idx_d, samps_d) = out
+        (mode, H, L, nodes, nlls, marg_nlls, Lps, idx_d,
+         samps_d) = jax.device_get(
+            (mode, H, L, nodes, nlls, marg_nlls, Lps, idx_d, samps_d))
+        presampled = (np.asarray(samps_d, np.float64).T,
+                      np.asarray(idx_d), np.asarray(sample[0]))
+    else:
+        out = cache[ckey](*args)
+        mode, H, L, nodes, nlls, states, marg_nlls, Lps = out
+        mode, H, L, nodes, nlls, marg_nlls, Lps = jax.device_get(
+            (mode, H, L, nodes, nlls, marg_nlls, Lps))
+        presampled = None
+    mode = np.asarray(mode, np.float64)
+    H = np.asarray(H, np.float64)
+    L = np.asarray(L, np.float64)
+    z, logw_base = product_grid(k, s)
+    logw = logw_base + np.log(np.diag(L)).sum()
+    nlls = np.asarray(nlls, np.float64)
+    lognormconst = _logsumexp_np(-nlls + logw)
+    fit = AGHQFit(mode=mode, hessian=H, L=L,
+                  nodes=np.asarray(nodes, np.float64), logw=logw,
+                  lognll=nlls, lognormconst=lognormconst,
+                  states=states, k=k, backend=backend,
+                  presampled=presampled)
+    marg_nlls = np.asarray(marg_nlls, np.float64)
+    Lps = np.asarray(Lps, np.float64)
+    fit.marginals = []
+    for j in range(s):
+        pj = np.array([j] + [i for i in range(s) if i != j])
+        fit.marginals.append(
+            _marginal_table(fit, marg_nlls[j], mode[pj], Lps[j]))
     return fit
 
 
