@@ -234,7 +234,7 @@ def model_fit(formula=None, data=None, method: str = "aghq",
               option_list=None, seed: int = 0,
               terms=None, fixed=None, response=None,
               engine: str = "auto", timing: bool = False,
-              data_mesh=None, theta0=None) -> FitResult:
+              data_mesh=None, theta0=None, predict_at=None) -> FitResult:
     """Fit a Bayesian hierarchical GP model.
 
     Either pass `formula` (string) + `data`, or `response=`/`fixed=`/
@@ -266,6 +266,14 @@ def model_fit(formula=None, data=None, method: str = "aghq",
     optimization (default 0, like the reference's aghq call) — used by
     model_fit_loop to warm-start each grid fit from its neighbor's
     mode, saving the cold-start optimizer iterations.
+
+    predict_at=(var, xs): compute predict summaries for the named GP
+    component at locations `xs` AS PART OF THE FIT — on the fused fast
+    path (s=1 IWP backend) the fit, posterior draws, AND the predict
+    mean/95% band leave the device in ONE dispatch. Results are
+    attached as fit.predictions[var] (same fields as fit.predict(var));
+    a non-fusable configuration falls back to a regular post-fit
+    predict so the argument always works.
     """
     if data_mesh is not None and method != "aghq":
         raise ValueError("data_mesh= requires method='aghq'")
@@ -295,6 +303,7 @@ def model_fit(formula=None, data=None, method: str = "aghq",
     mod = None
     samps = None
     theta_samps = None
+    fused_predict = None
 
     def _fast_backend():
         if use_banded and len(instances) == 1 and instances[0].kind == "IWP":
@@ -337,10 +346,30 @@ def model_fit(formula=None, data=None, method: str = "aghq",
                         "to " + type(backend).__name__)
                 backend = ds_mod.shard_backend_data(backend, data_mesh)
         # s=1 fused backends draw the posterior samples INSIDE the fit
-        # program (one dispatch total); sample_marginal reuses them
+        # program (one dispatch total); sample_marginal reuses them.
+        # predict_at=(var, xs): the predict summaries join the SAME
+        # program when the backend supports it (fit + draws + predict
+        # in one dispatch; reference workflow R/03_post_fit.R:44-125)
+        if predict_at is not None:
+            pvar, pxs = predict_at
+            inst_p = [t for t in instances if t.smoothing_var == pvar]
+            if (inst_p and inst_p[0].kind == "IWP"
+                    and hasattr(backend, "term")
+                    and backend.term is inst_p[0]):
+                t_p = inst_p[0]
+                xs_sorted = np.sort(np.asarray(pxs, np.float64))
+                xs_sh = xs_sorted - t_p.initial_location
+                spec = {"knots": t_p.knots, "p": t_p.order,
+                        "degree": 0, "level": 0.95,
+                        "include_intercept": not (
+                            family in ("Coxph", "coxph", "cc",
+                                       "casecrossover", "CaseCrossover")),
+                        "rows": 1024}
+                fused_predict = (pvar, xs_sorted, (spec, xs_sh))
         with tphase("inference (AGHQ fit + posterior draws)"):
-            mod = aghq_mod.aghq_fit(backend, k=aghq_k, sample=(key, M),
-                                    theta0=theta0)
+            mod = aghq_mod.aghq_fit(
+                backend, k=aghq_k, sample=(key, M), theta0=theta0,
+                predict=(fused_predict[2] if fused_predict else None))
             samps, _, theta_samps = sampling_mod.sample_marginal(
                 key, mod, M)
     elif method == "nlminb":
@@ -386,7 +415,7 @@ def model_fit(formula=None, data=None, method: str = "aghq",
     for i, nm in enumerate(fixed_names):
         fixed_samp_indexes[nm] = np.array([md.fixed_offset() + i])
 
-    return FitResult(
+    fit_result = FitResult(
         instances=instances, mod=mod, md=md, method=method, family=family,
         samps=samps, theta_samps=theta_samps,
         random_samp_indexes=random_samp_indexes,
@@ -394,3 +423,16 @@ def model_fit(formula=None, data=None, method: str = "aghq",
         fixed_samp_indexes=fixed_samp_indexes,
         control_family=control_family_n, control_fixed=control_fixed_n,
         fixed_names=fixed_names, M=M, timing=timer)
+
+    if predict_at is not None:
+        pvar, pxs = predict_at
+        pre = getattr(mod, "prepredicted", None)
+        if method == "aghq" and fused_predict is not None and pre is not None:
+            fit_result.predictions = {pvar: {
+                pvar: fused_predict[1], "mean": pre["mean"],
+                "plower": pre["plower"], "pupper": pre["pupper"]}}
+        else:
+            # non-fusable configuration: regular post-fit predict
+            fit_result.predictions = {
+                pvar: fit_result.predict(pvar, newdata={pvar: pxs})}
+    return fit_result

@@ -222,6 +222,9 @@ class AGHQFit:
     presampled: Any = None        # (samps (w, M), idx (M,), key) drawn
     #                               inside the fused fit program
     #                               (aghq_fit sample=(key, M))
+    prepredicted: Any = None      # {"mean","plower","pupper"} predict
+    #                               summaries computed inside the fused
+    #                               fit program (aghq_fit predict=)
 
     @property
     def logpost_nodes(self):
@@ -357,7 +360,7 @@ def _lifted_jit(backend, builder):
 
 def fused_fit_1d(backend, k: int = 4, theta0: float = 0.0,
                  tol: float = 1e-9, max_iter: int = 40, sample=None,
-                 packed_opt: bool = None):
+                 packed_opt: bool = None, predict=None):
     """The ENTIRE s=1 AGHQ fit as ONE jitted device program: secant-
     Newton on the gradient root (same scheme as _optimize_theta_1d),
     FD Hessian at the mode, GH adaptation, and the k node evaluations —
@@ -387,17 +390,42 @@ def fused_fit_1d(backend, k: int = 4, theta0: float = 0.0,
     if cache is None:
         cache = backend._fused_fit_progs = {}
     sample_M = 0 if sample is None else int(sample[1])
-    ckey = (k, tol, max_iter, sample_M, packed_opt)
+    pspec = xs_pred = None
+    if predict is not None:
+        pspec, xs_pred = predict
+        if not sample_M:
+            raise ValueError("predict= needs sample=(key, M)")
+    pkey = (None if pspec is None else
+            (len(xs_pred), pspec.get("degree", 0),
+             pspec.get("level", 0.95), pspec.get("rows", 1024),
+             pspec.get("include_intercept", True)))
+    ckey = (k, tol, max_iter, sample_M, packed_opt, pkey)
     if ckey not in cache:
         cache[ckey] = _lifted_jit(
             backend, lambda be: build_fused_run_1d(
                 be, k, tol, max_iter, jit=False, sample_M=sample_M,
-                packed_opt=packed_opt))
+                packed_opt=packed_opt, predict_spec=pspec))
 
     th0 = jnp.asarray(float(np.atleast_1d(theta0)[0]), backend.dtype)
     # ONE host transfer for all small outputs (each np.asarray on a
     # device array is its own round trip through the tunnel)
-    if sample_M:
+    if pspec is not None:
+        rows = int(pspec.get("rows", 1024))
+        n_pred = len(xs_pred)
+        nb = -(-n_pred // rows)
+        xs_pad = np.full(nb * rows, xs_pred[-1], np.float32)
+        xs_pad[:n_pred] = xs_pred
+        out = cache[ckey](th0, backend.init_state(), sample[0],
+                          jnp.asarray(xs_pad.reshape(nb, rows)))
+        mode, H, nodes, nlls, states, idx, samps, pm, plo, phi = out
+        (mode, H, nodes, nlls, idx, samps, pm, plo, phi) = \
+            jax.device_get((mode, H, nodes, nlls, idx, samps, pm,
+                            plo, phi))
+        extra = (idx, np.asarray(samps, np.float64).T,
+                 {"mean": np.asarray(pm, np.float64).ravel()[:n_pred],
+                  "plower": np.asarray(plo, np.float64).ravel()[:n_pred],
+                  "pupper": np.asarray(phi, np.float64).ravel()[:n_pred]})
+    elif sample_M:
         mode, H, nodes, nlls, states, idx, samps = cache[ckey](
             th0, backend.init_state(), sample[0])
         mode, H, nodes, nlls, idx, samps = jax.device_get(
@@ -790,7 +818,8 @@ def build_fused_run_1d(backend, k: int, tol: float = 1e-9,
                        max_iter: int = 40, jit: bool = True,
                        return_states: bool = True, sample_M: int = 0,
                        packed_nodes: bool = None,
-                       packed_opt: bool = None):
+                       packed_opt: bool = None,
+                       predict_spec: dict = None):
     """Construct (without executing) the jitted fused-fit program of
     fused_fit_1d. jit=False returns the raw traceable function (for
     embedding in larger programs, e.g. sharded replicate fits);
@@ -838,6 +867,9 @@ def build_fused_run_1d(backend, k: int, tol: float = 1e-9,
     R replicates x k slots would exceed the lane capacity)."""
     if sample_M and not return_states:
         raise ValueError("sample_M requires return_states")
+    if predict_spec is not None and not sample_M:
+        raise ValueError("predict_spec requires sample_M > 0 (the "
+                         "in-program draws feed the predict summaries)")
     dtype = backend.dtype
     cdt = getattr(backend, "compute_dtype", dtype)
     f_noise = 1e-9 if cdt in (np.float64, jnp.float64) else 3e-7
@@ -1075,7 +1107,54 @@ def build_fused_run_1d(backend, k: int, tol: float = 1e-9,
                                          sample_M)
         return mode, H, nodes, nlls, states, idx, samps
 
-    return jax.jit(run_sampled) if jit else run_sampled
+    if predict_spec is None:
+        return jax.jit(run_sampled) if jit else run_sampled
+
+    # ---- fused fit + draws + PREDICT summaries (one dispatch) ----
+    # The in-program draws feed the device predict summarizer (the same
+    # O-spline-on-device block structure as postfit's single-dispatch
+    # production predict): fit + posterior draws + predict mean/bands
+    # leave the device in ONE dispatch. Reference anchor: the fit+predict
+    # workflow of every vignette (R/03_post_fit.R:44-125).
+    ps = predict_spec
+    p_full = int(ps["p"])
+    degree = int(ps.get("degree", 0))
+    p_eff = p_full - degree
+    include_intercept = bool(ps.get("include_intercept", True))
+    level = float(ps.get("level", 0.95))
+    knots_j = jnp.asarray(np.asarray(ps["knots"], np.float64),
+                          jnp.float32)
+    d_basis = len(np.asarray(ps["knots"])) - 1
+    alpha_q = 1.0 - level
+    probs = jnp.asarray([alpha_q / 2, level + alpha_q / 2], jnp.float32)
+    fact = [math.factorial(i + degree) / math.factorial(i)
+            for i in range(p_eff)]
+
+    def run_predict(th0, state0, key, xs_blocks):
+        mode, H, nodes, nlls, states, idx, samps = run_sampled(
+            th0, state0, key)
+        from .. import postfit
+        coefs = samps[:, :d_basis].T.astype(jnp.float32)
+        g_rows = [samps[:, d_basis + i].astype(jnp.float32)
+                  for i in range(p_full - 1)]
+        icol = (samps[:, d_basis + p_full - 1].astype(jnp.float32)
+                if include_intercept else
+                jnp.zeros((samps.shape[0],), jnp.float32))
+        g = jnp.stack([icol] + g_rows)[degree:p_full]     # (p_eff, M)
+
+        def block(xb):
+            B = postfit._ospline_basis_jnp(knots_j, xb, p_eff)
+            X = jnp.stack([fact[i] * xb ** i for i in range(p_eff)],
+                          axis=1)
+            draws = X @ g + B @ coefs
+            qs = jnp.quantile(draws, probs, axis=1)
+            return jnp.mean(draws, axis=1), qs[0], qs[1]
+
+        pmean, plo, phi = jax.lax.map(block, xs_blocks)
+        return (mode, H, nodes, nlls, states, idx, samps,
+                pmean, plo, phi)
+
+    return jax.jit(run_predict) if jit else run_predict
 
 
 def build_fused_run_1d_batched(backend, k: int, tol: float = 1e-9,
@@ -1703,14 +1782,20 @@ def optimize_theta(backend, s: int, theta0=None, tol=1e-9, max_iter=100,
 
 
 def aghq_fit(md_or_backend, k: int = 4, theta0=None, verbose=False,
-             sample=None) -> AGHQFit:
+             sample=None, predict=None) -> AGHQFit:
     """Full AGHQ pipeline: optimize, adapt, quadrature, marginals.
 
     sample=(key, M): draw the M posterior mixture samples INSIDE the
     fused fit program when the backend supports it (s=1 fused path +
     sample_traceable) and attach them as fit.presampled =
     (samps (w, M), idx (M,)) — sampling.sample_marginal then reuses
-    them instead of dispatching again. Ignored where unsupported."""
+    them instead of dispatching again. Ignored where unsupported.
+
+    predict=(spec, xs): additionally compute predict summaries
+    (mean + level band at the xs grid) INSIDE the same program from the
+    in-program draws (s=1 fused path, IWP backends; requires sample=).
+    Attached as fit.prepredicted. spec: dict(knots=, p=, degree=0,
+    include_intercept=True, level=0.95, rows=1024)."""
     backend = (md_or_backend if hasattr(md_or_backend, "node_eval")
                else DenseBackend(md_or_backend))
     s = backend.n_theta
@@ -1726,10 +1811,13 @@ def aghq_fit(md_or_backend, k: int = 4, theta0=None, verbose=False,
         fuse_sample = (sample is not None
                        and hasattr(backend, "sample_traceable"))
         out = fused_fit_1d(backend, k=k, theta0=th0,
-                           sample=sample if fuse_sample else None)
+                           sample=sample if fuse_sample else None,
+                           predict=predict if fuse_sample else None)
         mode, H, nodes, nlls, states = out[:5]
         presampled = ((out[6], out[5], np.asarray(sample[0]))
                       if fuse_sample else None)
+        prepredicted = (out[7] if fuse_sample and predict is not None
+                        else None)
         Lad = 1.0 / np.sqrt(np.maximum(np.abs(H[0, 0]), 1e-8))
         z, logw_base = product_grid(k, 1)
         logw = logw_base + np.log(Lad)
@@ -1740,6 +1828,7 @@ def aghq_fit(md_or_backend, k: int = 4, theta0=None, verbose=False,
                       lognormconst=lognormconst, states=states, k=k,
                       backend=backend)
         fit.presampled = presampled
+        fit.prepredicted = prepredicted
         fit.marginals = [marginal_posterior(fit, backend, 0)]
         return fit
 

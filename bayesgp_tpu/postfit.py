@@ -374,6 +374,10 @@ class FitResult:
     M: int
     timing: Any = None           # utils.profiling.PhaseTimer when the
     #                              fit ran with model_fit(timing=True)
+    predictions: Any = None      # model_fit(predict_at=(var, xs)):
+    #                              {var: predict-style dict}, computed
+    #                              INSIDE the fused fit program on the
+    #                              fast path (one-dispatch fit+predict)
 
     # ------------------------------------------------------------------
     def _instance_for(self, variable):

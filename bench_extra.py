@@ -265,6 +265,36 @@ def bench_predict(n_pred=100_000, M=3000):
           flush=True)
 
 
+def bench_fitpredict(n_pred=100_000, M=3000):
+    """One-dispatch fit + posterior draws + predict summaries
+    (aghq_fit predict=) vs the same work as fit-then-predict (two
+    dispatches) at the headline config."""
+    from bayesgp_tpu.inference.aghq import aghq_fit
+
+    be = _build_iwp(100_000, 2000, "Poisson")
+    key = jax.random.PRNGKey(0)
+    xs = np.linspace(0.0, 365.0, n_pred)
+    spec = {"knots": be.term.knots, "p": be.term.order, "degree": 0,
+            "level": 0.95, "include_intercept": True, "rows": 1024}
+
+    def run():
+        return aghq_fit(be, k=4, sample=(key, M), predict=(spec, xs))
+    t0 = time.time()
+    fit = run()
+    first = time.time() - t0
+    t0 = time.time()
+    fit = run()
+    dt = time.time() - t0
+    pre = fit.prepredicted
+    ok = bool(np.all(np.isfinite(pre["mean"]))
+              and np.all(pre["plower"] <= pre["pupper"]))
+    print(json.dumps({"metric": "fit_sample_predict_onedispatch_seconds",
+                      "value": round(dt, 4), "unit": "s",
+                      "first_compile_s": round(first, 1),
+                      "n_pred": n_pred, "M": M, "finite": ok}),
+          flush=True)
+
+
 def bench_mcmc(M=200, warmup=300):
     """Fast-backend NUTS at the headline config (n=1e5, k=2000): the
     production-scale method='MCMC' path (mcmc.mcmc_fit_fast — O(n)
@@ -297,6 +327,8 @@ if __name__ == "__main__":
         bench_build()
     if which in ("predict", "all"):
         bench_predict()
+    if which in ("fitpredict", "all"):
+        bench_fitpredict()
     if which == "mcmc":   # opt-in: long even on-chip
         bench_mcmc()
     if which in ("coxph", "all"):

@@ -139,3 +139,44 @@ def test_sample_zero_M_and_fresh_key():
     k2 = jax.random.PRNGKey(99)
     s_new, i_new, _ = sampling.sample_marginal(k2, fit, M)
     assert not np.array_equal(s_new, s_same)
+
+
+def test_fused_predict_inside_fit():
+    """model_fit(predict_at=(var, xs)): fit + draws + predict summaries
+    in ONE fused program on the fast path; results match the post-fit
+    predict of the same draws to f32 summarizer noise."""
+    import bayesgp_tpu as bg
+    rng = np.random.default_rng(0)
+    n = 600
+    x = np.sort(rng.uniform(0.0, 10.0, n))
+    y = rng.poisson(np.exp(0.4 * np.sin(x) + 1.0)).astype(float)
+    xs = np.linspace(0.0, 10.0, 200)
+    fit = bg.model_fit("y ~ f(x, model='IWP', order=3, k=30)",
+                       data={"y": y, "x": x}, family="Poisson",
+                       M=400, seed=1, engine="banded",
+                       predict_at=("x", xs))
+    assert fit.mod.prepredicted is not None      # actually fused
+    pred_f = fit.predictions["x"]
+    pred_h = fit.predict("x", newdata={"x": xs})
+    assert np.allclose(pred_f["x"], pred_h["x"])
+    for f in ("mean", "plower", "pupper"):
+        scale = 1.0 + np.abs(pred_h[f]).max()
+        assert np.abs(pred_f[f] - pred_h[f]).max() < 2e-3 * scale, f
+
+
+def test_predict_at_fallback_dense():
+    """predict_at on a non-fusable configuration (dense engine) falls
+    back to a post-fit predict — the argument always works."""
+    import bayesgp_tpu as bg
+    rng = np.random.default_rng(1)
+    n = 200
+    x = np.sort(rng.uniform(0.0, 5.0, n))
+    y = rng.poisson(np.exp(0.5 * np.sin(x) + 0.5)).astype(float)
+    xs = np.linspace(0.0, 5.0, 50)
+    fit = bg.model_fit("y ~ f(x, model='IWP', order=2, k=10)",
+                       data={"y": y, "x": x}, family="Poisson",
+                       M=200, seed=0, engine="dense",
+                       predict_at=("x", xs))
+    pred = fit.predictions["x"]
+    assert np.all(np.isfinite(pred["mean"]))
+    assert np.all(pred["plower"] <= pred["pupper"])
