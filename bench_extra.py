@@ -265,6 +265,43 @@ def bench_predict(n_pred=100_000, M=3000):
           flush=True)
 
 
+def bench_bigiid(n=100_000, k=2000, q=10_000):
+    """Large-q IID: n=1e5 observations, IWP3 k=2000 driver + an IID
+    term with q=1e4 x-clustered levels (observation-bin random effect —
+    the overdispersion pattern), Poisson, s=2 AGHQ fit. The merged-IID
+    band path (fast/banded._merge_iid_into_band); the reference rides
+    CHOLMOD's sparse Cholesky here (R/02_model_fit.R:276-284). Before
+    round 13 this configuration was O(n q + d q^2 + q^3) dense-tail
+    infeasible."""
+    import bayesgp_tpu as bg
+    rng = np.random.default_rng(0)
+    x = np.sort(rng.uniform(0.0, 365.0, n))
+    g = np.floor(x * (q / 365.0))
+    g = np.minimum(g, q - 1)
+    u_true = 0.15 * rng.normal(size=int(g.max()) + 1)
+    f_true = 1.5 + 0.8 * np.sin(2 * np.pi * x / 90.0) + 0.002 * x
+    y = rng.poisson(np.exp(f_true + u_true[g.astype(int)])).astype(float)
+    data = {"y": y, "x": x, "g": g}
+    fml = "y ~ f(x, model='IWP', order=3, k=kk) + f(g, model='IID')"
+
+    def run():
+        return bg.model_fit(fml, data=data, family="Poisson", M=1000,
+                            seed=0, aghq_k=3, env={"kk": k})
+    t0 = time.time()
+    fit = run()
+    first = time.time() - t0
+    t0 = time.time()
+    fit = run()
+    dt = time.time() - t0
+    iid_lazy = any(t.kind == "IID" and t.B is None for t in fit.instances)
+    print(json.dumps({"metric": f"bigiid_n{n}_k{k}_q{q}_fit_seconds",
+                      "value": round(dt, 4), "unit": "s",
+                      "first_compile_s": round(first, 1),
+                      "merged_band": bool(iid_lazy),
+                      "mode": np.asarray(fit.mod.mode).tolist()}),
+          flush=True)
+
+
 def bench_fitpredict(n_pred=100_000, M=3000):
     """One-dispatch fit + posterior draws + predict summaries
     (aghq_fit predict=) vs the same work as fit-then-predict (two
@@ -329,6 +366,8 @@ if __name__ == "__main__":
         bench_predict()
     if which in ("fitpredict", "all"):
         bench_fitpredict()
+    if which in ("bigiid", "all"):
+        bench_bigiid()
     if which == "mcmc":   # opt-in: long even on-chip
         bench_mcmc()
     if which in ("coxph", "all"):
