@@ -253,6 +253,8 @@ class FastIWPBackend(_JitCacheMixin):
     negligible next to the O(n) float32 work even under TPU emulation.
     """
     supports_fused_1d = True   # inference/aghq.fused_fit_1d eligible
+    supports_fused_full_nd = True  # single-dispatch s>1 fit measured
+    #                                safe on TPU (gauss2, round 13)
     supports_fused_nd = True   # fused BFGS + node programs (s > 1)
     # static/host data
     term: Any

@@ -1833,7 +1833,16 @@ def aghq_fit(md_or_backend, k: int = 4, theta0=None, verbose=False,
         return fit
 
     fused_nd = s > 1 and getattr(backend, "supports_fused_nd", False)
-    if fused_nd and s <= 3:
+    # single-dispatch s>1: everywhere on CPU (f64 test parity), but on
+    # TPU only for backends where it is MEASURED safe — the s=3
+    # BandedBackend-with-tail variant of the all-in-one program crashed
+    # the TPU worker (kernel fault, bench_extra two_smooths round 13)
+    # while the FastIWP s=2 variant ran fine (gauss2 1.84 s steady);
+    # BandedBackend s>1 on TPU keeps the round-12-validated 3-dispatch
+    # flow until the fault is isolated.
+    full_ok = getattr(backend, "supports_fused_full_nd", False)
+    if fused_nd and s <= 3 and (
+            full_ok or jax.default_backend() == "cpu"):
         # the ENTIRE s>1 fit (opt + on-device adaptation + main and
         # marginal grids + optional draws) as ONE dispatch
         return _aghq_fit_full_nd(backend, s, k, theta0, sample)
