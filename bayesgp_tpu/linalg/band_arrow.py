@@ -49,7 +49,8 @@ def _pad_dim(q: int) -> int:
     for cand in (32, 64, 128):
         if q <= cand:
             return cand
-    raise ValueError(f"tail dimension {q} > 128")
+    # q > 128 always takes the native-tail path; pad size is unused
+    return q
 
 
 def _native_tail(q: int) -> bool:
@@ -121,29 +122,86 @@ class PallasFactor(NamedTuple):
 
 
 class PallasEngine:
-    """Statics (d, bw, q) fixed per model; methods are traceable."""
+    """Statics (d, bw, q) fixed per model; methods are traceable.
 
-    def __init__(self, d: int, bw: int, q: int, interpret: bool = False):
+    `chunk=None` uses the proven single-call kernels (whole (R, 128)
+    arrays VMEM-resident — only safe while ~9 of them fit in the
+    ~16 MB/core VMEM). `chunk=cr` switches every kernel to the
+    HBM-streaming chunked variants (band_kernels chunked section),
+    lifting the d limit to HBM scale; make_engine picks this
+    automatically from a VMEM-footprint estimate. Tail widths q > 128
+    are handled by tiling C into 128-column lane tiles (factor carries
+    tile 0; extra tiles ride the forward-solve kernel) with the dense
+    q x q Schur algebra on XLA's native f64 primitives."""
+
+    def __init__(self, d: int, bw: int, q: int, interpret: bool = False,
+                 chunk: int = None):
         self.d, self.bw, self.q = d, bw, q
         self.interpret = interpret
-        self.W, self.R = bk.plan_rows(d, bw)
+        self.chunk = chunk
+        if chunk:
+            self.W, self.R = bk.plan_rows_chunked(d, bw, chunk)
+        else:
+            self.W, self.R = bk.plan_rows(d, bw)
         self._hld = None
+
+    # -- kernel selection ----------------------------------------------
+    def _factor_fn(self):
+        if self.chunk:
+            return bk.factor_chunked_fn(self.d, self.bw, self.chunk,
+                                        self.interpret)
+        return bk.factor_fn(self.d, self.bw, self.interpret)
+
+    def _fwd_fn(self):
+        if self.chunk:
+            return bk.fwd_solve_chunked_fn(self.d, self.bw, self.chunk,
+                                           self.interpret)
+        return bk.fwd_solve_fn(self.d, self.bw, self.interpret)
+
+    def _bwd_fn(self):
+        if self.chunk:
+            return bk.bwd_solve_chunked_fn(self.d, self.bw, self.chunk,
+                                           self.interpret)
+        return bk.bwd_solve_fn(self.d, self.bw, self.interpret)
+
+    def _bwd_multi(self, mt, tile):
+        if self.chunk:
+            return bk.bwd_multi_chunked_fn(self.d, self.bw, mt, tile,
+                                           self.chunk, self.interpret)
+        return bk.bwd_multi_fn(self.d, self.bw, mt, tile, self.interpret)
+
+    def _takahashi_fn(self):
+        if self.chunk:
+            return bk.takahashi_chunked_fn(self.d, self.bw, self.chunk,
+                                           self.interpret)
+        return bk.takahashi_fn(self.d, self.bw, self.interpret)
+
+    def _pack_rhs(self, rhs):
+        return bk.pack_rhs(rhs, self.d, self.bw, self.R)
 
     # -- core ----------------------------------------------------------
     def factor(self, band, C, Hd):
         d, bw, q = self.d, self.bw, self.q
-        bh, bl = bk.pack_band(band.astype(jnp.float64), d, bw)
+        bh, bl = bk.pack_band(band.astype(jnp.float64), d, bw, self.R)
+        q0 = min(q, bk.LANES)
         if q:
-            ch, cl = bk.pack_rhs(C.astype(jnp.float64), d, bw)
+            ch, cl = self._pack_rhs(C[:, :q0].astype(jnp.float64))
         else:
             z = jnp.zeros((self.R, bk.LANES), jnp.float32)
             ch, cl = z, z
-        Lh, Ll, Yh, Yl, misc = bk.factor_fn(d, bw, self.interpret)(
-            bh, bl, ch, cl)
+        Lh, Ll, Yh, Yl, misc = self._factor_fn()(bh, bl, ch, cl)
         hld_b = 0.5 * (misc[0, 0].astype(jnp.float64)
                        + misc[0, 1].astype(jnp.float64))
         if q:
-            Y = bk.unpack((Yh, Yl), d, bw, q)
+            tiles = [bk.unpack((Yh, Yl), d, bw, q0)]
+            fwd = self._fwd_fn() if q > q0 else None
+            for t0 in range(q0, q, bk.LANES):
+                t1 = min(t0 + bk.LANES, q)
+                th, tl = self._pack_rhs(C[:, t0:t1].astype(jnp.float64))
+                yt = fwd(Lh, Ll, th, tl)
+                tiles.append(bk.unpack(yt, d, bw, t1 - t0))
+            Y = (jnp.concatenate(tiles, axis=1) if len(tiles) > 1
+                 else tiles[0])
             S = Hd - Y.T @ Y
             Ls = small_chol(S)
         else:
@@ -159,27 +217,32 @@ class PallasEngine:
     def solve(self, f: PallasFactor, rb, rd):
         """H [zb; zd] = [rb; rd]; rb (d,), rd (q,)."""
         d, bw, q = self.d, self.bw, self.q
-        rh, rl = bk.pack_rhs(rb, d, bw)
-        u = bk.unpack(bk.fwd_solve_fn(d, bw, self.interpret)(
-            f.Lh, f.Ll, rh, rl), d, bw)
+        rh, rl = self._pack_rhs(rb)
+        u = bk.unpack(self._fwd_fn()(f.Lh, f.Ll, rh, rl), d, bw)
         if q:
             rhs_d = rd - f.Y.T @ u
             zd = small_solve_Lt(f.Ls, small_solve_L(f.Ls, rhs_d))
             u = u - f.Y @ zd
         else:
             zd = rd
-        uh, ul = bk.pack_rhs(u, d, bw)
-        zb = bk.unpack(bk.bwd_solve_fn(d, bw, self.interpret)(
-            f.Lh, f.Ll, uh, ul), d, bw)
+        uh, ul = self._pack_rhs(u)
+        zb = bk.unpack(self._bwd_fn()(f.Lh, f.Ll, uh, ul), d, bw)
         return zb, zd
 
     def solve_Lt_dd(self, f: PallasFactor, B):
-        """L^{-T} B for (d, r<=128) f64 B (used for W = Hb^{-1} C)."""
+        """L^{-T} B for (d, r) f64 B (used for W = Hb^{-1} C); columns
+        beyond 128 run as extra lane tiles."""
         d, bw = self.d, self.bw
         r = B.shape[1]
-        bh, bl = bk.pack_rhs(B, d, bw)
-        return bk.unpack(bk.bwd_solve_fn(d, bw, self.interpret)(
-            f.Lh, f.Ll, bh, bl), d, bw, r)
+        bwd = self._bwd_fn()
+        tiles = []
+        for t0 in range(0, r, bk.LANES):
+            t1 = min(t0 + bk.LANES, r)
+            bh, bl = self._pack_rhs(B[:, t0:t1])
+            tiles.append(bk.unpack(bwd(f.Lh, f.Ll, bh, bl),
+                                   d, bw, t1 - t0))
+        return tiles[0] if len(tiles) == 1 else jnp.concatenate(
+            tiles, axis=1)
 
     def sample_multi(self, f: PallasFactor, zb, zd):
         """x = L_full^{-T} z: each column ~ N(0, H^{-1}).
@@ -198,7 +261,7 @@ class PallasEngine:
         W, R = self.W, self.R
         pad = jnp.zeros((R, mt * tile), jnp.float32)
         pad = pad.at[W:W + d, :M].set(rhs)
-        xb = bk.bwd_multi_fn(d, bw, mt, tile, self.interpret)(f.Lh, pad)
+        xb = self._bwd_multi(mt, tile)(f.Lh, pad)
         return xb[W:W + d, :M].astype(zb.dtype), xd.astype(zd.dtype)
 
     def _hld_bwd(self, f: PallasFactor, ct):
@@ -208,7 +271,7 @@ class PallasEngine:
         Hinv_bd = -W S^{-1}, Hinv_dd = S^{-1}."""
         d, bw, q = self.d, self.bw, self.q
         W_ = self.W
-        Z = bk.takahashi_fn(d, bw, self.interpret)(f.Lh)
+        Z = self._takahashi_fn()(f.Lh)
         Zb = Z[W_:W_ + d, :bw + 1].astype(jnp.float64)      # (d, bw+1)
         if q:
             Wm = self.solve_Lt_dd(f, f.Y)                   # (d, q)
@@ -308,16 +371,44 @@ class BlockEngine:
         return self.half_logdet(self.factor(band, C, Hd))
 
 
+# VMEM budget for the single-call kernels: the factor kernel keeps ~9
+# whole (R, 128) f32 arrays resident; past ~12 of the ~16 MB/core VMEM
+# the v5-lite worker FAULTS instead of erroring (round-13 crash
+# configs, BENCH_NOTES). Beyond it the chunked kernels stream rows
+# from HBM with a bounded footprint.
+_SINGLE_CALL_VMEM = 12 * 2 ** 20
+# dense Schur-tail width cap for the Pallas engine (native f64 tail
+# primitives; the q x q algebra is O(q^3) XLA work per factorization)
+TAIL_MAX = 512
+
+
+def single_call_ok(d: int, bw: int, q: int) -> bool:
+    """Whole-array kernels are safe: small band, tail on the factor
+    kernel's lanes, and all resident rows within the VMEM budget."""
+    if bw > 31 or q > 128:
+        return False
+    _, R = bk.plan_rows(d, bw)
+    return 9 * R * bk.LANES * 4 <= _SINGLE_CALL_VMEM
+
+
 def make_engine(d: int, bw: int, q: int, s: int, force: str = None):
-    """Pick the engine: Pallas on TPU (within kernel limits), blocks
-    otherwise. force in {None, 'pallas', 'pallas_interpret', 'block'}."""
+    """Pick the engine: Pallas on TPU (single-call kernels within the
+    VMEM budget, HBM-streaming chunked kernels beyond it), blocks
+    otherwise. force in {None, 'pallas', 'pallas_interpret',
+    'pallas_chunked', 'pallas_chunked_interpret', 'block'}."""
     if force == "pallas":
         return PallasEngine(d, bw, q)
     if force == "pallas_interpret":
         return PallasEngine(d, bw, q, interpret=True)
+    if force == "pallas_chunked":
+        return PallasEngine(d, bw, q, chunk=bk.CHUNK_ROWS)
+    if force == "pallas_chunked_interpret":
+        return PallasEngine(d, bw, q, interpret=True, chunk=bk.CHUNK_ROWS)
     if force == "block":
         return BlockEngine(d, bw, q, s)
-    if (jax.default_backend() == "tpu" and q <= 128 and bw <= 31
-            and bw >= 1):
-        return PallasEngine(d, bw, q)
+    if (jax.default_backend() == "tpu" and 1 <= bw <= 125
+            and q <= TAIL_MAX):
+        if single_call_ok(d, bw, q):
+            return PallasEngine(d, bw, q)
+        return PallasEngine(d, bw, q, chunk=bk.CHUNK_ROWS)
     return BlockEngine(d, bw, q, s)

@@ -57,13 +57,35 @@ def _push_front(win, row):
 
 
 def plan_rows(d: int, bw: int):
-    """(W, R): window size and padded row count for a d-column band."""
+    """(W, R): window size and padded row count for a d-column band.
+
+    bw <= 125 (the L stash uses lanes bw+1, bw+2 of the 128-lane row);
+    bandwidths beyond ~31 should use the chunked kernels (W > 32 keeps
+    large per-row windows resident, fine per chunk, heavy whole-array).
+    """
     W = 8
     while W < bw + 1:
         W *= 2
-    if W > 32:
+    if bw > 125 or W > 128:
         raise ValueError(f"bandwidth {bw} too large for the band kernels")
     R = -(-(W + d) // 8) * 8
+    return W, R
+
+
+# Rows processed per chunked-kernel invocation. The chunked kernels
+# stream the (R, 128) row arrays through VMEM CHUNK_ROWS at a time with
+# the recurrence window carried across calls by a lax.scan — total VMEM
+# per call is ~8 * CHUNK_ROWS * 128 * 4 B ~ 4 MB, independent of d.
+# (The single-call kernels keep ~9 whole (R, 128) arrays resident;
+# past R ~ 2.5k that exceeds the ~16 MB/core VMEM and FAULTS the
+# worker — the round-13 wide-band crashes.)
+CHUNK_ROWS = 1024
+
+
+def plan_rows_chunked(d: int, bw: int, cr: int = CHUNK_ROWS):
+    """(W, R) with R a multiple of the chunk length."""
+    W, _ = plan_rows(d, bw)
+    R = -(-(W + d) // cr) * cr
     return W, R
 
 
@@ -71,7 +93,9 @@ def plan_rows(d: int, bw: int):
 # factor: band -> L (+ 1/Ljj stash), Y = L^{-1} C, half log-det
 # ---------------------------------------------------------------------------
 
-def _factor_kernel(bw, W, R, bh, bl, ch, cl, Lh, Ll, yh, yl, misc):
+def _factor_body(bw, W, bh, bl, ch, cl, Lh, Ll, yh, yl):
+    """Per-row factor recurrence, shared by the single-call and chunked
+    kernels. carry = (wh, wl, ywh, ywl, ldh, ldl)."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
     band_mask = lane <= bw
     f0 = jnp.float32(0.0)
@@ -110,6 +134,13 @@ def _factor_kernel(bw, W, R, bh, bl, ch, cl, Lh, Ll, yh, yl, misc):
         ywl = _push(ywl, ynew[1])
         return wh, wl, ywh, ywl, ldh, ldl
 
+    return body
+
+
+def _factor_kernel(bw, W, R, bh, bl, ch, cl, Lh, Ll, yh, yl, misc):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    f0 = jnp.float32(0.0)
+    body = _factor_body(bw, W, bh, bl, ch, cl, Lh, Ll, yh, yl)
     z = jnp.zeros((W, LANES), jnp.float32)
     *_, ldh, ldl = jax.lax.fori_loop(
         0, R, body, (z, z, z, z, jnp.float32(0.0), jnp.float32(0.0)))
@@ -137,7 +168,7 @@ def factor_fn(d: int, bw: int, interpret: bool = False):
 # forward solve: L y = b (dd), RHS on lanes
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(bw, W, R, Lh, Ll, bh, bl, xh, xl):
+def _fwd_body(bw, W, Lh, Ll, bh, bl, xh, xl):
     def body(j, carry):
         lwh, lwl, ywh, ywl = carry
         Lrow = (Lh[pl.ds(j, 1), :], Ll[pl.ds(j, 1), :])
@@ -156,6 +187,11 @@ def _fwd_kernel(bw, W, R, Lh, Ll, bh, bl, xh, xl):
         ywl = _push(ywl, ynew[1])
         return lwh, lwl, ywh, ywl
 
+    return body
+
+
+def _fwd_kernel(bw, W, R, Lh, Ll, bh, bl, xh, xl):
+    body = _fwd_body(bw, W, Lh, Ll, bh, bl, xh, xl)
     z = jnp.zeros((W, LANES), jnp.float32)
     jax.lax.fori_loop(0, R, body, (z, z, z, z))
 
@@ -186,6 +222,12 @@ def _bwd_kernel(bw, W, R, Lh, Ll, bh, bl, xh, xl):
     flips rows with an XLA reverse instead). Flipped row j holds
     original column R-1-j; the multipliers L[orig+t, orig] sit on lanes
     t of that row, and x[orig+t] is the window row W-t."""
+    body = _bwd_body(bw, W, Lh, Ll, bh, bl, xh, xl)
+    z = jnp.zeros((W, LANES), jnp.float32)
+    jax.lax.fori_loop(0, R, body, (z, z))
+
+
+def _bwd_body(bw, W, Lh, Ll, bh, bl, xh, xl):
     def body(j, carry):
         xwh, xwl = carry
         Lrow = (Lh[pl.ds(j, 1), :], Ll[pl.ds(j, 1), :])
@@ -202,8 +244,7 @@ def _bwd_kernel(bw, W, R, Lh, Ll, bh, bl, xh, xl):
         xwl = _push(xwl, xnew[1])
         return xwh, xwl
 
-    z = jnp.zeros((W, LANES), jnp.float32)
-    jax.lax.fori_loop(0, R, body, (z, z))
+    return body
 
 
 @functools.lru_cache(maxsize=None)
@@ -232,7 +273,7 @@ def bwd_solve_fn(d: int, bw: int, interpret: bool = False):
 # Monte-Carlo accuracy only — factor stays dd, arithmetic here is f32)
 # ---------------------------------------------------------------------------
 
-def _bwd_multi_kernel(bw, W, R, Lh, b, x):
+def _bwd_multi_body(bw, W, Lh, b, x):
     # forward loop over row-flipped inputs (see _bwd_kernel)
     def body(j, xw):
         Lrow = Lh[pl.ds(j, 1), :]
@@ -244,8 +285,12 @@ def _bwd_multi_kernel(bw, W, R, Lh, b, x):
         x[pl.ds(j, 1), :] = xnew
         return _push(xw, xnew)
 
+    return body
+
+
+def _bwd_multi_kernel(bw, W, R, Lh, b, x):
     tile = b.shape[-1]
-    jax.lax.fori_loop(0, R, body,
+    jax.lax.fori_loop(0, R, _bwd_multi_body(bw, W, Lh, b, x),
                       jnp.zeros((W, tile), jnp.float32))
 
 
@@ -281,7 +326,7 @@ def bwd_multi_fn(d: int, bw: int, m_tiles: int, tile: int = 512,
 # gradients; the equilibrated system keeps it well-conditioned)
 # ---------------------------------------------------------------------------
 
-def _takahashi_kernel(bw, W, R, Lh, Z):
+def _takahashi_body(bw, W, Lh, Z):
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
     f0 = jnp.float32(0.0)
     col_mask = jnp.logical_and(lane >= 1, lane <= bw)
@@ -318,7 +363,12 @@ def _takahashi_kernel(bw, W, R, Lh, Z):
             new = new + jnp.where(onehot[r - 1], zc[0, r], f0)
         return new
 
-    jax.lax.fori_loop(0, R, body, jnp.zeros((W, LANES), jnp.float32))
+    return body
+
+
+def _takahashi_kernel(bw, W, R, Lh, Z):
+    jax.lax.fori_loop(0, R, _takahashi_body(bw, W, Lh, Z),
+                      jnp.zeros((W, LANES), jnp.float32))
 
 
 @functools.lru_cache(maxsize=None)
@@ -341,14 +391,229 @@ def takahashi_fn(d: int, bw: int, interpret: bool = False):
 
 
 # ---------------------------------------------------------------------------
+# chunked (HBM-streaming) variants — same recurrences, CHUNK_ROWS rows
+# per pallas call, window carried across calls by lax.scan.
+#
+# Why: the single-call kernels keep every (R, 128) array fully
+# VMEM-resident; at R >~ 2.5k the ~9 resident arrays of the factor
+# kernel exceed the ~16 MB/core VMEM and FAULT the v5-lite worker (the
+# round-13 crash configs: merged-IID bands d~6k-16k, wide-band s>1
+# programs). These variants bound VMEM at ~8 * cr * 128 * 4 B
+# regardless of d by streaming rows HBM->VMEM chunk by chunk. The
+# chunk loop is a lax.scan, NOT a pallas grid: grid index_maps trace
+# i64 under x64, which Mosaic cannot legalize (BENCH_NOTES constraint
+# 5), and a scan re-uses one traced kernel body.
+# ---------------------------------------------------------------------------
+
+def _chunked_call(call, n_carry):
+    """Wrap a chunk kernel `call(*chunk_xs, *carry) -> (*chunk_ys,
+    *new_carry)` into a lax.scan over the leading chunk axis."""
+    def step(carry, x):
+        outs = call(*x, *carry)
+        ys = outs[:len(outs) - n_carry]
+        return tuple(outs[len(outs) - n_carry:]), tuple(ys)
+    return step
+
+
+def _factor_chunk_kernel(bw, W, CR, bh, bl, ch, cl, wih, wil, ywih, ywil,
+                         ldi, Lh, Ll, yh, yl, woh, wol, ywoh, ywol, ldo):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    f0 = jnp.float32(0.0)
+    body = _factor_body(bw, W, bh, bl, ch, cl, Lh, Ll, yh, yl)
+    ldrow = ldi[pl.ds(0, 1), :]
+    init = (wih[...], wil[...], ywih[...], ywil[...],
+            ldrow[0, 0], ldrow[0, 1])
+    wh, wl, ywh, ywl, ldh, ldl = jax.lax.fori_loop(0, CR, body, init)
+    woh[...] = wh
+    wol[...] = wl
+    ywoh[...] = ywh
+    ywol[...] = ywl
+    ldo[pl.ds(0, 1), :] = (jnp.where(lane == 0, ldh, f0)
+                           + jnp.where(lane == 1, ldl, f0))
+
+
+@functools.lru_cache(maxsize=None)
+def factor_chunked_fn(d: int, bw: int, cr: int = CHUNK_ROWS,
+                      interpret: bool = False):
+    """Chunk-streamed `factor_fn`: same (Lh, Ll, yh, yl, misc) outputs,
+    arrays laid out with R = plan_rows_chunked(d, bw, cr)."""
+    W, R = plan_rows_chunked(d, bw, cr)
+    nc = R // cr
+    out = ([jax.ShapeDtypeStruct((cr, LANES), jnp.float32)] * 4
+           + [jax.ShapeDtypeStruct((W, LANES), jnp.float32)] * 4
+           + [jax.ShapeDtypeStruct((8, LANES), jnp.float32)])
+    kern = functools.partial(_factor_chunk_kernel, bw, W, cr)
+    call = pl.pallas_call(
+        kern,
+        out_shape=out,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+        interpret=interpret,
+    )
+
+    def run(bh, bl, ch, cl):
+        xs = tuple(a.reshape(nc, cr, LANES) for a in (bh, bl, ch, cl))
+        z = jnp.zeros((W, LANES), jnp.float32)
+        ld0 = jnp.zeros((8, LANES), jnp.float32)
+        carry, ys = jax.lax.scan(
+            _chunked_call(call, 5), (z, z, z, z, ld0), xs)
+        Lh, Ll, yh, yl = (y.reshape(R, LANES) for y in ys)
+        return Lh, Ll, yh, yl, carry[4]
+
+    return jax.jit(run)
+
+
+def _fwd_chunk_kernel(bw, W, CR, Lh, Ll, bh, bl, wih, wil, ywih, ywil,
+                      xh, xl, woh, wol, ywoh, ywol):
+    body = _fwd_body(bw, W, Lh, Ll, bh, bl, xh, xl)
+    init = (wih[...], wil[...], ywih[...], ywil[...])
+    lwh, lwl, ywh, ywl = jax.lax.fori_loop(0, CR, body, init)
+    woh[...] = lwh
+    wol[...] = lwl
+    ywoh[...] = ywh
+    ywol[...] = ywl
+
+
+@functools.lru_cache(maxsize=None)
+def fwd_solve_chunked_fn(d: int, bw: int, cr: int = CHUNK_ROWS,
+                         interpret: bool = False):
+    W, R = plan_rows_chunked(d, bw, cr)
+    nc = R // cr
+    out = ([jax.ShapeDtypeStruct((cr, LANES), jnp.float32)] * 2
+           + [jax.ShapeDtypeStruct((W, LANES), jnp.float32)] * 4)
+    kern = functools.partial(_fwd_chunk_kernel, bw, W, cr)
+    call = pl.pallas_call(
+        kern,
+        out_shape=out,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        interpret=interpret,
+    )
+
+    def run(Lh, Ll, bh, bl):
+        xs = tuple(a.reshape(nc, cr, LANES) for a in (Lh, Ll, bh, bl))
+        z = jnp.zeros((W, LANES), jnp.float32)
+        _, ys = jax.lax.scan(_chunked_call(call, 4), (z, z, z, z), xs)
+        return tuple(y.reshape(R, LANES) for y in ys)
+
+    return jax.jit(run)
+
+
+def _bwd_chunk_kernel(bw, W, CR, Lh, Ll, bh, bl, wih, wil,
+                      xh, xl, woh, wol):
+    body = _bwd_body(bw, W, Lh, Ll, bh, bl, xh, xl)
+    xwh, xwl = jax.lax.fori_loop(0, CR, body, (wih[...], wil[...]))
+    woh[...] = xwh
+    wol[...] = xwl
+
+
+@functools.lru_cache(maxsize=None)
+def bwd_solve_chunked_fn(d: int, bw: int, cr: int = CHUNK_ROWS,
+                         interpret: bool = False):
+    """Backward solve, chunk-streamed; rows flipped outside the scan
+    (see _bwd_kernel)."""
+    W, R = plan_rows_chunked(d, bw, cr)
+    nc = R // cr
+    out = ([jax.ShapeDtypeStruct((cr, LANES), jnp.float32)] * 2
+           + [jax.ShapeDtypeStruct((W, LANES), jnp.float32)] * 2)
+    kern = functools.partial(_bwd_chunk_kernel, bw, W, cr)
+    call = pl.pallas_call(
+        kern,
+        out_shape=out,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        interpret=interpret,
+    )
+
+    def run(Lh, Ll, bh, bl):
+        fl = lambda a: jnp.flip(a, axis=0)
+        xs = tuple(fl(a).reshape(nc, cr, LANES)
+                   for a in (Lh, Ll, bh, bl))
+        z = jnp.zeros((W, LANES), jnp.float32)
+        _, ys = jax.lax.scan(_chunked_call(call, 2), (z, z), xs)
+        return tuple(fl(y.reshape(R, LANES)) for y in ys)
+
+    return jax.jit(run)
+
+
+def _bwd_multi_chunk_kernel(bw, W, CR, Lh, b, wi, x, wo):
+    body = _bwd_multi_body(bw, W, Lh, b, x)
+    wo[...] = jax.lax.fori_loop(0, CR, body, wi[...])
+
+
+@functools.lru_cache(maxsize=None)
+def bwd_multi_chunked_fn(d: int, bw: int, m_tiles: int, tile: int = 512,
+                         cr: int = CHUNK_ROWS, interpret: bool = False):
+    """Chunk-streamed f32 multi-RHS backward solve (sampling)."""
+    W, R = plan_rows_chunked(d, bw, cr)
+    nc = R // cr
+    out = [jax.ShapeDtypeStruct((cr, tile), jnp.float32),
+           jax.ShapeDtypeStruct((W, tile), jnp.float32)]
+    kern = functools.partial(_bwd_multi_chunk_kernel, bw, W, cr)
+    call = pl.pallas_call(
+        kern,
+        out_shape=out,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        interpret=interpret,
+    )
+
+    def run(Lh, b):
+        fl = lambda a: jnp.flip(a, axis=0)
+        Lx = fl(Lh).reshape(nc, cr, LANES)
+        bf = fl(b)
+        z = jnp.zeros((W, tile), jnp.float32)
+        outs = []
+        for i in range(m_tiles):
+            bx = bf[:, i * tile:(i + 1) * tile].reshape(nc, cr, tile)
+            _, ys = jax.lax.scan(_chunked_call(call, 1), (z,), (Lx, bx))
+            outs.append(ys[0].reshape(R, tile))
+        return fl(jnp.concatenate(outs, axis=1))
+
+    return jax.jit(run)
+
+
+def _takahashi_chunk_kernel(bw, W, CR, Lh, zi, Z, zo):
+    body = _takahashi_body(bw, W, Lh, Z)
+    zo[...] = jax.lax.fori_loop(0, CR, body, zi[...])
+
+
+@functools.lru_cache(maxsize=None)
+def takahashi_chunked_fn(d: int, bw: int, cr: int = CHUNK_ROWS,
+                         interpret: bool = False):
+    W, R = plan_rows_chunked(d, bw, cr)
+    nc = R // cr
+    out = [jax.ShapeDtypeStruct((cr, LANES), jnp.float32),
+           jax.ShapeDtypeStruct((W, LANES), jnp.float32)]
+    kern = functools.partial(_takahashi_chunk_kernel, bw, W, cr)
+    call = pl.pallas_call(
+        kern,
+        out_shape=out,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        interpret=interpret,
+    )
+
+    def run(Lh):
+        fl = lambda a: jnp.flip(a, axis=0)
+        Lx = fl(Lh).reshape(nc, cr, LANES)
+        z = jnp.zeros((W, LANES), jnp.float32)
+        _, ys = jax.lax.scan(_chunked_call(call, 1), (z,), (Lx,))
+        return fl(ys[0].reshape(R, LANES))
+
+    return jax.jit(run)
+
+
+# ---------------------------------------------------------------------------
 # host-side layout helpers (plain XLA, f64 allowed)
 # ---------------------------------------------------------------------------
 
-def pack_band(band64, d: int, bw: int):
+def pack_band(band64, d: int, bw: int, R: int = None):
     """(bw+1, >=d) f64 lower-band -> ((R,128) hi, lo) kernel layout.
     Columns beyond d (callers pad with identity) and the leading window
     are identity rows."""
-    W, R = plan_rows(d, bw)
+    W, Rp = plan_rows(d, bw)
+    R = Rp if R is None else R
     rows = jnp.zeros((R, LANES), jnp.float64)
     bt = band64[:, :d].T                                   # (d, bw+1)
     rows = rows.at[W:W + d, :bw + 1].set(bt)
@@ -358,9 +623,10 @@ def pack_band(band64, d: int, bw: int):
     return dd.from_f64(rows)
 
 
-def pack_rhs(rhs64, d: int, bw: int):
+def pack_rhs(rhs64, d: int, bw: int, R: int = None):
     """(d,) or (d, r<=128) f64 -> ((R,128) hi, lo)."""
-    W, R = plan_rows(d, bw)
+    W, Rp = plan_rows(d, bw)
+    R = Rp if R is None else R
     if rhs64.ndim == 1:
         rhs64 = rhs64[:, None]
     r = rhs64.shape[1]

@@ -91,6 +91,64 @@ def test_multi_rhs_and_takahashi():
                                    atol=3e-5)
 
 
+@pytest.mark.parametrize("d,bw,cr", [(64, 3, 16), (100, 7, 24),
+                                     (90, 40, 48)])
+def test_chunked_kernels_match_numpy(d, bw, cr):
+    """HBM-streaming chunked kernels (round-14 VMEM-envelope fix): the
+    lax.scan-carried window must reproduce the single-call recurrence
+    exactly — including wide bands (bw > 31) the single-call kernels
+    refuse. Chunk lengths chosen so several chunks per factorization
+    exercise the carry hand-off."""
+    rng = np.random.default_rng(7)
+    A, band = _spd_band(rng, d, bw)
+    Lnp = np.linalg.cholesky(A)
+    q = 5
+    C = rng.normal(size=(d, q))
+
+    W, R = bk.plan_rows_chunked(d, bw, cr)
+    assert R % cr == 0 and R >= W + d
+    bh, bl = bk.pack_band(jnp.asarray(band), d, bw, R)
+    ch, cl = bk.pack_rhs(jnp.asarray(C), d, bw, R)
+    Lh, Ll, Yh, Yl, misc = bk.factor_chunked_fn(d, bw, cr, True)(
+        bh, bl, ch, cl)
+
+    Lrows = np.asarray(jnp.asarray(Lh, jnp.float64)
+                       + jnp.asarray(Ll, jnp.float64))[W:W + d]
+    for o in range(bw + 1):
+        col = Lrows[:d - o, o] if o else Lrows[:, 0]
+        np.testing.assert_allclose(col, np.diag(Lnp, -o), atol=1e-11)
+    hld = 0.5 * (float(misc[0, 0]) + float(misc[0, 1]))
+    assert abs(hld - np.sum(np.log(np.diag(Lnp)))) < 1e-10
+    Y = np.asarray(bk.unpack((Yh, Yl), d, bw, q))
+    np.testing.assert_allclose(Y, np.linalg.solve(Lnp, C), atol=1e-9)
+
+    b = rng.normal(size=(d, 3))
+    rh, rl = bk.pack_rhs(jnp.asarray(b), d, bw, R)
+    y = np.asarray(bk.unpack(
+        bk.fwd_solve_chunked_fn(d, bw, cr, True)(Lh, Ll, rh, rl),
+        d, bw, 3))
+    np.testing.assert_allclose(y, np.linalg.solve(Lnp, b), atol=1e-9)
+    x = np.asarray(bk.unpack(
+        bk.bwd_solve_chunked_fn(d, bw, cr, True)(Lh, Ll, rh, rl),
+        d, bw, 3))
+    np.testing.assert_allclose(x, np.linalg.solve(Lnp.T, b), atol=1e-9)
+
+    M = 96
+    B = rng.normal(size=(d, M)).astype(np.float32)
+    Bp = np.zeros((R, M), np.float32)
+    Bp[W:W + d] = B
+    X = np.asarray(bk.bwd_multi_chunked_fn(d, bw, 2, 48, cr, True)(
+        Lh, jnp.asarray(Bp)))[W:W + d]
+    np.testing.assert_allclose(X, np.linalg.solve(Lnp.T, B),
+                               rtol=4e-4, atol=4e-4)
+
+    Z = np.asarray(bk.takahashi_chunked_fn(d, bw, cr, True)(Lh))[W:W + d]
+    Hinv = np.linalg.inv(A)
+    for o in range(bw + 1):
+        np.testing.assert_allclose(Z[:d - o, o], np.diag(Hinv, -o),
+                                   atol=5e-5)
+
+
 def _arrow_problem(rng, d, bw, q):
     A, band = _spd_band(rng, d, bw)
     C = 0.1 * rng.normal(size=(d, q))
@@ -143,6 +201,50 @@ def test_engine_parity(q):
     xbb, xdb = eng_b.sample_multi(fb, jnp.asarray(zbn), jnp.asarray(zdn))
     np.testing.assert_allclose(np.asarray(xbp), np.asarray(xbb), atol=1e-4)
     np.testing.assert_allclose(np.asarray(xdp), np.asarray(xdb), atol=1e-8)
+
+
+@pytest.mark.parametrize("q", [0, 5, 140])
+def test_chunked_engine_parity(q):
+    """Chunked PallasEngine vs BlockEngine on the full arrow API,
+    including a tail wider than 128 (q=140 exercises the lane-tiled
+    C / Y path that unblocks the s=3 two-smooth on-chip config)."""
+    rng = np.random.default_rng(8)
+    d, bw, s = 96, 5, 12
+    A, band, C, Hd, Hfull = _arrow_problem(rng, d, bw, max(q, 1))
+    if q == 0:
+        C, Hd, Hfull = np.zeros((d, 0)), np.zeros((0, 0)), A
+
+    eng_p = ba.PallasEngine(d, bw, q, interpret=True, chunk=32)
+    eng_b = ba.make_engine(d, bw, q, s, force="block")
+    args = (jnp.asarray(band), jnp.asarray(C), jnp.asarray(Hd))
+    fp, fb = eng_p.factor(*args), eng_b.factor(*args)
+
+    hld_ref = 0.5 * np.linalg.slogdet(Hfull)[1]
+    assert abs(float(eng_p.half_logdet(fp)) - hld_ref) < 1e-8
+    assert abs(float(eng_b.half_logdet(fb)) - hld_ref) < 1e-7
+
+    rb, rd = rng.normal(size=d), rng.normal(size=q)
+    zb, zd = eng_p.solve(fp, jnp.asarray(rb), jnp.asarray(rd))
+    zref = np.linalg.solve(Hfull, np.concatenate([rb, rd]))
+    np.testing.assert_allclose(np.asarray(zb), zref[:d], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(zd), zref[d:], atol=1e-9)
+
+    g_p = jax.grad(lambda *a: eng_p.arrow_half_logdet(*a),
+                   argnums=(0, 1, 2))(*args)
+    g_b = jax.grad(lambda *a: eng_b.arrow_half_logdet(*a),
+                   argnums=(0, 1, 2))(*args)
+    for gp, gb in zip(g_p, g_b):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gb),
+                                   atol=2e-5)
+
+    zbn = rng.normal(size=(d, 16))
+    zdn = rng.normal(size=(q, 16))
+    xbp, xdp = eng_p.sample_multi(fp, jnp.asarray(zbn), jnp.asarray(zdn))
+    xbb, xdb = eng_b.sample_multi(fb, jnp.asarray(zbn), jnp.asarray(zdn))
+    np.testing.assert_allclose(np.asarray(xbp), np.asarray(xbb),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(xdp), np.asarray(xdb),
+                               atol=1e-7)
 
 
 def test_dd_arithmetic():
