@@ -233,6 +233,22 @@ class BandedBackend:
     """
     supports_fused_1d = True   # inference/aghq.fused_fit_1d eligible
     supports_fused_nd = True   # fused BFGS + node programs (s > 1)
+
+    @property
+    def supports_fused_full_nd(self):
+        """Single-dispatch s>1 eligibility. On TPU this requires the
+        VMEM-safe Pallas engine (single-call within budget, or the
+        chunked HBM-streaming kernels): the round-13 worker crashes
+        were whole-array band kernels overflowing VMEM in the
+        wide-band/arrow regime; a BlockEngine fallback on TPU would
+        instead hit the pathological f64 scan path. CPU is always
+        eligible (f64 test parity)."""
+        import jax as _jax
+        from ..linalg import band_arrow as _ba
+        if _jax.default_backend() != "tpu":
+            return True
+        return isinstance(self.engine, _ba.PallasEngine)
+
     md: Any
     drv_theta: int    # driver's theta index
     Wl: int           # window length

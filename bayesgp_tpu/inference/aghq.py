@@ -1833,17 +1833,13 @@ def aghq_fit(md_or_backend, k: int = 4, theta0=None, verbose=False,
         return fit
 
     fused_nd = s > 1 and getattr(backend, "supports_fused_nd", False)
-    # single-dispatch s>1: everywhere on CPU (f64 test parity), but on
-    # TPU only for backends where it is MEASURED safe. Round-13
-    # bench_extra observed TPU worker crashes (kernel faults) on LARGE
-    # BandedBackend on-chip programs — both the s=3 two_smooths
-    # single-dispatch program AND the merged-IID q=1e4 fit on the
-    # 3-dispatch path — while FastIWP programs at the same scale ran
-    # fine (gauss2 s=2 single-dispatch, 1.84 s steady). The fault is in
-    # the wide-band/arrow on-chip regime (likely VMEM pressure in the
-    # (R, 128)-resident band kernels at d_m ~ 1e4, bw >> 3), not in the
-    # fused program structure; BandedBackend s>1 on TPU keeps the
-    # 3-dispatch flow and BENCH_NOTES.md round 13 records the envelope.
+    # single-dispatch s>1: everywhere on CPU (f64 test parity); on TPU
+    # for backends whose factorization programs are VMEM-safe. The
+    # round-13 worker crashes (s=3 two_smooths, merged-IID q=1e4) were
+    # whole-array band kernels overflowing the ~16 MB VMEM in the
+    # wide-band/arrow regime; band_arrow.make_engine now streams those
+    # through the chunked kernels, and BandedBackend reports
+    # supports_fused_full_nd from its engine type (fast/banded.py).
     full_ok = getattr(backend, "supports_fused_full_nd", False)
     if fused_nd and s <= 3 and (
             full_ok or jax.default_backend() == "cpu"):

@@ -358,27 +358,42 @@ def bench_mcmc(M=200, warmup=300):
                       "finite": ok}), flush=True)
 
 
+def _guarded(name, fn):
+    """Run one config under the framework worker-crash guard
+    (utils/tpu_guard): a faulting program emits an honest value=-1
+    JSON line and the worker is probe-recovered so the REST of the
+    sweep still measures on a healthy worker (round-13 lesson: one
+    crash poisoned every subsequent number)."""
+    from bayesgp_tpu.utils import tpu_guard
+    try:
+        tpu_guard.run_guarded(fn)
+    except tpu_guard.WorkerCrash as e:
+        print(json.dumps({"metric": f"{name}", "value": -1, "unit": "s",
+                          "error": str(e)[:300],
+                          "worker_recovered": e.recovered}), flush=True)
+    except Exception as e:                      # noqa: BLE001
+        print(json.dumps({"metric": f"{name}", "value": -1, "unit": "s",
+                          "error": f"{type(e).__name__}: {e}"[:300]}),
+              flush=True)
+
+
+_CONFIGS = [
+    ("host_model_build", "build", bench_build),
+    ("predict_1e5x3000_summary", "predict", bench_predict),
+    ("fit_sample_predict_onedispatch", "fitpredict", bench_fitpredict),
+    ("bigiid_merged_band", "bigiid", bench_bigiid),
+    ("coxph_iwp", "coxph", bench_coxph),
+    ("two_smooths_s3", "two_smooths", bench_two_smooths),
+    ("gauss2_s2", "gauss2", bench_gauss2),
+    ("lynx_sgp_iid", "lynx", bench_lynx),
+    ("replicates", "reps", bench_reps),
+    ("replicates_packed", "reps_packed", bench_reps_packed),
+]
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
-    if which in ("build", "all"):
-        bench_build()
-    if which in ("predict", "all"):
-        bench_predict()
-    if which in ("fitpredict", "all"):
-        bench_fitpredict()
-    if which in ("bigiid", "all"):
-        bench_bigiid()
     if which == "mcmc":   # opt-in: long even on-chip
-        bench_mcmc()
-    if which in ("coxph", "all"):
-        bench_coxph()
-    if which in ("two_smooths", "all"):
-        bench_two_smooths()
-    if which in ("gauss2", "all"):
-        bench_gauss2()
-    if which in ("lynx", "all"):
-        bench_lynx()
-    if which in ("reps", "all"):
-        bench_reps()
-    if which in ("reps_packed", "all"):
-        bench_reps_packed()
+        _guarded("mcmc_fast", bench_mcmc)
+    for name, key, fn in _CONFIGS:
+        if which in (key, "all"):
+            _guarded(name, fn)
