@@ -113,6 +113,46 @@ def small_solve_Lt(L, b):
 
 # ---------------------------------------------------------------------------
 
+# Contraction length beyond which the Schur-tail products route through
+# the split-f32 accumulator below. XLA's emulated f64 matmul on this
+# TPU accumulates at ~4e-6 ABSOLUTE over a 16k contraction (measured
+# round 14, tools/chunked_onchip_check.py) — fine at the headline
+# d~2000 (errors well under the f32 likelihood noise, and the proven
+# cached programs stay byte-identical under this gate) but 100x too
+# coarse for the chunked d ~ 1e4 regime.
+_ACC_DOT_MIN_D = 4096
+
+
+def _use_acc_dot(d: int) -> bool:
+    return d > _ACC_DOT_MIN_D and jax.default_backend() == "tpu"
+
+
+def acc_dot_d(A, B, chunk: int = 512):
+    """A^T B for f64 (d, p) x (d, r) with two-level accumulation:
+    operands split into (hi, lo) f32 pairs, three f32 MXU matmuls per
+    row-chunk (the lo*lo term is ~2^-48 relative, dropped), partials
+    summed in f64 across the ~d/chunk chunks. Keeps the arrow tail's
+    Gram/cross products at ~1e-8 absolute where the emulated f64
+    matmul gives ~1e-5 (see _ACC_DOT_MIN_D)."""
+    d = A.shape[0]
+    nc = -(-d // chunk)
+    pad = nc * chunk - d
+    if pad:
+        A = jnp.pad(A, ((0, pad), (0, 0)))
+        B = jnp.pad(B, ((0, pad), (0, 0)))
+    Ar = A.reshape(nc, chunk, A.shape[1])
+    Br = B.reshape(nc, chunk, B.shape[1])
+    Ah = Ar.astype(jnp.float32)
+    Al = (Ar - Ah.astype(jnp.float64)).astype(jnp.float32)
+    Bh = Br.astype(jnp.float32)
+    Bl = (Br - Bh.astype(jnp.float64)).astype(jnp.float32)
+    hi = jnp.einsum("cdp,cdr->cpr", Ah, Bh)
+    mid = (jnp.einsum("cdp,cdr->cpr", Ah, Bl)
+           + jnp.einsum("cdp,cdr->cpr", Al, Bh))
+    return jnp.sum(hi.astype(jnp.float64) + mid.astype(jnp.float64),
+                   axis=0)
+
+
 class PallasFactor(NamedTuple):
     Lh: jnp.ndarray      # (R, 128) f32 band of L + 1/Ljj stash
     Ll: jnp.ndarray      # (R, 128) f32
@@ -202,7 +242,10 @@ class PallasEngine:
                 tiles.append(bk.unpack(yt, d, bw, t1 - t0))
             Y = (jnp.concatenate(tiles, axis=1) if len(tiles) > 1
                  else tiles[0])
-            S = Hd - Y.T @ Y
+            if _use_acc_dot(d):
+                S = Hd - acc_dot_d(Y, Y)
+            else:
+                S = Hd - Y.T @ Y
             Ls = small_chol(S)
         else:
             Y = jnp.zeros((d, 0), jnp.float64)
@@ -220,7 +263,10 @@ class PallasEngine:
         rh, rl = self._pack_rhs(rb)
         u = bk.unpack(self._fwd_fn()(f.Lh, f.Ll, rh, rl), d, bw)
         if q:
-            rhs_d = rd - f.Y.T @ u
+            if _use_acc_dot(d):
+                rhs_d = rd - acc_dot_d(f.Y, u[:, None])[:, 0]
+            else:
+                rhs_d = rd - f.Y.T @ u
             zd = small_solve_Lt(f.Ls, small_solve_L(f.Ls, rhs_d))
             u = u - f.Y @ zd
         else:
