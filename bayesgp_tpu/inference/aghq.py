@@ -319,7 +319,91 @@ def _optimize_theta_1d(backend, theta0, tol, max_iter, verbose):
     return np.asarray(theta), np.asarray(H), float(f), state
 
 
-def _lifted_jit(backend, builder):
+class _Unsignable(Exception):
+    pass
+
+
+def _sig_update(h, x, skip_ids):
+    """Deterministic content walk for backend_signature. Arrays in
+    `skip_ids` (the lifted argument set) contribute shape/dtype only;
+    every other array is hashed by VALUE — it is baked into the traced
+    program as a constant, so two backends may share a compiled
+    program only when all embedded constants match bit-for-bit."""
+    import dataclasses as _dcs
+    if x is None:
+        h.update(b"\x00N")
+    elif isinstance(x, (bool, int, float, complex, str, bytes,
+                        np.integer, np.floating, np.bool_)):
+        h.update(f"{type(x).__name__}:{x!r};".encode())
+    elif isinstance(x, (np.dtype, type)):
+        h.update(str(x).encode())
+    elif isinstance(x, np.ndarray):
+        h.update(f"nd{x.shape}{x.dtype}".encode())
+        h.update(np.ascontiguousarray(x).tobytes())
+    elif isinstance(x, jax.Array):
+        if id(x) in skip_ids:
+            h.update(f"arg{x.shape}{x.dtype}".encode())
+        else:
+            h.update(f"nd{x.shape}{x.dtype}".encode())
+            h.update(np.ascontiguousarray(np.asarray(x)).tobytes())
+    elif _dcs.is_dataclass(x) and not isinstance(x, type):
+        h.update(type(x).__name__.encode())
+        for f in _dcs.fields(x):
+            h.update(f.name.encode())
+            _sig_update(h, getattr(x, f.name), skip_ids)
+    elif isinstance(x, (tuple, list)):
+        h.update(f"seq{len(x)}".encode())
+        for v in x:
+            _sig_update(h, v, skip_ids)
+    elif isinstance(x, dict):
+        h.update(f"map{len(x)}".encode())
+        for k in sorted(x, key=repr):
+            h.update(repr(k).encode())
+            _sig_update(h, x[k], skip_ids)
+    elif hasattr(x, "tocsr") and hasattr(x, "nnz"):   # scipy sparse
+        csr = x.tocsr()
+        h.update(f"sp{csr.shape}{csr.dtype}".encode())
+        h.update(np.ascontiguousarray(csr.indptr).tobytes())
+        h.update(np.ascontiguousarray(csr.indices).tobytes())
+        h.update(np.ascontiguousarray(csr.data).tobytes())
+    else:
+        fields = getattr(x, "signature_fields", None)
+        if fields is not None:
+            h.update(type(x).__name__.encode())
+            _sig_update(h, fields(), skip_ids)
+        else:
+            raise _Unsignable(type(x).__name__)
+
+
+def backend_signature(backend, arrs0):
+    """Content fingerprint of everything a fused program embeds from
+    `backend`: statics, shapes, and the VALUES of all non-lifted
+    arrays. None when the backend holds objects we cannot fingerprint
+    (custom closures, meshes) — those backends never share programs.
+    Safe by construction: equal signatures => byte-identical traced
+    programs up to the lifted arguments."""
+    import hashlib
+    skip_ids = {id(v) for v in jax.tree_util.tree_leaves(arrs0)}
+    h = hashlib.sha256()
+    try:
+        _sig_update(h, backend, skip_ids)
+        h.update(f"dev:{jax.default_backend()}".encode())
+    except _Unsignable:
+        return None
+    return h.hexdigest()
+
+
+# compiled lifted programs shared ACROSS backend instances:
+# (backend_signature, prog_key) -> jitted program. This is what makes a
+# fresh `model_fit` of a same-shaped small model cheap: the reference
+# pays a seconds-scale TMB tape build per model (R/02_model_fit.R:276),
+# while a per-call jax trace+lower+load through the tunnel costs ~36 s
+# at lynx scale (BENCH_NOTES round 13) — with this cache a refit reuses
+# the compiled executable outright.
+_LIFTED_PROGS: dict = {}
+
+
+def _lifted_jit(backend, builder, prog_key=None):
     """jit the traceable program `builder(backend)`, lifting the
     backend's O(n) arrays from the closure to ARGUMENTS (fast backends
     only; see fast/iwp.backend_device_args). jit materializes
@@ -328,7 +412,12 @@ def _lifted_jit(backend, builder):
     compile / cache IO) and pinning them replicated, which would defeat
     observation-axis sharding (parallel/data_sharded.py): GSPMD can
     only partition arrays that enter through the argument pytree.
-    `builder` must return the raw traceable function (jit=False)."""
+    `builder` must return the raw traceable function (jit=False).
+
+    prog_key (hashable, fully describing the builder configuration)
+    opts into the process-level _LIFTED_PROGS cache: a backend with an
+    equal content signature reuses the already-jitted program — no
+    retrace, no relower, no executable reload."""
     from ..fast.iwp import (backend_device_args, backend_rebind,
                             backend_host_constants)
 
@@ -336,6 +425,14 @@ def _lifted_jit(backend, builder):
              if hasattr(backend, "valsT") else None)
     if not arrs0:
         return jax.jit(builder(backend))
+
+    sig = (backend_signature(backend, arrs0)
+           if prog_key is not None else None)
+    if sig is not None:
+        prog = _LIFTED_PROGS.get((sig, prog_key))
+        if prog is not None:
+            arrs_d = jax.tree_util.tree_map(jnp.asarray, arrs0)
+            return lambda *a: prog(arrs_d, *a)
 
     # non-lifted arrays become embedded constants: pull them to host
     # FIRST or MLIR lowering pays one tunnel round trip per constant
@@ -355,6 +452,8 @@ def _lifted_jit(backend, builder):
         return builder(backend_rebind(backend, arrs))(*a)
 
     prog = jax.jit(_run)
+    if sig is not None:
+        _LIFTED_PROGS[(sig, prog_key)] = prog
     return lambda *a: prog(arrs0, *a)
 
 
@@ -398,13 +497,17 @@ def fused_fit_1d(backend, k: int = 4, theta0: float = 0.0,
     pkey = (None if pspec is None else
             (len(xs_pred), pspec.get("degree", 0),
              pspec.get("level", 0.95), pspec.get("rows", 1024),
-             pspec.get("include_intercept", True)))
+             pspec.get("include_intercept", True),
+             int(pspec.get("p", 0)),
+             np.ascontiguousarray(
+                 np.asarray(pspec.get("knots", ()))).tobytes()))
     ckey = (k, tol, max_iter, sample_M, packed_opt, pkey)
     if ckey not in cache:
         cache[ckey] = _lifted_jit(
             backend, lambda be: build_fused_run_1d(
                 be, k, tol, max_iter, jit=False, sample_M=sample_M,
-                packed_opt=packed_opt, predict_spec=pspec))
+                packed_opt=packed_opt, predict_spec=pspec),
+            prog_key=("fit1d",) + ckey)
 
     th0 = jnp.asarray(float(np.atleast_1d(theta0)[0]), backend.dtype)
     # ONE host transfer for all small outputs (each np.asarray on a
@@ -1591,10 +1694,12 @@ def _fused_nodes_cached(backend, z: np.ndarray, return_states: bool,
     if key not in cache:
         if tour is None:
             tour = _node_tour(z)
+        tour_b = np.ascontiguousarray(np.asarray(tour)).tobytes()
         cache[key] = _lifted_jit(
             backend, lambda be: build_fused_nodes(
                 be, tour, return_states=return_states, jit=False,
-                sample_M=sample_M))
+                sample_M=sample_M),
+            prog_key=("nodes", tour_b, return_states, sample_M))
     return cache[key]
 
 
@@ -1850,7 +1955,8 @@ def aghq_fit(md_or_backend, k: int = 4, theta0=None, verbose=False,
         # fused outer optimization: BFGS + FD Hessian in one dispatch
         if not hasattr(backend, "_fused_opt_nd"):
             backend._fused_opt_nd = _lifted_jit(
-                backend, lambda be: build_fused_opt_nd(be, s, jit=False))
+                backend, lambda be: build_fused_opt_nd(be, s, jit=False),
+                prog_key=("optnd", s))
         th0 = (jnp.zeros((s,), backend.dtype) if theta0 is None
                else jnp.asarray(np.atleast_1d(theta0), backend.dtype))
         mode_d, H_d, warm = backend._fused_opt_nd(th0,
@@ -1928,7 +2034,8 @@ def _aghq_fit_full_nd(backend, s: int, k: int, theta0, sample) -> AGHQFit:
     if ckey not in cache:
         cache[ckey] = _lifted_jit(
             backend, lambda be: build_fused_full_nd(
-                be, s, k, sample_M=sample_M, jit=False))
+                be, s, k, sample_M=sample_M, jit=False),
+            prog_key=("fullnd",) + ckey)
     th0 = (jnp.zeros((s,), backend.dtype) if theta0 is None
            else jnp.asarray(np.atleast_1d(theta0), backend.dtype))
     args = (th0, backend.init_state())

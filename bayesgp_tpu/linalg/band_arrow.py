@@ -185,6 +185,10 @@ class PallasEngine:
             self.W, self.R = bk.plan_rows(d, bw)
         self._hld = None
 
+    def signature_fields(self):
+        """Statics entering traced programs (aghq.backend_signature)."""
+        return (self.d, self.bw, self.q, self.interpret, self.chunk)
+
     # -- kernel selection ----------------------------------------------
     def _factor_fn(self):
         if self.chunk:
@@ -389,6 +393,10 @@ class BlockEngine:
         assert d % s == 0 and s > bw
         self.d, self.bw, self.q, self.s = d, bw, q, s
         self.nb = d // s
+
+    def signature_fields(self):
+        """Statics entering traced programs (aghq.backend_signature)."""
+        return (self.d, self.bw, self.q, self.s)
 
     def factor(self, band, C, Hd):
         D, E = btl.band_to_blocks(band, self.s)
