@@ -15,6 +15,7 @@ masked padded logsumexp, seeded with the reference's implicit exp(0) term.
 """
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.scipy.special import gammaln
@@ -40,6 +41,56 @@ def _suffix_logsumexp(eta):
     return cum[::-1]
 
 
+def _cumsum_as(x, axis=0):
+    """cumsum via associative scan. jnp.cumsum lowers to reduce_window,
+    which under f64 emulation on TPU is a server-side compile landmine
+    (CLAUDE.md gotcha 3: minutes per traced copy at n=4000); the
+    associative scan is log2(n) full-width vector adds."""
+    return jax.lax.associative_scan(jnp.add, x, axis=axis)
+
+
+def _revcumsum_as(x, axis=0):
+    return jnp.flip(_cumsum_as(jnp.flip(x, axis), axis=axis), axis)
+
+
+def _acc_nT(A, B):
+    """A^T B with the contraction over the (long, sorted) observation
+    axis. On TPU the emulated f64 matmul both compiles pathologically
+    and accumulates at only ~1e-6 over long contractions — route
+    through the split-f32 two-level accumulator (linalg.band_arrow.
+    acc_dot_d, ~1e-8). CPU keeps the exact f64 matmul (golden tests)."""
+    if jax.default_backend() == "tpu":
+        from ..linalg.band_arrow import acc_dot_d
+        return acc_dot_d(A, B)
+    return A.T @ B
+
+
+def _coxph_static(md):
+    """Host-precomputed CoxPH index structure, available whenever
+    md.ranks/md.cens are numpy (the dense backend keeps them on host —
+    CLAUDE.md gotcha 11). ranks are min-ranks of the time-sorted rows,
+    hence NONDECREASING; returns (rank_wts, pos) with
+      rank_wts[j] = sum_{i: r_i = j+1} cens_i     (event mass per rank)
+      pos[j]      = #{i: r_i <= j+1}              (searchsorted bound)
+    or None when the fields are traced (lifted fast backends) or the
+    monotone precondition fails. Regrouping every per-row rank term as
+    a per-RANK term weighted by rank_wts removes ALL gathers and
+    scatter-adds from the partial likelihood and its quadform —
+    scatter-add (including the scatter VJP of a rank gather under AD)
+    is a minutes-scale XLA compile landmine on this TPU (CLAUDE.md
+    gotcha 3)."""
+    r = getattr(md, "ranks", None)
+    c = getattr(md, "cens", None)
+    if not (isinstance(r, np.ndarray) and isinstance(c, np.ndarray)):
+        return None
+    r0 = np.asarray(r, np.int64) - 1
+    if np.any(np.diff(r0) < 0):
+        return None
+    wts = np.zeros(len(r0))
+    np.add.at(wts, r0, np.asarray(c, np.float64))
+    return wts
+
+
 def log_lik(eta, md, theta):
     fam = md.family
     y = md.y
@@ -56,6 +107,14 @@ def log_lik(eta, md, theta):
     if fam == 3:    # Cox PH partial likelihood (BayesGP.cpp:170-194)
         # data pre-sorted by response; risk set of i = suffix from rank_i - 1
         s = _suffix_logsumexp(eta)
+        st = _coxph_static(md)
+        if st is not None:
+            # sum_i c_i (eta_i - s[r_i]) regrouped as c.eta - wts.s:
+            # identical math, but no rank gather — whose VJP would be a
+            # scatter-add inside every Newton gradient (TPU compile
+            # landmine, see _coxph_static)
+            return (jnp.dot(jnp.asarray(md.cens, eta.dtype), eta)
+                    - jnp.dot(jnp.asarray(st, eta.dtype), s))
         risk_lse = s[md.ranks - 1]
         return jnp.sum(md.cens * (eta - risk_lse))
     if fam == 4:    # case-crossover conditional likelihood (BayesGP.cpp:196-210)
@@ -115,14 +174,26 @@ def eta_hessian_quadform(eta, md, theta, A):
     A = jnp.asarray(A)
     if fam == 3:
         s = _suffix_logsumexp(eta)
-        r = md.ranks - 1
         expeta = jnp.exp(eta)
         # revcum[m] = sum_{j >= m} e^{eta_j} a_j
-        revcum = jnp.cumsum((expeta[:, None] * A)[::-1], axis=0)[::-1]
+        revcum = _revcumsum_as(expeta[:, None] * A, axis=0)
+        st = _coxph_static(md)
+        if st is not None:
+            # per-row rank terms regrouped per RANK (rank_wts): the
+            # gathered PA rows i collapse onto their rank j with weight
+            # wts_j, and u becomes a plain cumsum — identical math,
+            # zero gathers/scatters (see _coxph_static)
+            wts = jnp.asarray(st, eta.dtype)
+            Pall = jnp.exp(-s)[:, None] * revcum              # (n, w)
+            u = _cumsum_as(wts * jnp.exp(-s))
+            diagw = u * expeta
+            return (_acc_nT(A * diagw[:, None], A)
+                    - _acc_nT(Pall * wts[:, None], Pall))
+        r = md.ranks - 1
         PA = jnp.exp(-s[r])[:, None] * revcum[r]          # (n, w)
         t = md.cens * jnp.exp(-s[r])
         z = jnp.zeros((n,), eta.dtype).at[r].add(t)
-        u = jnp.cumsum(z)
+        u = _cumsum_as(z)
         diagw = u * expeta
         return (A * diagw[:, None]).T @ A - (PA * md.cens[:, None]).T @ PA
     if fam == 4:

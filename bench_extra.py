@@ -390,10 +390,52 @@ _CONFIGS = [
     ("replicates_packed", "reps_packed", bench_reps_packed),
 ]
 
+def _run_all_isolated():
+    """Run every config in its OWN subprocess with a watchdog. A TPU
+    worker fault kills at most that config's process: the in-process
+    client of a crashed worker is not reliably recoverable (round-14
+    measurement: probe/retry from the faulted process kept failing),
+    while a fresh process reconnects once the worker clears. Between
+    configs a bounded subprocess probe waits for worker health."""
+    import subprocess
+    import time as _t
+
+    def _probe_ok(timeout=120):
+        code = ("import jax, jax.numpy as jnp;"
+                "print(float(jnp.arange(8.0).sum()))")
+        try:
+            p = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, timeout=timeout)
+            return p.returncode == 0 and b"28.0" in p.stdout
+        except subprocess.TimeoutExpired:
+            return False
+
+    for name, key, _fn in _CONFIGS:
+        for attempt in range(6):
+            if _probe_ok():
+                break
+            _t.sleep(30 * (attempt + 1))
+        try:
+            p = subprocess.run([sys.executable, __file__, key],
+                               timeout=5400)
+            if p.returncode != 0:
+                print(json.dumps({"metric": name, "value": -1,
+                                  "unit": "s",
+                                  "error": f"subprocess rc={p.returncode}"
+                                  }), flush=True)
+        except subprocess.TimeoutExpired:
+            print(json.dumps({"metric": name, "value": -1, "unit": "s",
+                              "error": "watchdog timeout (5400 s)"}),
+                  flush=True)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
-    if which == "mcmc":   # opt-in: long even on-chip
+    if which == "all":
+        _run_all_isolated()
+    elif which == "mcmc":   # opt-in: long even on-chip
         _guarded("mcmc_fast", bench_mcmc)
-    for name, key, fn in _CONFIGS:
-        if which in (key, "all"):
-            _guarded(name, fn)
+    else:
+        for name, key, fn in _CONFIGS:
+            if which == key:
+                _guarded(name, fn)
