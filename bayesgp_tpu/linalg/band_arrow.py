@@ -67,6 +67,34 @@ def _native_tail(q: int) -> bool:
     return _pad_dim(q) > 16
 
 
+def _chol_jittered(cholfn, S):
+    """Failure escalation around any chol implementation: plain ->
+    + jitter*scale*I -> diagonal-only surrogate (always factors).
+    Healthy matrices factor bit-identically; see
+    linalg/block_tridiag.chol_guarded for why the surrogate level is
+    needed (intermediate Schur blocks of essentially-singular
+    weak-theta Hessians go indefinite by O(1)). Probes run on
+    stop_gradient copies so no NaN reaches gradients."""
+    q = S.shape[0]
+    eye = jnp.eye(q, dtype=S.dtype)
+    Ssg = jax.lax.stop_gradient(S)
+    diag_sg = jnp.diagonal(Ssg)
+    scale = jnp.maximum(jnp.mean(jnp.abs(diag_sg)),
+                        jnp.asarray(1e-30, S.dtype))
+
+    def _ok(L):
+        return jnp.all(jnp.isfinite(jnp.diagonal(L)))
+
+    ok0 = _ok(cholfn(Ssg))
+    jit = jnp.where(ok0, jnp.asarray(0.0, S.dtype),
+                    (btl.CHOL_JITTER * scale).astype(S.dtype))
+    ok1 = _ok(cholfn(Ssg + jit * eye))
+    dsafe = jnp.maximum(jnp.abs(jnp.diagonal(S)),
+                        (1e-8 * scale).astype(S.dtype))
+    Sfin = jnp.where(ok1, S + jit * eye, eye * dsafe[None, :])
+    return cholfn(Sfin)
+
+
 def small_chol(S):
     """Lower Cholesky of a (q, q) SPD matrix via the unrolled/blocked
     kernels (identity-padded to a supported size)."""
@@ -74,12 +102,14 @@ def small_chol(S):
     if q == 0:
         return S
     if _native_tail(q):
-        return jnp.linalg.cholesky(S)
+        return _chol_jittered(jnp.linalg.cholesky, S)
     m = _pad_dim(q)
     if m != q:
-        Sp = jnp.eye(m, dtype=S.dtype).at[:q, :q].set(S)
-        return ck.cholesky_blocked(Sp)[:q, :q]
-    return ck.cholesky_blocked(S)
+        def padded(Sx):
+            Sp = jnp.eye(m, dtype=Sx.dtype).at[:q, :q].set(Sx)
+            return ck.cholesky_blocked(Sp)[:q, :q]
+        return _chol_jittered(padded, S)
+    return _chol_jittered(ck.cholesky_blocked, S)
 
 
 def small_solve_L(L, b):

@@ -96,6 +96,17 @@ def _bfactor_kernel(bw, G, W, R, bh, bl, Lh, Ll, misc):
                       jnp.roll(wl[r:r + 1, :], -t, axis=1))
             acc = dd.sub(acc, dd.mul(rolled, s))
         piv = _bcast_dd(acc, 0, G, glane)
+        # |pivot| clamp (modified Cholesky) — see
+        # band_kernels._factor_body; healthy pivots pass through
+        # bit-identically
+        badp = piv[0] < jnp.float32(1e-12)
+        piv = (jnp.where(badp, jnp.maximum(jnp.abs(piv[0]),
+                                           jnp.float32(1e-12)), piv[0]),
+               jnp.where(badp, jnp.where(piv[0] < f0, -piv[1], f0),
+                         piv[1]))
+        on0 = glane == 0
+        acc = (jnp.where(on0, piv[0], acc[0]),
+               jnp.where(on0, piv[1], acc[1]))
         rs = dd.rsqrt(piv)
         Lcol = dd.mul(acc, rs)
         Lcol = (jnp.where(band_mask, Lcol[0], f0),
@@ -103,7 +114,6 @@ def _bfactor_kernel(bw, G, W, R, bh, bl, Lh, Ll, misc):
         # per-group pivot log accumulated on the group's lane 0 (other
         # lanes' "logs" are garbage and masked out before the add)
         lp = dd.log_precise(acc)
-        on0 = glane == 0
         ldh, ldl = dd.add((ldh, ldl), (jnp.where(on0, lp[0], f0),
                                        jnp.where(on0, lp[1], f0)))
         Lh[pl.ds(j, 1), :] = (Lcol[0]

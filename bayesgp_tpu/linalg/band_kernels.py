@@ -111,16 +111,34 @@ def _factor_body(bw, W, bh, bl, ch, cl, Lh, Ll, yh, yl):
                       jnp.roll(wl[r:r + 1, :], -t, axis=1))
             acc = dd.sub(acc, dd.mul(rolled, s))
             yacc = dd.sub(yacc, dd.mul((ywh[r:r + 1, :], ywl[r:r + 1, :]), s))
-        dpair = (acc[0][0, 0], acc[1][0, 0])
-        rs = dd.rsqrt(dpair)
+        # pivot clamp (modified Cholesky): conditional Hessians at
+        # weak-theta evaluation points can be NUMERICALLY indefinite
+        # (lambda_min ~ -5e-7 measured on equilibrated two-smooth
+        # systems); a non-positive pivot would put NaN into the factor
+        # AND the log-det, poisoning the theta optimizer. Healthy
+        # pivots (unit-diagonal systems: ~1e-3..1) are untouched.
+        raw_h, raw_l = acc[0][0, 0], acc[1][0, 0]
+        bad = raw_h < jnp.float32(1e-12)
+        # |pivot| keeps factor magnitudes bounded when the pivot is
+        # NEGATIVE by O(1) (an essentially-singular system under a
+        # fixed elimination order); a tiny floor would put 1/sqrt ~ 1e6
+        # into the window and overflow the downstream f32 recurrences
+        pvh = jnp.where(bad, jnp.maximum(jnp.abs(raw_h),
+                                         jnp.float32(1e-12)), raw_h)
+        pvl = jnp.where(bad, jnp.where(raw_h < f0, -raw_l, f0), raw_l)
+        # healthy pivots: pvh/pvl ARE the lane-0 values, so these
+        # wheres are bit-identity and the dd arithmetic is unchanged
+        acc = (jnp.where(lane == 0, pvh, acc[0]),
+               jnp.where(lane == 0, pvl, acc[1]))
+        rs = dd.rsqrt((pvh, pvl))
         Lcol = dd.mul(acc, rs)
         Lcol = (jnp.where(band_mask, Lcol[0], f0),
                 jnp.where(band_mask, Lcol[1], f0))
         ynew = dd.mul(yacc, rs)
         # pivot log on the whole row (Mosaic bitcast needs vectors, not
-        # scalars); only lane 0 (the pivot) is read — other lanes hold
-        # off-band values whose "logs" are garbage and ignored
-        lprow = dd.log_precise((acc[0], acc[1]))
+        # scalars); only lane 0 (the clamped pivot) is read — other
+        # lanes hold off-band values whose "logs" are garbage and ignored
+        lprow = dd.log_precise(acc)
         ldh, ldl = dd.add((ldh, ldl), (lprow[0][0, 0], lprow[1][0, 0]))
         Lh[pl.ds(j, 1), :] = (Lcol[0]
                               + jnp.where(lane == bw + 1, rs[0], f0)

@@ -32,6 +32,54 @@ def _chol(A):
     return jnp.linalg.cholesky(A)
 
 
+# Jitter (relative to the mean diagonal) applied ONLY when a plain
+# factorization produced non-finite pivots. Conditional Hessians at
+# weak-theta evaluation points can be NUMERICALLY indefinite (measured
+# round 14: lambda_min ~ -5e-7 on the equilibrated n=2e4 IWP+sGP system
+# — the two smooth bases are nearly collinear and the exp(theta) P
+# regularization is tiny there). The reference never sees this as NaN:
+# TMB's Newton retreats on a failed CHOLMOD factor. Here the Laplace
+# value must stay FINITE so the theta optimizer can walk out of the
+# sick region — a NaN at theta0 left the on-chip s=3 optimizer stuck at
+# its start and fed garbage nodes downstream.
+CHOL_JITTER = 1e-4
+
+
+def chol_guarded(A):
+    """Cholesky with failure escalation. Healthy matrices factor
+    BIT-IDENTICALLY (zero jitter added, surrogate not selected).
+    Escalation: (1) plain factor; (2) + jitter*scale*I; (3) a
+    diagonal-only surrogate that always factors — needed because a
+    fixed elimination order on an essentially-singular matrix can
+    produce INTERMEDIATE Schur blocks indefinite by O(1) (measured
+    lambda_min -0.37 on block 1 of the theta=0 two-smooth system),
+    beyond any small jitter. The surrogate's log-det/solves have the
+    right magnitude, which is all the optimizer needs to walk out.
+    Probes run on stop_gradient copies; the factored matrix is always
+    finite, so no NaN reaches the gradients."""
+    if A.shape[-1] == 0:
+        return A
+    s = A.shape[-1]
+    eye = jnp.eye(s, dtype=A.dtype)
+    Asg = jax.lax.stop_gradient(A)
+    diag_sg = jnp.diagonal(Asg, axis1=-2, axis2=-1)
+    scale = jnp.maximum(jnp.mean(jnp.abs(diag_sg)),
+                        jnp.asarray(1e-30, A.dtype))
+
+    def _ok(L):
+        return jnp.all(jnp.isfinite(jnp.diagonal(L, axis1=-2, axis2=-1)))
+
+    ok0 = _ok(_chol(Asg))
+    jit = jnp.where(ok0, jnp.asarray(0.0, A.dtype),
+                    (CHOL_JITTER * scale).astype(A.dtype))
+    ok1 = _ok(_chol(Asg + jit * eye))
+    dsafe = jnp.maximum(jnp.abs(jnp.diagonal(A, axis1=-2, axis2=-1)),
+                        (1e-8 * scale).astype(A.dtype))
+    surrogate = eye * dsafe[..., None, :]
+    Afin = jnp.where(ok1, A + jit * eye, surrogate)
+    return _chol(Afin)
+
+
 def _solve_L(L, B):
     if ck.use_blocked(L.dtype):
         return ck.trsm_left_lower(L, B)
@@ -93,13 +141,13 @@ def bt_cholesky(D: jnp.ndarray, E: jnp.ndarray) -> BTFactor:
     """Blocked Cholesky of the block-tridiagonal SPD matrix."""
     nb, s, _ = D.shape
 
-    LD0 = _chol(D[0])
+    LD0 = chol_guarded(D[0])
 
     def step(LD_prev, inp):
         Di, Ei = inp
         # LE_i LD_prev^T = E_i  =>  LE_i = E_i LD_prev^{-T}
         LEi = _solve_L(LD_prev, Ei.T).T
-        LDi = _chol(Di - LEi @ LEi.T)
+        LDi = chol_guarded(Di - LEi @ LEi.T)
         return LDi, (LDi, LEi)
 
     if nb == 1:
@@ -177,7 +225,7 @@ def arrow_factor(D, E, C, Hd) -> ArrowFactor:
     fac = bt_cholesky(D, E)
     Y = bt_solve_L(fac, C)                       # (nb, s, q)
     S = Hd - jnp.einsum("nsq,nsr->qr", Y, Y)
-    Ls = _chol(S)
+    Ls = chol_guarded(S)
     return ArrowFactor(fac, Y, Ls)
 
 

@@ -92,7 +92,16 @@ def main(stages):
     if "2" in stages:
         def run2():
             return be.laplace_eval_full(th0, be.init_state())[0]
-        stage("laplace", jax.jit(run2))
+        nll0 = stage("laplace", jax.jit(run2))
+        print("  nll(0,0,0) =", float(nll0), flush=True)
+
+        vg = be.val_grad_warm_fn()
+        for th in ([0.0, 0.0, 0.0], [8.0, 8.0, 2.0],
+                   [15.3, 11.1, 2.3]):
+            (v, _), g = jax.device_get(
+                vg(jnp.asarray(th, be.dtype), be.init_state()))
+            print(f"  th={th} nll={float(np.asarray(v)):.4f} "
+                  f"g={np.asarray(g)}", flush=True)
 
     if "3" in stages:
         from bayesgp_tpu.inference.aghq import build_fused_opt_nd, _lifted_jit
@@ -100,8 +109,48 @@ def main(stages):
                                                             jit=False))
         stage("optnd", lambda: prog(th0, be.init_state())[:2])
 
+    if "4a" in stages or "4b" in stages:
+        from bayesgp_tpu.inference.aghq import (_fused_nodes_cached,
+                                                product_grid)
+        z, _ = product_grid(3, 3)
+        J = 2 if "4a" in stages else len(z)
+        zj = z[:J]
+        prog = _fused_nodes_cached(be, zj, True)
+        # mode-ish center, identity chol -> nodes near theta ~ 8
+        nodes = jnp.asarray(8.0 + 0.3 * zj, be.dtype)
+        stage(f"nodes_J{J}",
+              lambda: prog(nodes, be.init_state())[0])
+
+    if "4c" in stages or "4d" in stages:
+        from bayesgp_tpu.inference import aghq as Ag
+        prog = Ag._lifted_jit(
+            be, lambda b: Ag.build_fused_opt_nd(b, 3, jit=False))
+        mode_d, H_d, warm = prog(th0, be.init_state())
+        mode, H = jax.device_get((mode_d, H_d))
+        print("[optnd] mode", np.asarray(mode), flush=True)
+        cov = np.linalg.inv(np.asarray(H, np.float64))
+        cov = 0.5 * (cov + cov.T)
+        L = np.linalg.cholesky(cov)
+        z, logw_base = Ag.product_grid(3, 3)
+        nodes = np.asarray(mode, np.float64)[None, :] + z @ L.T
+        prog2 = Ag._fused_nodes_cached(be, z, True)
+        out = stage("nodes_after_opt",
+                    lambda: prog2(jnp.asarray(nodes, be.dtype), warm)[0])
+        if "4d" in stages:
+            logw = logw_base + np.log(np.diag(L)).sum()
+            nlls = np.asarray(out, np.float64)
+            fit = Ag.AGHQFit(
+                mode=np.asarray(mode, np.float64), hessian=np.asarray(
+                    H, np.float64), L=L, nodes=nodes, logw=logw,
+                lognll=nlls, lognormconst=Ag._logsumexp_np(-nlls + logw),
+                states=prog2(jnp.asarray(nodes, be.dtype), warm)[1],
+                k=3, backend=be)
+            stage("marginals",
+                  lambda: [np.asarray(m[0]) for m in
+                           Ag._marginals_fused(fit, be, warm)])
+
     if "4" in stages:
-        from bayesgp_tpu.inference.aghq import aghq_fit, _aghq_fit_full_nd
+        from bayesgp_tpu.inference.aghq import aghq_fit
         stage("fit3disp", lambda: aghq_fit(be, k=3).mode)
 
     if "5" in stages:
