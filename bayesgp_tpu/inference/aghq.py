@@ -1509,6 +1509,21 @@ def build_fused_opt_nd(backend, s: int, tol: float = 1e-9,
                 step = jnp.where(use_em, -em / c["alpha"], step)
             step = jnp.where(boot, 0.0 * step, step)
             cand = c["th"] - c["alpha"] * step
+            # finite-start ramp: when the INCUMBENT value is non-finite
+            # (the boot eval at theta0 can be NaN/inf — weak-theta
+            # Hessians are essentially singular and the f32 on-chip
+            # value overflows even through the guarded factorizations),
+            # the gradient carries no information (g=0 from init), so
+            # raise ALL log-precisions instead: more precision = more
+            # regularization = guaranteed-finite Laplace. The distance
+            # 2/alpha doubles with each rejected ramp (alpha halves),
+            # reaching strongly-regularized territory in a few tries.
+            # Healthy runs (finite boot) never take this branch.
+            ramp = jnp.logical_and(~jnp.isfinite(c["f"]), ~boot)
+            cand = jnp.where(
+                ramp,
+                c["th"] + jnp.minimum(2.0 / c["alpha"], 32.0),
+                cand)
             f_t, g_t, st_t = vg(cand, c["state"])
             ok = jnp.isfinite(f_t) & (
                 f_t <= c["f"] + 1e-12 * (1.0 + jnp.abs(c["f"])))
@@ -1540,6 +1555,11 @@ def build_fused_opt_nd(backend, s: int, tol: float = 1e-9,
             # boot's zero step has dec = 0 — only the gradient test
             # applies there (matches the host loop's entry condition)
             done = jnp.where(boot, gmax2 < tol, done)
+            # never declare convergence without a FINITE incumbent: a
+            # rejected non-finite boot leaves g=0 and dec=0, which
+            # would satisfy every test above; the finite-start ramp
+            # must keep running (bounded by max_iter)
+            done = jnp.logical_and(done, jnp.isfinite(f2))
             return {"th": th2, "f": f2, "g": g2, "state": st2,
                     "Hinv": H2, "alpha": alpha2, "stall": stall2,
                     "done": done, "it": c["it"] + 1}
