@@ -692,8 +692,17 @@ class BandedBackend:
         gV, gt = self.grad_W(V, tail, theta, eta=e0)
         factor = self.hessian_factor(V, tail, theta, eta=e0)
         step_V, step_t = self.solve_H(factor, gV, gt)
+        # non-finite step entries (solves through guarded factors of
+        # essentially-singular weak-theta Hessians can overflow) are
+        # zeroed: 0 * inf = NaN would otherwise make the state NaN, and
+        # a NaN state is ABSORBING through every later warm-chained
+        # evaluation (measured round 14). max_de keeps the RAW max so
+        # an overflowed eta direction still forces alpha -> 0.
+        step_V = jnp.where(jnp.isfinite(step_V), step_V, 0.0)
+        step_t = jnp.where(jnp.isfinite(step_t), step_t, 0.0)
         d_eta = self.eta(step_V, step_t)
         max_de = jnp.max(jnp.abs(d_eta))
+        d_eta = jnp.where(jnp.isfinite(d_eta), d_eta, 0.0)
         alpha0 = jnp.minimum(1.0, eta_cap / jnp.maximum(max_de, 1e-30))
         cands = alpha0 * jnp.asarray([1.0, 0.3, 0.1, 0.03], self.dtype)
         alphas = jnp.concatenate([jnp.zeros((1,), self.dtype), cands])
@@ -727,6 +736,11 @@ class BandedBackend:
             V0, t0 = self.init_state()
         else:
             V0, t0 = warm
+            # a non-finite warm start (an upstream eval in a sick theta
+            # region) would be absorbing — fall back to the cold start
+            ok = jnp.isfinite(jnp.sum(V0) + jnp.sum(t0))
+            V0 = jnp.where(ok, V0, 0.0)
+            t0 = jnp.where(ok, t0, 0.0)
         steptol = 1e-9 if self.compute_dtype == jnp.float64 else 3e-6
 
         def cond(state):
@@ -745,12 +759,22 @@ class BandedBackend:
         V, tail, _, _ = jax.lax.while_loop(cond, body, (V0, t0, 0, big))
         return V, tail
 
-    def _refine(self, V, tail, theta):
+    def _refine(self, V, tail, theta, eta_cap=8.0):
         e0 = self.eta(V, tail)
         gV, gt = self.grad_W(V, tail, theta, eta=e0)
         factor = self.hessian_factor(V, tail, theta, eta=e0)
         step_V, step_t = self.solve_H(factor, gV, gt)
-        return V - step_V, tail - step_t
+        # at a healthy fixed point the step is ~0 (alpha = 1 exactly,
+        # bit-identical); on essentially-singular systems the undamped
+        # polish would catapult V to overflow — same guards as
+        # newton_step
+        step_V = jnp.where(jnp.isfinite(step_V), step_V, 0.0)
+        step_t = jnp.where(jnp.isfinite(step_t), step_t, 0.0)
+        d_eta = self.eta(step_V, step_t)
+        alpha = jnp.minimum(
+            1.0, eta_cap / jnp.maximum(jnp.max(jnp.abs(d_eta)), 1e-30))
+        alpha = jnp.where(jnp.isfinite(alpha), alpha, 0.0)
+        return V - alpha * step_V, tail - alpha * step_t
 
     def solve_W_star(self, theta, n_refine=1, warm=None):
         if warm is not None:

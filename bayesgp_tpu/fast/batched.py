@@ -340,8 +340,14 @@ class BatchedFastIWP:
         gV, gt = self.grad_W(V, tail, theta, eta=e0)
         factor = self.hessian_factor(V, tail, theta, eta=e0)
         step_V, step_t = self.solve_H(factor, gV, gt)
+        # zero non-finite step entries per slot (0 * inf = NaN is
+        # ABSORBING through warm chains — see fast/banded.newton_step);
+        # raw max_de keeps overflowed eta directions forcing alpha -> 0
+        step_V = jnp.where(jnp.isfinite(step_V), step_V, 0.0)
+        step_t = jnp.where(jnp.isfinite(step_t), step_t, 0.0)
         d_eta = self.eta(step_V, step_t)
         max_de = jnp.max(jnp.abs(d_eta), axis=1)            # (R,)
+        d_eta = jnp.where(jnp.isfinite(d_eta), d_eta, 0.0)
         alpha0 = jnp.minimum(1.0, eta_cap / jnp.maximum(max_de, 1e-30))
         cands = alpha0[None, :] * jnp.asarray(
             [1.0, 0.3, 0.1, 0.03], self.dtype)[:, None]     # (4, R)
@@ -391,6 +397,11 @@ class BatchedFastIWP:
             V0, t0 = self.init_state()
         else:
             V0, t0 = warm
+            # non-finite warm slots are absorbing — cold-start them
+            okr = jnp.isfinite(jnp.sum(V0, axis=1)
+                               + jnp.sum(t0, axis=1))       # (R,)
+            V0 = jnp.where(okr[:, None], V0, 0.0)
+            t0 = jnp.where(okr[:, None], t0, 0.0)
         steptol = 1e-9 if self.compute_dtype == jnp.float64 else 3e-6
 
         def cond(state):
@@ -414,12 +425,22 @@ class BatchedFastIWP:
             cond, body, (V0, t0, 0, big, big, zero))
         return V, tail
 
-    def _refine(self, V, tail, theta):
+    def _refine(self, V, tail, theta, eta_cap=8.0):
         e0 = self.eta(V, tail)
         gV, gt = self.grad_W(V, tail, theta, eta=e0)
         factor = self.hessian_factor(V, tail, theta, eta=e0)
         step_V, step_t = self.solve_H(factor, gV, gt)
-        return V - step_V, tail - step_t
+        # per-slot guards, bit-identical at healthy fixed points — see
+        # fast/banded.py _refine
+        step_V = jnp.where(jnp.isfinite(step_V), step_V, 0.0)
+        step_t = jnp.where(jnp.isfinite(step_t), step_t, 0.0)
+        d_eta = self.eta(step_V, step_t)
+        alpha = jnp.minimum(
+            1.0, eta_cap / jnp.maximum(
+                jnp.max(jnp.abs(d_eta), axis=1), 1e-30))
+        alpha = jnp.where(jnp.isfinite(alpha), alpha, 0.0)
+        return (V - alpha[:, None] * step_V,
+                tail - alpha[:, None] * step_t)
 
     def solve_W_star(self, theta, n_refine=1, warm=None):
         if warm is not None:

@@ -694,8 +694,14 @@ class FastIWPBackend(_JitCacheMixin):
         gV, gt = self.grad_W(V, tail, theta, eta=e0)
         factor = self.hessian_factor(V, tail, theta, eta=e0)
         step_V, step_t = self.solve_H(factor, gV, gt)
+        # zero non-finite step entries (0 * inf = NaN is ABSORBING
+        # through warm chains — see fast/banded.py newton_step); raw
+        # max_de keeps overflowed eta directions forcing alpha -> 0
+        step_V = jnp.where(jnp.isfinite(step_V), step_V, 0.0)
+        step_t = jnp.where(jnp.isfinite(step_t), step_t, 0.0)
         d_eta = self.eta(step_V, step_t)
         max_de = jnp.max(jnp.abs(d_eta))
+        d_eta = jnp.where(jnp.isfinite(d_eta), d_eta, 0.0)
         alpha0 = jnp.minimum(1.0, eta_cap / jnp.maximum(max_de, 1e-30))
         cands = alpha0 * jnp.asarray([1.0, 0.3, 0.1, 0.03], self.dtype)
         alphas = jnp.concatenate([jnp.zeros((1,), self.dtype), cands])
@@ -740,6 +746,10 @@ class FastIWPBackend(_JitCacheMixin):
             V0, t0 = self.init_state()
         else:
             V0, t0 = warm
+            # non-finite warm starts are absorbing — cold-start instead
+            ok = jnp.isfinite(jnp.sum(V0) + jnp.sum(t0))
+            V0 = jnp.where(ok, V0, 0.0)
+            t0 = jnp.where(ok, t0, 0.0)
         # achievable step floor is set by the COMPUTE dtype of the O(n)
         # gradient assembly, not the solver dtype
         steptol = 1e-9 if self.compute_dtype == jnp.float64 else 3e-6
@@ -760,12 +770,21 @@ class FastIWPBackend(_JitCacheMixin):
         V, tail, _, _ = jax.lax.while_loop(cond, body, (V0, t0, 0, big))
         return V, tail
 
-    def _refine(self, V, tail, theta):
+    def _refine(self, V, tail, theta, eta_cap=8.0):
         e0 = self.eta(V, tail)
         gV, gt = self.grad_W(V, tail, theta, eta=e0)
         factor = self.hessian_factor(V, tail, theta, eta=e0)
         step_V, step_t = self.solve_H(factor, gV, gt)
-        return V - step_V, tail - step_t
+        # guards bit-identical at healthy fixed points (step ~ 0 =>
+        # alpha = 1 via the min's constant branch, exact implicit
+        # derivatives preserved); see fast/banded.py _refine
+        step_V = jnp.where(jnp.isfinite(step_V), step_V, 0.0)
+        step_t = jnp.where(jnp.isfinite(step_t), step_t, 0.0)
+        d_eta = self.eta(step_V, step_t)
+        alpha = jnp.minimum(
+            1.0, eta_cap / jnp.maximum(jnp.max(jnp.abs(d_eta)), 1e-30))
+        alpha = jnp.where(jnp.isfinite(alpha), alpha, 0.0)
+        return V - alpha * step_V, tail - alpha * step_t
 
     def solve_W_star(self, theta, n_refine=1, warm=None):
         if warm is not None:

@@ -1519,14 +1519,22 @@ def build_fused_opt_nd(backend, s: int, tol: float = 1e-9,
             # 2/alpha doubles with each rejected ramp (alpha halves),
             # reaching strongly-regularized territory in a few tries.
             # Healthy runs (finite boot) never take this branch.
-            ramp = jnp.logical_and(~jnp.isfinite(c["f"]), ~boot)
+            # ...or when the incumbent GRADIENT is non-finite (the
+            # custom-VJP log-det gradient through a pivot-clamped
+            # factorization of a sick system can be NaN even where the
+            # value is finite) — no usable direction either way
+            ramp = jnp.logical_and(
+                ~jnp.isfinite(c["f"]) | ~jnp.all(jnp.isfinite(c["g"])),
+                ~boot)
             cand = jnp.where(
                 ramp,
                 c["th"] + jnp.minimum(2.0 / c["alpha"], 32.0),
                 cand)
             f_t, g_t, st_t = vg(cand, c["state"])
-            ok = jnp.isfinite(f_t) & (
-                f_t <= c["f"] + 1e-12 * (1.0 + jnp.abs(c["f"])))
+            # acceptance requires a finite value AND gradient: an
+            # accepted NaN gradient would poison every later direction
+            ok = (jnp.isfinite(f_t) & jnp.all(jnp.isfinite(g_t))
+                  & (f_t <= c["f"] + 1e-12 * (1.0 + jnp.abs(c["f"]))))
             sk = cand - c["th"]
             yk = g_t - g
             sy = jnp.dot(sk, yk)

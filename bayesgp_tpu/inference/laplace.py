@@ -35,6 +35,10 @@ def _newton_direction(W, theta, md):
     H = hessian_W(W, theta, md)
     cf = cho_factor(H, lower=True)
     step = cho_solve(cf, g)
+    # non-finite directions (numerically indefinite H at weak theta;
+    # see linalg/block_tridiag.chol_guarded) are zeroed: 0 * inf = NaN
+    # would otherwise poison W and every warm-chained eval after it
+    step = jnp.where(jnp.isfinite(step), step, 0.0)
     return g, step, jnp.dot(g, step)
 
 
@@ -93,11 +97,15 @@ def newton_solve(theta, md, W0=None, gtol=1e-8, max_iter=100):
 
 
 def _refine(W, theta, md):
-    """Undamped Newton step (differentiable polish at the fixed point)."""
+    """Undamped Newton step (differentiable polish at the fixed point).
+    Non-finite steps are zeroed — bit-identity at healthy fixed points,
+    and the polish cannot catapult W on a sick factorization."""
     g = jax.grad(neg_log_post, argnums=0)(W, theta, md)
     H = hessian_W(W, theta, md)
     cf = cho_factor(H, lower=True)
-    return W - cho_solve(cf, g)
+    step = cho_solve(cf, g)
+    step = jnp.where(jnp.isfinite(step), step, 0.0)
+    return W - step
 
 
 def solve_W_star(theta, md, W0=None, n_refine=2, gtol=1e-8, max_iter=100):

@@ -371,7 +371,15 @@ class PallasEngine:
             ct_Hd = jnp.zeros((0, 0), jnp.float64)
         hinv_band = Zb.T + corr
         w = jnp.concatenate([jnp.full((1, d), 0.5), jnp.ones((bw, d))])
-        return (ct * w * hinv_band).astype(jnp.float64), ct_C, ct_Hd
+        # sanitize: the Takahashi recurrence on a pivot-clamped factor
+        # of a sick (weak-theta) system can overflow to inf/NaN; a
+        # non-finite log-det gradient would strand the theta optimizer
+        # (finite components still carry the prior/likelihood signal,
+        # and acceptance is value-gated). Healthy factors: bit-identity.
+        def _san(x):
+            return jnp.where(jnp.isfinite(x), x, jnp.zeros_like(x))
+        return (_san((ct * w * hinv_band).astype(jnp.float64)),
+                _san(ct_C), _san(ct_Hd))
 
     # -- AD entry point --------------------------------------------------
     def arrow_half_logdet(self, band, C, Hd):

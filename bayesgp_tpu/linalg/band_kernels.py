@@ -134,7 +134,19 @@ def _factor_body(bw, W, bh, bl, ch, cl, Lh, Ll, yh, yl):
         Lcol = dd.mul(acc, rs)
         Lcol = (jnp.where(band_mask, Lcol[0], f0),
                 jnp.where(band_mask, Lcol[1], f0))
+        # magnitude cap: a HEALTHY equilibrated SPD factor has
+        # |L_ij| <= sqrt(A_jj) <= 1, so +-1e3 never binds there (clip
+        # is then bit-identity); on essentially-singular systems the
+        # clamped-pivot recurrence otherwise grows geometrically to
+        # f32 inf, and inf - inf = NaN wipes the whole factor
+        # (measured round 14 at theta=(4,4,4) on the two-smooth model)
+        big = jnp.abs(Lcol[0]) > jnp.float32(1e3)
+        Lcol = (jnp.clip(Lcol[0], -1e3, 1e3),
+                jnp.where(big, f0, Lcol[1]))
         ynew = dd.mul(yacc, rs)
+        ybig = jnp.abs(ynew[0]) > jnp.float32(1e8)
+        ynew = (jnp.clip(ynew[0], -1e8, 1e8),
+                jnp.where(ybig, f0, ynew[1]))
         # pivot log on the whole row (Mosaic bitcast needs vectors, not
         # scalars); only lane 0 (the clamped pivot) is read — other
         # lanes hold off-band values whose "logs" are garbage and ignored

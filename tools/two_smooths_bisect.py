@@ -146,7 +146,7 @@ def main(stages):
                 states=prog2(jnp.asarray(nodes, be.dtype), warm)[1],
                 k=3, backend=be)
             stage("marginals",
-                  lambda: [np.asarray(m[0]) for m in
+                  lambda: [np.asarray(m["logmargpost"]) for m in
                            Ag._marginals_fused(fit, be, warm)])
 
     if "4" in stages:
