@@ -754,20 +754,28 @@ class FastIWPBackend(_JitCacheMixin):
         # gradient assembly, not the solver dtype
         steptol = 1e-9 if self.compute_dtype == jnp.float64 else 3e-6
 
+        # stall cutoff — see fast/banded.py newton_solve: bounds the
+        # per-eval iteration burn in sick theta regions so long fused
+        # node scans stay under the tunnel's RPC deadline
         def cond(state):
-            V, tail, it, smax = state
+            V, tail, it, smax, best, since = state
             small = smax < steptol * (1.0 + jnp.max(jnp.abs(V)))
-            return jnp.logical_and(~small, it < max_iter)
+            stalled = since >= 10
+            return jnp.logical_and(~(small | stalled), it < max_iter)
 
         def body(state):
-            V, tail, it, _ = state
+            V, tail, it, _, best, since = state
             V2, t2, smax = self.newton_step(V, tail, theta)
-            return V2, t2, it + 1, smax
+            improved = smax < 0.95 * best
+            best2 = jnp.minimum(best, smax)
+            since2 = jnp.where(improved, 0, since + 1)
+            return V2, t2, it + 1, smax, best2, since2
 
         # tie the carry init to the state so its sharding 'varying'
         # status matches the body outputs under shard_map
         big = jnp.asarray(1e30, self.dtype) + 0.0 * V0[0]
-        V, tail, _, _ = jax.lax.while_loop(cond, body, (V0, t0, 0, big))
+        V, tail, _, _, _, _ = jax.lax.while_loop(
+            cond, body, (V0, t0, 0, big, big, 0))
         return V, tail
 
     def _refine(self, V, tail, theta, eta_cap=8.0):
@@ -895,7 +903,13 @@ class FastIWPBackend(_JitCacheMixin):
                 lambda V_, t_, th_: self._laplace_value(V_, t_, th_,
                                                         factor=factor),
                 argnums=(0, 1, 2))(V, tail, theta)
+            # sanitize the implicit-correction pieces (bit-identity on
+            # healthy evals) — see fast/banded.py bwd
+            _san = lambda x: jnp.where(jnp.isfinite(x), x,
+                                       jnp.zeros_like(x))
+            gF_V, gF_t = _san(gF_V), _san(gF_t)
             vV, vt = self.solve_H(factor, gF_V, gF_t)
+            vV, vt = _san(vV), _san(vt)
 
             def gdotv(th):
                 gV, gt = self.grad_W(V, tail, th)

@@ -1464,6 +1464,12 @@ def build_fused_opt_nd(backend, s: int, tol: float = 1e-9,
     def vg(th, state):
         (f, st), g = jax.value_and_grad(backend.nll_warm, has_aux=True)(
             th.astype(dtype), state)
+        # magnitude cap: sick-region (weak-theta) gradients through
+        # guarded factorizations can be finite but ASTRONOMICAL (1e18
+        # measured round 14), which wrecks every BFGS direction while
+        # passing finiteness gates; healthy gradients are <= ~1e5 at
+        # any measured config, so the cap is bit-identity there
+        g = jnp.clip(g, -1e8, 1e8)
         return f, g, st
 
     def run(th0, state0):
@@ -1977,8 +1983,14 @@ def aghq_fit(md_or_backend, k: int = 4, theta0=None, verbose=False,
     if fused_nd and s <= 3 and (
             full_ok or jax.default_backend() == "cpu"):
         # the ENTIRE s>1 fit (opt + on-device adaptation + main and
-        # marginal grids + optional draws) as ONE dispatch
-        return _aghq_fit_full_nd(backend, s, k, theta0, sample)
+        # marginal grids + optional draws) as ONE dispatch. Returns
+        # None when the on-device pipeline produced non-finite outputs
+        # (optimization that ended inside the weak-theta sick region) —
+        # fall through to the 3-dispatch flow, whose host-side
+        # restart/PD-clip logic recovers.
+        fit_1 = _aghq_fit_full_nd(backend, s, k, theta0, sample)
+        if fit_1 is not None:
+            return fit_1
     if fused_nd:
         # fused outer optimization: BFGS + FD Hessian in one dispatch
         if not hasattr(backend, "_fused_opt_nd"):
@@ -1991,6 +2003,30 @@ def aghq_fit(md_or_backend, k: int = 4, theta0=None, verbose=False,
                                                   backend.init_state())
         mode, H = jax.device_get((mode_d, H_d))
         mode, H = np.asarray(mode), np.asarray(H)
+        # sick-start restarts: an optimization that began inside the
+        # weak-theta region (guarded factorizations, partial
+        # gradients) can stop early with an indefinite/garbage outer
+        # Hessian. Re-dispatching the SAME compiled program from the
+        # incumbent (fresh BFGS state, warm latent) costs ~30 ms and
+        # walks the rest of the way; healthy fits (PD H first try)
+        # never re-dispatch.
+        for _ in range(3):
+            okH = np.all(np.isfinite(mode)) and np.all(np.isfinite(H))
+            if okH:
+                try:
+                    np.linalg.cholesky(
+                        np.linalg.inv(0.5 * (H + H.T)
+                                      + 1e-12 * np.eye(s)))
+                except np.linalg.LinAlgError:
+                    okH = False
+            if okH:
+                break
+            th_r = (mode if np.all(np.isfinite(mode))
+                    else np.zeros(s))
+            mode_d, H_d, warm = backend._fused_opt_nd(
+                jnp.asarray(th_r, backend.dtype), warm)
+            mode, H = jax.device_get((mode_d, H_d))
+            mode, H = np.asarray(mode), np.asarray(H)
     else:
         mode, H, _, warm = optimize_theta(backend, s, theta0=theta0,
                                           verbose=verbose)
@@ -2085,9 +2121,12 @@ def _aghq_fit_full_nd(backend, s: int, k: int, theta0, sample) -> AGHQFit:
     mode = np.asarray(mode, np.float64)
     H = np.asarray(H, np.float64)
     L = np.asarray(L, np.float64)
+    nlls = np.asarray(nlls, np.float64)
+    if not (np.all(np.isfinite(mode)) and np.all(np.isfinite(H))
+            and np.all(np.isfinite(L)) and np.all(np.isfinite(nlls))):
+        return None          # sick-start run — caller falls back
     z, logw_base = product_grid(k, s)
     logw = logw_base + np.log(np.diag(L)).sum()
-    nlls = np.asarray(nlls, np.float64)
     lognormconst = _logsumexp_np(-nlls + logw)
     fit = AGHQFit(mode=mode, hessian=H, L=L,
                   nodes=np.asarray(nodes, np.float64), logw=logw,

@@ -371,13 +371,25 @@ class PallasEngine:
             ct_Hd = jnp.zeros((0, 0), jnp.float64)
         hinv_band = Zb.T + corr
         w = jnp.concatenate([jnp.full((1, d), 0.5), jnp.ones((bw, d))])
-        # sanitize: the Takahashi recurrence on a pivot-clamped factor
-        # of a sick (weak-theta) system can overflow to inf/NaN; a
-        # non-finite log-det gradient would strand the theta optimizer
-        # (finite components still carry the prior/likelihood signal,
-        # and acceptance is value-gated). Healthy factors: bit-identity.
+        # sick-factor cutoff: on a pivot-clamped factor of an
+        # essentially-singular (weak-theta) system the Takahashi
+        # recurrence overflows — NaN, or finite-but-astronomical
+        # values whose backward products overflow FURTHER back in the
+        # assembly chain. A healthy equilibrated system has
+        # |H^{-1}| <= cond ~ 1e8, so the 1e12 gate is bit-identity
+        # there; sick factors contribute ZERO log-det cotangents and
+        # the (finite) explicit value gradient still points the theta
+        # optimizer up the precision scale.
+        gate_in = jnp.abs(jnp.where(jnp.isfinite(hinv_band),
+                                    hinv_band, jnp.inf))
+        healthy = jnp.max(gate_in) < 1e12
+        if q:
+            gA = jnp.abs(jnp.where(jnp.isfinite(A), A, jnp.inf))
+            healthy = jnp.logical_and(healthy, jnp.max(gA) < 1e12)
+        okf = jnp.where(healthy, 1.0, 0.0)
+
         def _san(x):
-            return jnp.where(jnp.isfinite(x), x, jnp.zeros_like(x))
+            return okf * jnp.where(jnp.isfinite(x), x, jnp.zeros_like(x))
         return (_san((ct * w * hinv_band).astype(jnp.float64)),
                 _san(ct_C), _san(ct_Hd))
 
