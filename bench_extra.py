@@ -174,6 +174,35 @@ def bench_coxph(n=4000):
           flush=True)
 
 
+def bench_cc():
+    """Case-crossover conditional likelihood on sim1data (the
+    Partial_Likelihood vignette model) — driver-style on-chip number
+    for the last family without one (VERDICT round-2 item 9). Full-
+    Hessian family -> dense backend; reference counterpart
+    src/BayesGP.cpp:196-210."""
+    import bayesgp_tpu as bg
+    data = bg.datasets.sim1data()
+    med = float(np.median(data["exposure"]))
+    fml = ("case ~ f(x=exposure, model='IWP', order=2, k=30, "
+           f"initial_location={med})")
+
+    def run():
+        return bg.model_fit(fml, data=data, family="cc",
+                            strata="subject", method="aghq", M=1000,
+                            seed=0)
+    t0 = time.time()
+    fit = run()
+    first = time.time() - t0
+    t0 = time.time()
+    fit = run()
+    dt = time.time() - t0
+    print(json.dumps({"metric": "cc_sim1data_fit_seconds",
+                      "value": round(dt, 4), "unit": "s",
+                      "first_compile_s": round(first, 1),
+                      "mode": np.asarray(fit.mod.mode).tolist()}),
+          flush=True)
+
+
 def bench_two_smooths(n=20000, k=100):
     """BASELINE.json config 4: Gaussian family, IWP + sGP smooths with
     k=100 each -> s=3 hyperparameters (two smoothing + noise), fused
@@ -383,6 +412,7 @@ _CONFIGS = [
     ("fit_sample_predict_onedispatch", "fitpredict", bench_fitpredict),
     ("bigiid_merged_band", "bigiid", bench_bigiid),
     ("coxph_iwp", "coxph", bench_coxph),
+    ("cc_sim1data", "cc", bench_cc),
     ("two_smooths_s3", "two_smooths", bench_two_smooths),
     ("gauss2_s2", "gauss2", bench_gauss2),
     ("lynx_sgp_iid", "lynx", bench_lynx),
