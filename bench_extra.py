@@ -331,6 +331,48 @@ def bench_bigiid(n=100_000, k=2000, q=10_000):
           flush=True)
 
 
+def bench_scattered_iid(n=50_000, k=500):
+    """Scattered (non-x-clustered) large-q IID: the regime CHOLMOD's
+    fill-reducing orderings handle generically and the merged-band path
+    cannot (levels span the whole x range). Measures the DENSE-TAIL
+    cost curve over q so the warn/refuse thresholds in
+    fast/banded are evidence-based instead of a bare constant
+    (VERDICT round-2 item 5). Each q is a separate model; steady =
+    second fit (program cache)."""
+    import bayesgp_tpu as bg
+    rows = []
+    for q in (512, 1024, 2048):
+        rng = np.random.default_rng(0)
+        x = np.sort(rng.uniform(0.0, 365.0, n))
+        g = rng.integers(0, q, n).astype(float)      # scattered!
+        u_true = 0.1 * rng.normal(size=q)
+        f_true = 1.2 + 0.6 * np.sin(2 * np.pi * x / 90.0)
+        y = rng.poisson(np.exp(f_true + u_true[g.astype(int)])
+                        ).astype(float)
+        data = {"y": y, "x": x, "g": g}
+        fml = "y ~ f(x, model='IWP', order=3, k=kk) + f(g, model='IID')"
+
+        def run():
+            return bg.model_fit(fml, data=data, family="Poisson",
+                                M=500, seed=0, aghq_k=3, env={"kk": k})
+        t0 = time.time()
+        fit = run()
+        first = time.time() - t0
+        t0 = time.time()
+        fit = run()
+        dt = time.time() - t0
+        rows.append({"q": q, "steady_s": round(dt, 3),
+                     "first_s": round(first, 1)})
+        print(json.dumps({"metric": f"scattered_iid_q{q}_fit_seconds",
+                          "value": round(dt, 4), "unit": "s",
+                          "first_compile_s": round(first, 1),
+                          "mode": np.asarray(fit.mod.mode).tolist()}),
+              flush=True)
+    print(json.dumps({"metric": "scattered_iid_crossover",
+                      "value": rows[-1]["steady_s"], "unit": "s",
+                      "curve": rows}), flush=True)
+
+
 def bench_fitpredict(n_pred=100_000, M=3000):
     """One-dispatch fit + posterior draws + predict summaries
     (aghq_fit predict=) vs the same work as fit-then-predict (two
@@ -411,6 +453,7 @@ _CONFIGS = [
     ("predict_1e5x3000_summary", "predict", bench_predict),
     ("fit_sample_predict_onedispatch", "fitpredict", bench_fitpredict),
     ("bigiid_merged_band", "bigiid", bench_bigiid),
+    ("scattered_iid_crossover", "scattered_iid", bench_scattered_iid),
     ("coxph_iwp", "coxph", bench_coxph),
     ("cc_sim1data", "cc", bench_cc),
     ("two_smooths_s3", "two_smooths", bench_two_smooths),
