@@ -1427,7 +1427,7 @@ def build_fused_run_1d_batched(backend, k: int, tol: float = 1e-9,
 
 
 def build_fused_opt_nd(backend, s: int, tol: float = 1e-9,
-                       max_iter: int = 60, jit: bool = True):
+                       max_iter: int = 200, jit: bool = True):
     """The s>1 outer optimization as ONE jitted device program: the
     gradient-only BFGS of `optimize_theta` (same accept/update/stall
     logic) inside a lax.while_loop, plus the central-difference outer
@@ -1501,6 +1501,7 @@ def build_fused_opt_nd(backend, s: int, tol: float = 1e-9,
             Hu = jnp.where(bad, eye / jnp.maximum(gmax, 1.0), c["Hinv"])
             step = jnp.where(bad, g / jnp.maximum(gmax, 1.0), step)
             dec = jnp.where(bad, jnp.dot(step, g), dec)
+            use_em = jnp.asarray(False)
             if em_dims is not None:
                 # hp'(th) = 1/2 - phi/2 e^{-th/2} (exp PC hyperprior)
                 hp = 0.5 - 0.5 * em_phi * jnp.exp(-0.5 * c["th"])
@@ -1538,9 +1539,19 @@ def build_fused_opt_nd(backend, s: int, tol: float = 1e-9,
                 cand)
             f_t, g_t, st_t = vg(cand, c["state"])
             # acceptance requires a finite value AND gradient: an
-            # accepted NaN gradient would poison every later direction
+            # accepted NaN gradient would poison every later direction.
+            # Tolerance is fp-noise-aware (10x the dtype's achievable
+            # resolution); EM-jump candidates get a LOOSE 50% gate —
+            # near a sick/weak-theta start the guarded log-det makes f
+            # quasi-random by ~20% (measured round 14), and EM is a
+            # self-correcting fixed-point iteration that must be
+            # allowed to walk THROUGH that noise (only genuine
+            # blow-ups are rejected).
+            acc_tol = jnp.where(use_em,
+                                0.5 * (1.0 + jnp.abs(c["f"])),
+                                10.0 * f_eps * (1.0 + jnp.abs(c["f"])))
             ok = (jnp.isfinite(f_t) & jnp.all(jnp.isfinite(g_t))
-                  & (f_t <= c["f"] + 1e-12 * (1.0 + jnp.abs(c["f"]))))
+                  & (f_t <= c["f"] + acc_tol))
             sk = cand - c["th"]
             yk = g_t - g
             sy = jnp.dot(sk, yk)
