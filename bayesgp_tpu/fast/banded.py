@@ -754,7 +754,7 @@ class BandedBackend:
         def cond(state):
             V, tail, it, smax, best, since = state
             small = smax < steptol * (1.0 + jnp.max(jnp.abs(V)))
-            stalled = since >= 10
+            stalled = since >= 10.0
             return jnp.logical_and(~(small | stalled), it < max_iter)
 
         def body(state):
@@ -762,14 +762,16 @@ class BandedBackend:
             V2, t2, smax = self.newton_step(V, tail, theta)
             improved = smax < 0.95 * best
             best2 = jnp.minimum(best, smax)
-            since2 = jnp.where(improved, 0, since + 1)
+            # float carry tied to the state (see `big` below): int
+            # zeros get the wrong varying-axis type under shard_map
+            since2 = jnp.where(improved, 0.0 * since, since + 1.0)
             return V2, t2, it + 1, smax, best2, since2
 
         # tie the carry init to the state so its sharding 'varying'
         # status matches the body outputs under shard_map
         big = jnp.asarray(1e30, self.dtype) + 0.0 * V0[0]
         V, tail, _, _, _, _ = jax.lax.while_loop(
-            cond, body, (V0, t0, 0, big, big, 0))
+            cond, body, (V0, t0, 0, big, big, 0.0 * big))
         return V, tail
 
     def _refine(self, V, tail, theta, eta_cap=8.0):

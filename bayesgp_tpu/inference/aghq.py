@@ -1426,8 +1426,16 @@ def build_fused_run_1d_batched(backend, k: int, tol: float = 1e-9,
     return jax.jit(run) if jit else run
 
 
+# per-DISPATCH iteration bound for the fused s>1 optimizer: one
+# dispatch's wall time must stay well under the tunnel's RPC deadline
+# (exceeding it KILLS the worker — round 14); the host re-dispatches
+# segments until converged (aghq_fit fused path).
+_OPT_ND_MAX_ITER = 60
+
+
 def build_fused_opt_nd(backend, s: int, tol: float = 1e-9,
-                       max_iter: int = 200, jit: bool = True):
+                       max_iter: int = _OPT_ND_MAX_ITER,
+                       jit: bool = True):
     """The s>1 outer optimization as ONE jitted device program: the
     gradient-only BFGS of `optimize_theta` (same accept/update/stall
     logic) inside a lax.while_loop, plus the central-difference outer
@@ -1621,7 +1629,15 @@ def build_fused_opt_nd(backend, s: int, tol: float = 1e-9,
 
         _, gs = jax.lax.scan(fd_body, st, jnp.asarray(offs, dtype))
         H = (gs[0::2] - gs[1::2]) / (2 * h_fd)
-        return mode, 0.5 * (H + H.T), st
+        # stats = (iterations used, final |g|_inf): the host SEGMENTS
+        # the optimization across dispatches — max_iter bounds ONE
+        # dispatch's wall time (a single long dispatch trips the
+        # tunnel's RPC deadline and KILLS the worker, measured round 14
+        # with max_iter=200 on a sick cold start) and it==max_iter
+        # tells the caller to re-dispatch from the incumbent.
+        stats = jnp.stack([c["it"].astype(dtype),
+                           jnp.max(jnp.abs(c["g"]))])
+        return mode, 0.5 * (H + H.T), st, stats
 
     return jax.jit(run) if jit else run
 
@@ -1819,7 +1835,7 @@ def build_fused_full_nd(backend, s: int, k: int, tol: float = 1e-9,
         return cov, _chol_small(cov, s)
 
     def run_core(th0, state0):
-        mode, H, st = opt_run(th0, state0)
+        mode, H, st, ostats = opt_run(th0, state0)
         cov, L = adapt(H)
         nodes = mode[None, :] + z_dev @ L.T
         nlls, sts = nodes_body(nodes, st)
@@ -1836,7 +1852,7 @@ def build_fused_full_nd(backend, s: int, k: int, tol: float = 1e-9,
             Lps.append(Lp)
         marg_nlls = marg_body(jnp.concatenate(marg_nodes), st)
         return (mode, H, L, nodes, nlls, sts,
-                marg_nlls.reshape(s, J), jnp.stack(Lps))
+                marg_nlls.reshape(s, J), jnp.stack(Lps), ostats)
 
     if not sample_M:
         return jax.jit(run_core) if jit else run_core
@@ -2023,36 +2039,39 @@ def aghq_fit(md_or_backend, k: int = 4, theta0=None, verbose=False,
                 prog_key=("optnd", s))
         th0 = (jnp.zeros((s,), backend.dtype) if theta0 is None
                else jnp.asarray(np.atleast_1d(theta0), backend.dtype))
-        mode_d, H_d, warm = backend._fused_opt_nd(th0,
-                                                  backend.init_state())
-        mode, H = jax.device_get((mode_d, H_d))
+        mode_d, H_d, warm, st_d = backend._fused_opt_nd(
+            th0, backend.init_state())
+        mode, H, ostats = jax.device_get((mode_d, H_d, st_d))
         mode, H = np.asarray(mode), np.asarray(H)
-        # sick-start restarts: an optimization that began inside the
-        # weak-theta region (guarded factorizations, partial
-        # gradients) can stop early with an indefinite/garbage outer
-        # Hessian. Re-dispatching the SAME compiled program from the
-        # incumbent (fresh BFGS state, warm latent) costs ~30 ms and
-        # walks the rest of the way; healthy fits (PD H first try)
-        # never re-dispatch.
-        for _ in range(3):
+        # segment/restart loop: ONE dispatch is bounded at
+        # _OPT_ND_MAX_ITER BFGS iterations (a long dispatch trips the
+        # tunnel's RPC deadline and kills the worker — round 14); a
+        # sick cold start needs several segments to escape the
+        # weak-theta noise pit (measured: ~60-110 evals on the s=3
+        # two-smooth model), each re-dispatch of the SAME compiled
+        # program costing ~30 ms. Healthy fits converge inside the
+        # first segment and never loop.
+        for _ in range(6):
+            exhausted = float(ostats[0]) >= _OPT_ND_MAX_ITER - 0.5
             okH = np.all(np.isfinite(mode)) and np.all(np.isfinite(H))
-            if okH:
+            if okH and not exhausted:
                 try:
                     np.linalg.cholesky(
                         np.linalg.inv(0.5 * (H + H.T)
                                       + 1e-12 * np.eye(s)))
                 except np.linalg.LinAlgError:
                     okH = False
-            if okH:
+            if okH and not exhausted:
                 break
             th_r = (mode if np.all(np.isfinite(mode))
                     else np.zeros(s))
-            mode_d, H_d, warm = backend._fused_opt_nd(
-                jnp.asarray(th_r, backend.dtype), warm)
             prev = mode
-            mode, H = jax.device_get((mode_d, H_d))
+            mode_d, H_d, warm, st_d = backend._fused_opt_nd(
+                jnp.asarray(th_r, backend.dtype), warm)
+            mode, H, ostats = jax.device_get((mode_d, H_d, st_d))
             mode, H = np.asarray(mode), np.asarray(H)
-            if (np.all(np.isfinite(mode)) and np.all(np.isfinite(prev))
+            if (not exhausted and np.all(np.isfinite(mode))
+                    and np.all(np.isfinite(prev))
                     and np.max(np.abs(mode - prev)) < 0.05):
                 # no progress: a flat/near-singular outer Hessian at a
                 # genuinely converged mode — the PD-clip downstream
@@ -2136,19 +2155,27 @@ def _aghq_fit_full_nd(backend, s: int, k: int, theta0, sample) -> AGHQFit:
     args = (th0, backend.init_state())
     if sample_M:
         out = cache[ckey](*args, sample[0])
-        (mode, H, L, nodes, nlls, states, marg_nlls, Lps,
+        (mode, H, L, nodes, nlls, states, marg_nlls, Lps, ostats,
          idx_d, samps_d) = out
-        (mode, H, L, nodes, nlls, marg_nlls, Lps, idx_d,
+        (mode, H, L, nodes, nlls, marg_nlls, Lps, ostats, idx_d,
          samps_d) = jax.device_get(
-            (mode, H, L, nodes, nlls, marg_nlls, Lps, idx_d, samps_d))
+            (mode, H, L, nodes, nlls, marg_nlls, Lps, ostats, idx_d,
+             samps_d))
         presampled = (np.asarray(samps_d, np.float64).T,
                       np.asarray(idx_d), np.asarray(sample[0]))
     else:
         out = cache[ckey](*args)
-        mode, H, L, nodes, nlls, states, marg_nlls, Lps = out
-        mode, H, L, nodes, nlls, marg_nlls, Lps = jax.device_get(
-            (mode, H, L, nodes, nlls, marg_nlls, Lps))
+        (mode, H, L, nodes, nlls, states, marg_nlls, Lps,
+         ostats) = out
+        mode, H, L, nodes, nlls, marg_nlls, Lps, ostats = \
+            jax.device_get(
+                (mode, H, L, nodes, nlls, marg_nlls, Lps, ostats))
         presampled = None
+    # the embedded optimizer exhausted its per-dispatch iteration
+    # budget (sick cold start): fall back to the 3-dispatch flow whose
+    # host loop SEGMENTS the optimization across dispatches
+    if float(np.asarray(ostats)[0]) >= _OPT_ND_MAX_ITER - 0.5:
+        return None
     mode = np.asarray(mode, np.float64)
     H = np.asarray(H, np.float64)
     L = np.asarray(L, np.float64)

@@ -88,7 +88,8 @@ def test_single_dispatch_matches_three_dispatch():
 
     # explicit old flow
     opt = A._lifted_jit(be, lambda b: A.build_fused_opt_nd(b, s, jit=False))
-    mode_d, H_d, warm = opt(jnp.zeros((s,), be.dtype), be.init_state())
+    mode_d, H_d, warm, _ = opt(jnp.zeros((s,), be.dtype),
+                               be.init_state())
     mode, H = np.asarray(mode_d, np.float64), np.asarray(H_d, np.float64)
     cov = np.linalg.inv(H)
     cov = 0.5 * (cov + cov.T)

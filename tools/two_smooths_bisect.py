@@ -107,7 +107,10 @@ def main(stages):
         from bayesgp_tpu.inference.aghq import build_fused_opt_nd, _lifted_jit
         prog = _lifted_jit(be, lambda b: build_fused_opt_nd(b, 3,
                                                             jit=False))
-        stage("optnd", lambda: prog(th0, be.init_state())[:2])
+        out = stage("optnd", lambda: prog(th0, be.init_state())[:2])
+        print("  stats", np.asarray(stage(
+            "optstats", lambda: prog(th0, be.init_state())[3])),
+            flush=True)
 
     if "4a" in stages or "4b" in stages:
         from bayesgp_tpu.inference.aghq import (_fused_nodes_cached,
@@ -125,7 +128,7 @@ def main(stages):
         from bayesgp_tpu.inference import aghq as Ag
         prog = Ag._lifted_jit(
             be, lambda b: Ag.build_fused_opt_nd(b, 3, jit=False))
-        mode_d, H_d, warm = prog(th0, be.init_state())
+        mode_d, H_d, warm, _st = prog(th0, be.init_state())
         mode, H = jax.device_get((mode_d, H_d))
         print("[optnd] mode", np.asarray(mode), flush=True)
         cov = np.linalg.inv(np.asarray(H, np.float64))
