@@ -451,9 +451,36 @@ def _lifted_jit(backend, builder, prog_key=None):
     def _run(arrs, *a):
         return builder(backend_rebind(backend, arrs))(*a)
 
-    prog = jax.jit(_run)
-    if sig is not None:
-        _LIFTED_PROGS[(sig, prog_key)] = prog
+    jfn = jax.jit(_run)
+    if sig is None:
+        return lambda *a: jfn(arrs0, *a)
+
+    # two-level caching: the process-level _LIFTED_PROGS entry is a
+    # callable resolved lazily at FIRST CALL against the on-disk
+    # executable cache (utils/prog_cache) — a fresh process with an
+    # identical model deserializes the compiled executable outright
+    # instead of paying trace+lower+load (~36 s at lynx scale through
+    # the tunnel, BENCH_NOTES round 13; the reference's R session fits
+    # the same model in seconds every time).
+    from ..utils import prog_cache as _pc
+    state = {"exe": None, "kind": None}
+
+    def prog(arrs, *a):
+        if state["exe"] is None:
+            state["exe"], state["kind"] = _pc.get_or_compile(
+                jfn, sig, prog_key, (arrs,) + a)
+        if state["kind"] != "jit":
+            # executables check avals strictly; any mismatch
+            # (weak-type drift, stale disk entry, a re-call with
+            # different arg types) falls back to the ordinary jit
+            # path for good — jit retraces where an exe raises
+            try:
+                return state["exe"](arrs, *a)
+            except (TypeError, ValueError, jax.errors.JaxRuntimeError):
+                state["exe"], state["kind"] = jfn, "jit"
+        return state["exe"](arrs, *a)
+
+    _LIFTED_PROGS[(sig, prog_key)] = prog
     return lambda *a: prog(arrs0, *a)
 
 
@@ -1434,7 +1461,7 @@ _OPT_ND_MAX_ITER = 60
 
 
 def build_fused_opt_nd(backend, s: int, tol: float = 1e-9,
-                       max_iter: int = _OPT_ND_MAX_ITER,
+                       max_iter: int = None,
                        jit: bool = True):
     """The s>1 outer optimization as ONE jitted device program: the
     gradient-only BFGS of `optimize_theta` (same accept/update/stall
@@ -1452,6 +1479,11 @@ def build_fused_opt_nd(backend, s: int, tol: float = 1e-9,
     Returns (mode (s,), H (s, s), state) — state is the warm latent
     solution at the mode for downstream node evaluation.
     """
+    # resolved at BUILD time so tests can shrink the per-dispatch budget
+    # by monkeypatching the module global (the exhaustion checks in
+    # aghq_fit/_aghq_fit_full_nd read the same global at run time)
+    if max_iter is None:
+        max_iter = _OPT_ND_MAX_ITER
     dtype = backend.dtype
     cdt = getattr(backend, "compute_dtype", dtype)
     f_eps = 1e-9 if cdt in (np.float64, jnp.float64) else 3e-7
@@ -1778,7 +1810,7 @@ def _fused_nodes_cached(backend, z: np.ndarray, return_states: bool,
 
 
 def build_fused_full_nd(backend, s: int, k: int, tol: float = 1e-9,
-                        max_iter: int = 60, sample_M: int = 0,
+                        max_iter: int = None, sample_M: int = 0,
                         jit: bool = True):
     """The ENTIRE s>1 AGHQ fit as ONE jitted device program (s <= 3):
     BFGS optimization + FD outer Hessian (build_fused_opt_nd), the s x s
@@ -2036,7 +2068,7 @@ def aghq_fit(md_or_backend, k: int = 4, theta0=None, verbose=False,
         if not hasattr(backend, "_fused_opt_nd"):
             backend._fused_opt_nd = _lifted_jit(
                 backend, lambda be: build_fused_opt_nd(be, s, jit=False),
-                prog_key=("optnd", s))
+                prog_key=("optnd", s, _OPT_ND_MAX_ITER))
         th0 = (jnp.zeros((s,), backend.dtype) if theta0 is None
                else jnp.asarray(np.atleast_1d(theta0), backend.dtype))
         mode_d, H_d, warm, st_d = backend._fused_opt_nd(
@@ -2149,7 +2181,7 @@ def _aghq_fit_full_nd(backend, s: int, k: int, theta0, sample) -> AGHQFit:
         cache[ckey] = _lifted_jit(
             backend, lambda be: build_fused_full_nd(
                 be, s, k, sample_M=sample_M, jit=False),
-            prog_key=("fullnd",) + ckey)
+            prog_key=("fullnd",) + ckey + (_OPT_ND_MAX_ITER,))
     th0 = (jnp.zeros((s,), backend.dtype) if theta0 is None
            else jnp.asarray(np.atleast_1d(theta0), backend.dtype))
     args = (th0, backend.init_state())
