@@ -141,6 +141,50 @@ def bench_reps_packed(R=16):
                       "modes": np.asarray(modes).tolist()}), flush=True)
 
 
+def bench_lynx_once():
+    """ONE lynx fit in THIS process (helper for bench_lynx_fresh)."""
+    import bayesgp_tpu as bg
+    lynx = bg.datasets.lynx()
+    data = {"year": lynx["year"], "y": lynx["count"],
+            "idx": np.arange(len(lynx["year"]), dtype=float)}
+    f = ("y ~ f(x=year, model='sGP', a=a_val, k=30) "
+         "+ f(x=idx, model='IID', "
+         "sd_prior=dict(prior='exp', param=dict(u=1, alpha=0.01)))")
+    t0 = time.time()
+    fit = bg.model_fit(f, data=data, family="Poisson", M=1000,
+                       seed=0, engine="banded",
+                       env={"a_val": 2 * np.pi / 10})
+    dt = time.time() - t0
+    print(json.dumps({"metric": "lynx_once_fit_seconds",
+                      "value": round(dt, 4), "unit": "s",
+                      "mode": np.asarray(fit.mod.mode).tolist()}),
+          flush=True)
+
+
+def bench_lynx_fresh():
+    """Fresh-PROCESS small-model latency (VERDICT r3 item 5): two
+    subprocesses each running ONE lynx fit. The second rides the warm
+    .jax_cache AND the on-disk compiled-executable cache
+    (utils/prog_cache) — the reference's everyday UX is a seconds-scale
+    R session fit (vignettes/BayesGP-sGP.Rmd:72-108); before the
+    executable cache a fresh on-chip model_fit paid ~36 s of per-call
+    trace+lower+load (BENCH_NOTES round 13)."""
+    import subprocess
+    times = []
+    for i in range(2):
+        t0 = time.time()
+        p = subprocess.run([sys.executable, __file__, "lynx_once"],
+                           capture_output=True, text=True, timeout=3000)
+        wall = time.time() - t0
+        lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
+        fit_s = json.loads(lines[-1])["value"] if lines else -1.0
+        times.append({"process": i, "fit_s": fit_s,
+                      "process_wall_s": round(wall, 1)})
+    print(json.dumps({"metric": "lynx_fresh_process_fit_seconds",
+                      "value": times[-1]["fit_s"], "unit": "s",
+                      "runs": times}), flush=True)
+
+
 def bench_coxph(n=4000):
     """BASELINE.json config 3: Cox partial-likelihood survival model
     with an IWP smooth (Partial_Likelihood vignette shape, scaled up).
@@ -459,8 +503,11 @@ _CONFIGS = [
     ("two_smooths_s3", "two_smooths", bench_two_smooths),
     ("gauss2_s2", "gauss2", bench_gauss2),
     ("lynx_sgp_iid", "lynx", bench_lynx),
+    ("lynx_fresh_process", "lynx_fresh", bench_lynx_fresh),
     ("replicates", "reps", bench_reps),
     ("replicates_packed", "reps_packed", bench_reps_packed),
+    ("replicates_packed_R64", "reps_packed64",
+     lambda: bench_reps_packed(R=64)),
 ]
 
 def _run_all_isolated():
@@ -508,6 +555,8 @@ if __name__ == "__main__":
         _run_all_isolated()
     elif which == "mcmc":   # opt-in: long even on-chip
         _guarded("mcmc_fast", bench_mcmc)
+    elif which == "lynx_once":
+        _guarded("lynx_once", bench_lynx_once)
     else:
         for name, key, fn in _CONFIGS:
             if which == key:
