@@ -97,7 +97,7 @@ def assemble_model(formula=None, data=None, method: str = "aghq",
         return c.options.get("model")
     has_banded_driver = any(_call_model(c) in ("IWP", "sGP")
                             for c in re_calls)
-    candidate_banded = (engine in ("auto", "banded")
+    candidate_banded = (engine in ("auto", "banded", "scatter_iid")
                         and method in ("aghq", "MCMC")
                         and fam_elementwise and has_banded_driver)
     if engine == "banded" and not candidate_banded:
@@ -154,7 +154,8 @@ def assemble_model(formula=None, data=None, method: str = "aghq",
             len(data[response]) * drv_nb > 2_000_000 or drv_nb > 300
             or has_lazy_iid)
     else:
-        use_banded = candidate_banded and engine == "banded"
+        use_banded = candidate_banded and engine in ("banded",
+                                                     "scatter_iid")
     if has_lazy_iid and not use_banded:
         # dense path needs the materialized indicator design after all
         for t in instances:
@@ -321,10 +322,28 @@ def model_fit(formula=None, data=None, method: str = "aghq",
             return build_fast_iwp(inst, md, xf_dense, prior_diag_tail,
                                   prior_mean_tail, inst.x_data)
         if use_banded:
+            from .fast.scatter_iid import build_scatter_iid, _Unsupported
+            if engine == "scatter_iid":
+                return build_scatter_iid(instances, md, design_mat_fixed,
+                                         bf_prec, bf_mean)
             # sGP driver / multi-term generalized banded arrowhead
             from .fast.banded import build_banded_backend
-            return build_banded_backend(instances, md, design_mat_fixed,
-                                        bf_prec, bf_mean)
+            try:
+                return build_banded_backend(instances, md,
+                                            design_mat_fixed,
+                                            bf_prec, bf_mean)
+            except ValueError as e:
+                # large-q IID whose levels are NOT x-clustered: the
+                # merged-band path refuses (fast/banded span check).
+                # The diag-first Schur engine handles any grouping
+                # (fast/scatter_iid.py) — the reference reaches this
+                # regime through CHOLMOD (R/02_model_fit.R:276-284).
+                try:
+                    return build_scatter_iid(instances, md,
+                                             design_mat_fixed,
+                                             bf_prec, bf_mean)
+                except _Unsupported:
+                    raise e
         return None
 
     if method == "aghq":
