@@ -378,14 +378,19 @@ def bench_bigiid(n=100_000, k=2000, q=10_000):
 def bench_scattered_iid(n=50_000, k=500):
     """Scattered (non-x-clustered) large-q IID: the regime CHOLMOD's
     fill-reducing orderings handle generically and the merged-band path
-    cannot (levels span the whole x range). Measures the DENSE-TAIL
-    cost curve over q so the warn/refuse thresholds in
-    fast/banded are evidence-based instead of a bare constant
-    (VERDICT round-2 item 5). Each q is a separate model; steady =
-    second fit (program cache)."""
+    cannot (levels span the whole x range). Two engines per q:
+      - dense tail (engine='banded'): O(n q + d q^2 + q^3), ceiling
+        q<=4000;
+      - diag-first Schur (engine='scatter_iid', fast/scatter_iid.py):
+        the IID Hessian block is diagonal, eliminate it first, factor
+        one dense (d+qf) Schur on the MXU — any grouping, any q.
+    q=10000 runs scatter_iid only (the dense tail raises there).
+    Each q is a separate model; steady = second fit."""
     import bayesgp_tpu as bg
     rows = []
-    for q in (512, 1024, 2048):
+    for q, engines in ((512, ("banded", "scatter_iid")),
+                       (2048, ("banded", "scatter_iid")),
+                       (10_000, ("scatter_iid",))):
         rng = np.random.default_rng(0)
         x = np.sort(rng.uniform(0.0, 365.0, n))
         g = rng.integers(0, q, n).astype(float)      # scattered!
@@ -395,23 +400,25 @@ def bench_scattered_iid(n=50_000, k=500):
                         ).astype(float)
         data = {"y": y, "x": x, "g": g}
         fml = "y ~ f(x, model='IWP', order=3, k=kk) + f(g, model='IID')"
-
-        def run():
-            return bg.model_fit(fml, data=data, family="Poisson",
-                                M=500, seed=0, aghq_k=3, env={"kk": k})
-        t0 = time.time()
-        fit = run()
-        first = time.time() - t0
-        t0 = time.time()
-        fit = run()
-        dt = time.time() - t0
-        rows.append({"q": q, "steady_s": round(dt, 3),
-                     "first_s": round(first, 1)})
-        print(json.dumps({"metric": f"scattered_iid_q{q}_fit_seconds",
-                          "value": round(dt, 4), "unit": "s",
-                          "first_compile_s": round(first, 1),
-                          "mode": np.asarray(fit.mod.mode).tolist()}),
-              flush=True)
+        for eng in engines:
+            def run():
+                return bg.model_fit(fml, data=data, family="Poisson",
+                                    M=500, seed=0, aghq_k=3,
+                                    env={"kk": k}, engine=eng)
+            t0 = time.time()
+            fit = run()
+            first = time.time() - t0
+            t0 = time.time()
+            fit = run()
+            dt = time.time() - t0
+            rows.append({"q": q, "engine": eng, "steady_s": round(dt, 3),
+                         "first_s": round(first, 1)})
+            print(json.dumps(
+                {"metric": f"scattered_iid_q{q}_{eng}_fit_seconds",
+                 "value": round(dt, 4), "unit": "s",
+                 "first_compile_s": round(first, 1),
+                 "mode": np.asarray(fit.mod.mode).tolist()}),
+                flush=True)
     print(json.dumps({"metric": "scattered_iid_crossover",
                       "value": rows[-1]["steady_s"], "unit": "s",
                       "curve": rows}), flush=True)
