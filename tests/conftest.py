@@ -66,6 +66,11 @@ _SMOKE_IDS = {
     "test_fused_sampling.py::test_fused_sampling_fast_backend",
     "test_compile_cache.py::test_flag_is_set",
     "test_multichip.py::test_entry_compiles",
+    "test_robustness.py::test_guarded_band_factor_finite_on_indefinite[order_one_negative]",
+    "test_robustness.py::test_chol_guarded_escalation",
+    "test_robustness.py::test_opt_nd_budget_exhaustion_falls_back",
+    "test_scatter_iid.py::test_nll_and_grad_match_banded[Poisson]",
+    "test_prog_cache.py::test_store_load_across_processes",
 }
 
 
