@@ -255,16 +255,20 @@ class ScatterIIDBackend(_JitCacheMixin):
 
     # ---------------- Hessian: diag-first Schur ----------------
     def _band_to_dense(self, band):
-        """(p+1, dpad) lower band -> symmetric dense (dpad, dpad)."""
+        """(p+1, dpad) lower band -> symmetric dense (dpad, dpad).
+        Built from iota masks + broadcasts — advanced-index scatter
+        assembly compiles pathologically on TPU (CLAUDE.md gotcha)."""
         dpad = self.core.dpad
-        M = jnp.zeros((dpad, dpad), band.dtype)
-        idx = jnp.arange(dpad)
-        M = M.at[idx, idx].set(band[0])
+        ii = jax.lax.broadcasted_iota(jnp.int32, (dpad, dpad), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (dpad, dpad), 1)
+        diff = ii - jj
+        M = jnp.where(diff == 0, band[0][None, :], 0.0)
         for o in range(1, self.core.p + 1):
-            i = idx[o:]
-            M = M.at[i, i - o].set(band[o, :dpad - o])
-            M = M.at[i - o, i].set(band[o, :dpad - o])
-        return M
+            # band[o, j] = H[j+o, j]: row i = j+o reads band[o, i-o];
+            # cols shifted so the broadcast indexes column j
+            lower = jnp.where(diff == o, band[o][None, :], 0.0)
+            M = M + lower + lower.T
+        return M.astype(band.dtype)
 
     def hessian_factor(self, Vp, u, tail, theta, eta=None):
         """(L_S, Dvec, Ks, su, svt): Jacobi-equilibrated diag-first
