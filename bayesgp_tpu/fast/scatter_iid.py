@@ -76,6 +76,14 @@ class IIDChunks:
     CH: int
     w: int
     n: int
+    # level-window compression: when codes are x-clustered (the
+    # overdispersion pattern), each chunk touches only a narrow level
+    # range [cbases[c], cbases[c] + qwin) — the one-hot then has qwin
+    # columns instead of q (10-100x less HBM traffic per Hessian).
+    # Scattered codes degenerate to qwin == q with cbases == 0.
+    cbases: Any = None   # (nc,) static np.int64 level-window starts
+    qwin: int = 0
+    codes_rel: Any = None  # (nc, CH) int32 codes - cbases, qwin on pad
 
 
 class _Unsupported(ValueError):
@@ -155,51 +163,63 @@ class ScatterIIDBackend(_JitCacheMixin):
         sdt = self.dtype
         cdt = self.compute_dtype
         q = self.q_iid
-        lane = jax.lax.broadcasted_iota(jnp.int32, (ick.CH, q), 1)
+        qw = ick.qwin or q
+        lane = jax.lax.broadcasted_iota(jnp.int32, (ick.CH, qw), 1)
         nc_pad = ick.nc * ick.CH - ick.n
         wch = jnp.pad(wts, (0, nc_pad)).reshape(ick.nc, ick.CH)
+        z32 = jnp.asarray(0, jnp.int32)
 
         def body(carry, inp):
             C_acc, T_acc, s_acc = carry
-            Dc, Xc, cc, wc, base = inp
-            oh = (cc[:, None] == lane).astype(cdt)       # (CH, q)
+            Dc, Xc, crel, wc, base, cbase = inp
+            oh = (crel[:, None] == lane).astype(cdt)     # (CH, qwin)
             woh = wc[:, None] * oh
-            cb = jnp.einsum("nw,nq->wq", Dc, woh)        # (w, q) MXU
-            z32 = jnp.asarray(0, jnp.int32)
+            cb = jnp.einsum("nw,nq->wq", Dc, woh)        # (w, qwin) MXU
             C_acc = jax.lax.dynamic_update_slice(
                 C_acc, jax.lax.dynamic_slice(
-                    C_acc, (base, z32), (ick.w, q)) + cb.astype(sdt),
-                (base, z32))
-            T_acc = T_acc + jnp.einsum("nq,nf->qf", woh,
-                                       Xc).astype(sdt)
-            s_acc = s_acc + (wc @ oh).astype(sdt)
+                    C_acc, (base, cbase), (ick.w, qw)) + cb.astype(sdt),
+                (base, cbase))
+            tb = jnp.einsum("nq,nf->qf", woh, Xc).astype(sdt)
+            T_acc = jax.lax.dynamic_update_slice(
+                T_acc, jax.lax.dynamic_slice(
+                    T_acc, (cbase, z32), (qw, max(self.core.q, 1)))
+                + tb, (cbase, z32))
+            s_acc = jax.lax.dynamic_update_slice(
+                s_acc, jax.lax.dynamic_slice(s_acc, (cbase,), (qw,))
+                + (wc @ oh).astype(sdt), (cbase,))
             return (C_acc, T_acc, s_acc), None
 
         C0 = jnp.zeros((self.core.dpad + ick.w, q), sdt)
-        T0 = jnp.zeros((q, self.core.q), sdt)
+        T0 = jnp.zeros((q, max(self.core.q, 1)), sdt)
         s0 = jnp.zeros((q,), sdt)
         (C, T, sw), _ = jax.lax.scan(
             body, (C0, T0, s0),
-            (ick.D, ick.XF_rows, ick.codes, wch,
-             jnp.asarray(np.asarray(ick.bases, np.int32))))
-        return sw, C[:self.core.dpad], T
+            (ick.D, ick.XF_rows, ick.codes_rel, wch,
+             jnp.asarray(np.asarray(ick.bases, np.int32)),
+             jnp.asarray(np.asarray(ick.cbases, np.int32))))
+        return sw, C[:self.core.dpad], T[:, :self.core.q]
 
     def _level_sums(self, r):
         """Ind^T r: per-level sums of a row vector (adjoint of the
-        level lookup). Same one-hot chunk scan, s-accumulator only."""
+        level lookup). Same windowed one-hot chunk scan."""
         ick = self.ick
         q = self.q_iid
-        lane = jax.lax.broadcasted_iota(jnp.int32, (ick.CH, q), 1)
+        qw = ick.qwin or q
+        lane = jax.lax.broadcasted_iota(jnp.int32, (ick.CH, qw), 1)
         pad = ick.nc * ick.CH - ick.n
         rch = jnp.pad(r, (0, pad)).reshape(ick.nc, ick.CH)
 
         def body(s_acc, inp):
-            cc, rc = inp
-            oh = (cc[:, None] == lane).astype(rc.dtype)
-            return s_acc + (rc @ oh).astype(self.dtype), None
+            crel, rc, cbase = inp
+            oh = (crel[:, None] == lane).astype(rc.dtype)
+            return jax.lax.dynamic_update_slice(
+                s_acc, jax.lax.dynamic_slice(s_acc, (cbase,), (qw,))
+                + (rc @ oh).astype(self.dtype), (cbase,)), None
 
-        s, _ = jax.lax.scan(body, jnp.zeros((q,), self.dtype),
-                            (ick.codes, rch))
+        s, _ = jax.lax.scan(
+            body, jnp.zeros((q,), self.dtype),
+            (ick.codes_rel, rch,
+             jnp.asarray(np.asarray(ick.cbases, np.int32))))
         return s
 
     # ---------------- joint neg log posterior ----------------
@@ -696,10 +716,28 @@ def build_scatter_iid(instances, md, design_mat_fixed, bf_prec, bf_mean,
         XF_rows[rows_i // CH, rows_i % CH, :] = XFp
     codes_ch = np.full((nc, CH), q_iid, np.int32)   # padding -> no match
     codes_ch[rows_i // CH, rows_i % CH] = codes
+
+    # level-window compression: per-chunk code range. x-clustered codes
+    # (the overdispersion pattern) give qwin ~ q*CH/n + spread, so the
+    # one-hot shrinks from (CH, q) to (CH, qwin); scattered codes
+    # degenerate to qwin = q (cbases = 0) with identical semantics.
+    cbases = np.zeros(nc, np.int64)
+    qwin = 0
+    for c in range(nc):
+        cc = codes_ch[c][codes_ch[c] < q_iid]
+        if len(cc):
+            cbases[c] = int(cc.min())
+            qwin = max(qwin, int(cc.max()) - int(cc.min()) + 1)
+    qwin = max(8, min(q_iid, -(-qwin // 8) * 8))
+    cbases = np.minimum(cbases, max(q_iid - qwin, 0))
+    rel = codes_ch.astype(np.int64) - cbases[:, None]
+    rel = np.where((rel < 0) | (rel >= qwin), qwin, rel)
     ick = IIDChunks(D=jnp.asarray(D), XF_rows=jnp.asarray(XF_rows),
                     codes=jnp.asarray(codes_ch),
                     bases=np.asarray(bases, np.int64),
-                    nc=nc, CH=CH, w=w_win, n=n)
+                    nc=nc, CH=CH, w=w_win, n=n,
+                    cbases=cbases, qwin=qwin,
+                    codes_rel=jnp.asarray(rel, np.int32))
 
     w_ref = sum(md.d_sizes) + sum(md.x_sizes) + md.xf_count
     return ScatterIIDBackend(

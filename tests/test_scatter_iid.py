@@ -126,6 +126,32 @@ def test_aghq_fit_matches_banded():
     assert np.all(np.isfinite(samps))
 
 
+def test_clustered_codes_windowed_onehot():
+    """x-CLUSTERED levels (the bigiid overdispersion pattern) take the
+    level-window-compressed one-hot path (qwin << q) — must match the
+    banded dense-tail values exactly like the scattered case."""
+    rng = np.random.default_rng(9)
+    n, q, k = 3000, 120, 20
+    x = np.sort(rng.uniform(0.0, 10.0, n))
+    g = np.minimum(np.floor(x * (q / 10.0)), q - 1)
+    y = rng.poisson(np.exp(0.6 + 0.4 * np.sin(x)
+                           + 0.2 * rng.normal(size=q)[g.astype(int)]))
+    iwp = T.build_iwp_term("x", x, order=2, k=k, materialize_B=False)
+    iid = T.build_iid_term("g", g.astype(float))
+    dmf = [np.ones((n, 1))]
+    md = B.build_model_data([iwp, iid], dmf, y.astype(float), "Poisson",
+                            dense_design=False)
+    bf = np.full(1, 0.01)
+    be_b = build_banded_backend([iwp, iid], md, dmf, bf, np.zeros(1))
+    be_s = build_scatter_iid([iwp, iid], md, dmf, bf, np.zeros(1))
+    assert be_s.ick.qwin < q          # compression actually engaged
+    th = jnp.asarray([0.4, -0.2], be_s.dtype)
+    assert abs(float(be_b.nll(th)) - float(be_s.nll(th))) < 1e-6
+    g_b = np.asarray(jax.grad(lambda t: be_b.nll(t))(th))
+    g_s = np.asarray(jax.grad(lambda t: be_s.nll(t))(th))
+    np.testing.assert_allclose(g_s, g_b, rtol=2e-5, atol=2e-5)
+
+
 def test_model_fit_routing():
     """model_fit: engine='scatter_iid' forces the engine; 'auto' with
     scattered q>4000 falls back to it instead of raising (the old
