@@ -338,7 +338,7 @@ def bench_predict(n_pred=100_000, M=3000):
           flush=True)
 
 
-def bench_bigiid(n=100_000, k=2000, q=10_000):
+def bench_bigiid(n=100_000, k=2000, q=10_000, engine="auto"):
     """Large-q IID: n=1e5 observations, IWP3 k=2000 driver + an IID
     term with q=1e4 x-clustered levels (observation-bin random effect —
     the overdispersion pattern), Poisson, s=2 AGHQ fit. The merged-IID
@@ -359,7 +359,8 @@ def bench_bigiid(n=100_000, k=2000, q=10_000):
 
     def run():
         return bg.model_fit(fml, data=data, family="Poisson", M=1000,
-                            seed=0, aghq_k=3, env={"kk": k})
+                            seed=0, aghq_k=3, env={"kk": k},
+                            engine=engine)
     t0 = time.time()
     fit = run()
     first = time.time() - t0
@@ -367,7 +368,8 @@ def bench_bigiid(n=100_000, k=2000, q=10_000):
     fit = run()
     dt = time.time() - t0
     iid_lazy = any(t.kind == "IID" and t.B is None for t in fit.instances)
-    print(json.dumps({"metric": f"bigiid_n{n}_k{k}_q{q}_fit_seconds",
+    tag = "" if engine == "auto" else f"_{engine}"
+    print(json.dumps({"metric": f"bigiid_n{n}_k{k}_q{q}{tag}_fit_seconds",
                       "value": round(dt, 4), "unit": "s",
                       "first_compile_s": round(first, 1),
                       "merged_band": bool(iid_lazy),
@@ -564,6 +566,12 @@ if __name__ == "__main__":
         _guarded("mcmc_fast", bench_mcmc)
     elif which == "lynx_once":
         _guarded("lynx_once", bench_lynx_once)
+    elif which == "bigiid_scatter":
+        # x-clustered q=1e4 through the diag-first Schur engine: the
+        # merged-band program crashes the v5-lite worker (rounds 13/15)
+        # — the dense (d+qf) Schur factor avoids the giant band
+        _guarded("bigiid_scatter",
+                 lambda: bench_bigiid(engine="scatter_iid"))
     else:
         for name, key, fn in _CONFIGS:
             if which == key:
