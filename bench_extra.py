@@ -390,9 +390,15 @@ def bench_scattered_iid(n=50_000, k=500):
     Each q is a separate model; steady = second fit."""
     import bayesgp_tpu as bg
     rows = []
-    for q, engines in ((512, ("banded", "scatter_iid")),
-                       (2048, ("banded", "scatter_iid")),
-                       (10_000, ("scatter_iid",))):
+    # scatter_iid points FIRST: the dense-tail (banded) q>=512 points
+    # are in the known v5-lite worker-crash regime (dense arrow tails,
+    # round-13/15 landmine) — a fault there must not cost the scatter
+    # numbers, which are the production path for this regime
+    for q, engines in ((512, ("scatter_iid",)),
+                       (2048, ("scatter_iid",)),
+                       (10_000, ("scatter_iid",)),
+                       (512, ("banded",)),
+                       (2048, ("banded",))):
         rng = np.random.default_rng(0)
         x = np.sort(rng.uniform(0.0, 365.0, n))
         g = rng.integers(0, q, n).astype(float)      # scattered!
