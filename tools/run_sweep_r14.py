@@ -24,7 +24,6 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # (key, watchdog_s) — keys are bench_extra.py CLI keys
 PLAN = [
-    ("coxph", 1200),             # cheap compile (53 s r13), early win
     ("bigiid_scatter", 2400),    # q=1e4 via diag-first Schur engine
     ("two_smooths", 2700),       # s=3 steady number (VERDICT #3)
     ("lynx_fresh", 1800),        # fresh-process exe-cache path
@@ -38,6 +37,10 @@ PLAN = [
     ("reps", 1500),
     ("reps_packed", 1800),
     ("scattered_iid", 3600),     # dense-tail points are crash-prone: LAST
+    # coxph LAST: its on-chip XLA compile ran past 1200+150 s twice
+    # this round with the host CPU idle (server-side compile, stack in
+    # backend_compile_and_load) — genuinely pathological, not a hang
+    ("coxph", 3600),
 ]
 
 
