@@ -622,6 +622,35 @@ class ScatterIIDBackend(_JitCacheMixin):
         samps = self._sample_jit(key, states, idx, M)
         return np.asarray(samps, np.float64).T
 
+    # ---- lifted fused programs (inference/aghq._lifted_jit) ----
+    # Without these, every O(n) array here (ick.D windowed design,
+    # ick.XF_rows, codes) embeds as a closure CONSTANT in the fused
+    # s>1 programs — at n=1e5 that is tens of MB of StableHLO and a
+    # pathological server-side XLA compile through the tunnel (same
+    # failure measured for the dense CoxPH program, round 15).
+    # ick.bases/cbases stay host: they are np.asarray'd at trace time.
+    def device_args(self):
+        from .iwp import backend_device_args
+        out = {"core_" + k: v
+               for k, v in backend_device_args(self.core).items()}
+        for f in ("D", "XF_rows", "codes_rel"):
+            v = getattr(self.ick, f, None)
+            if v is not None and np.ndim(v) >= 1 and np.size(v) > 1:
+                out["ick_" + f] = v
+        out["codes"] = self.codes
+        return out
+
+    def rebind(self, arrs):
+        import dataclasses as _dcs
+        from .iwp import backend_rebind
+        core = backend_rebind(
+            self.core, {k[5:]: v for k, v in arrs.items()
+                        if k.startswith("core_")})
+        ick_kw = {k[4:]: arrs[k] for k in arrs if k.startswith("ick_")}
+        ick = _dcs.replace(self.ick, **ick_kw) if ick_kw else self.ick
+        return _dcs.replace(self, core=core, ick=ick,
+                            codes=arrs.get("codes", self.codes))
+
 
 def build_scatter_iid(instances, md, design_mat_fixed, bf_prec, bf_mean,
                       dtype=None, max_window=512):

@@ -204,6 +204,34 @@ class DenseBackend(JitCacheMixin):
                 self.sample_traceable, static_argnums=(3,))
         return np.asarray(self._sample_jit(key, states, idx, M)).T
 
+    # ---- lifted fused programs (_lifted_jit protocol) ----
+    # O(n) ModelData arrays enter the fused programs as ARGUMENTS, not
+    # closure constants. Measured (round 15, CoxPH n=4000 fused s=1):
+    # the embedded dense design was materialized as 26 separate ~2 MB
+    # hex constants — 56 of 59.65 MB StableHLO — and the server-side
+    # XLA compile through the tunnel ran past 20 minutes, twice.
+    # cens/ranks (and the cc index fields) deliberately stay host
+    # numpy: the scatter-free CoxPH rank regrouping
+    # (model/families._coxph_static) needs them concrete at trace time.
+    _LIFT_MD_DENSE = ("A", "y", "size")
+
+    def device_args(self):
+        out = {}
+        for f in self._LIFT_MD_DENSE:
+            v = getattr(self.md, f, None)
+            if v is not None and np.ndim(v) >= 1 and np.size(v) > 1:
+                out["md_" + f] = v
+        return out
+
+    def rebind(self, arrs):
+        import dataclasses as _dcs
+        md2 = _dcs.replace(self.md,
+                           **{k[3:]: v for k, v in arrs.items()})
+        return DenseBackend(md2)
+
+    def signature_fields(self):
+        return (self.md,)
+
 
 @dataclass
 class AGHQFit:
@@ -338,8 +366,15 @@ def _sig_update(h, x, skip_ids):
     elif isinstance(x, (np.dtype, type)):
         h.update(str(x).encode())
     elif isinstance(x, np.ndarray):
-        h.update(f"nd{x.shape}{x.dtype}".encode())
-        h.update(np.ascontiguousarray(x).tobytes())
+        if id(x) in skip_ids:
+            # lifted argument: enters the program as a jit ARGUMENT, so
+            # only its aval shapes the traced program — same-shape
+            # backends share the compiled executable (fresh-process
+            # lynx, dense CoxPH/cc refits)
+            h.update(f"arg{x.shape}{x.dtype}".encode())
+        else:
+            h.update(f"nd{x.shape}{x.dtype}".encode())
+            h.update(np.ascontiguousarray(x).tobytes())
     elif isinstance(x, jax.Array):
         if id(x) in skip_ids:
             h.update(f"arg{x.shape}{x.dtype}".encode())
@@ -421,8 +456,15 @@ def _lifted_jit(backend, builder, prog_key=None):
     from ..fast.iwp import (backend_device_args, backend_rebind,
                             backend_host_constants)
 
-    arrs0 = (backend_device_args(backend)
-             if hasattr(backend, "valsT") else None)
+    is_fast = hasattr(backend, "valsT")
+    if is_fast:
+        arrs0 = backend_device_args(backend)
+    elif hasattr(backend, "device_args"):
+        # lifted-protocol backends (DenseBackend, ScatterIIDBackend):
+        # same contract as the fast path via methods
+        arrs0 = backend.device_args()
+    else:
+        arrs0 = None
     if not arrs0:
         return jax.jit(builder(backend))
 
@@ -449,7 +491,9 @@ def _lifted_jit(backend, builder, prog_key=None):
     arrs0 = jax.tree_util.tree_map(jnp.asarray, arrs0)
 
     def _run(arrs, *a):
-        return builder(backend_rebind(backend, arrs))(*a)
+        be = (backend_rebind(backend, arrs) if is_fast
+              else backend.rebind(arrs))
+        return builder(be)(*a)
 
     jfn = jax.jit(_run)
     if sig is None:
