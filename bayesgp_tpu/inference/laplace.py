@@ -54,12 +54,18 @@ def newton_step(W, theta, md):
     """
     _, step, _ = _newton_direction(W, theta, md)
     f0 = neg_log_post(W, theta, md)
+    # mixed-precision families (f32 n-axis likelihood on TPU): the
+    # objective jitters at ~eps_f32 * |f|, so the f64-scale acceptance
+    # band would reject noise-level full steps and burn all 30 halvings
+    # per Newton iteration at the noise floor
+    from ..model import families as _fam
+    ftol = 3e-7 if _fam.mixed_naxis(md) else 1e-10
 
     def ls_cond(state):
         alpha, it = state
         f_try = neg_log_post(W - alpha * step, theta, md)
         bad = jnp.logical_or(jnp.isnan(f_try),
-                             f_try > f0 + 1e-10 * (1.0 + jnp.abs(f0)))
+                             f_try > f0 + ftol * (1.0 + jnp.abs(f0)))
         return jnp.logical_and(bad, it < 30)
 
     def ls_body(state):
@@ -79,6 +85,36 @@ def newton_solve(theta, md, W0=None, gtol=1e-8, max_iter=100):
     """
     if W0 is None:
         W0 = jnp.zeros((md.w_count,), md.A.dtype)
+
+    from ..model import families as _fam
+    if _fam.mixed_naxis(md):
+        # f32 n-axis likelihood (TPU): |g| never reaches the f64-scale
+        # gtol and the decrement plateaus at the f32 noise floor — a
+        # scale-free stall counter (3 consecutive iterations with
+        # relative f progress below ~eps_f32) bounds the loop instead
+        # of burning max_iter noise-level iterations per Laplace eval
+        def cond(state):
+            W, it, f_prev, stalls = state
+            g, _, dec = _newton_direction(W, theta, md)
+            f = neg_log_post(W, theta, md)
+            not_done = jnp.logical_and(
+                jnp.max(jnp.abs(g)) > gtol,
+                dec > 1e-7 * (1.0 + jnp.abs(f)))
+            return jnp.logical_and(jnp.logical_and(not_done, stalls < 3),
+                                   it < max_iter)
+
+        def body(state):
+            W, it, f_prev, stalls = state
+            Wn = newton_step(W, theta, md)
+            f = neg_log_post(Wn, theta, md)
+            stalled = f_prev - f < 3e-7 * (1.0 + jnp.abs(f))
+            stalls = jnp.where(stalled, stalls + 1, 0)
+            return Wn, it + 1, f, stalls
+
+        W, _, _, _ = jax.lax.while_loop(
+            cond, body,
+            (W0, 0, jnp.asarray(jnp.inf, W0.dtype), 0))
+        return W
 
     def cond(state):
         W, it = state

@@ -65,6 +65,36 @@ def _acc_nT(A, B):
     return A.T @ B
 
 
+def _nax(eta):
+    """n-axis compute cast: f32 on TPU, identity elsewhere.
+
+    f64 exp/log/matmul over the observation axis is a server-side XLA
+    compile landmine on the TPU tunnel (CLAUDE.md gotcha 3) — measured
+    round 15: the dense CoxPH fused program (169 f64 n-shaped
+    dot_generals, 1844 f64 exponentials) compiled for >20 min, twice.
+    Mirrors the fast backends' mixed-precision contract: O(n) data
+    work f32, O(d) solver work f64. High-precision reductions back to
+    f64 ride _acc_nT (split-f32 two-level accumulation)."""
+    if jax.default_backend() == "tpu" and eta.dtype == jnp.float64:
+        return eta.astype(jnp.float32)
+    return eta
+
+
+def mixed_naxis(md):
+    """True when this model's n-axis likelihood work runs in f32 (the
+    TPU mixed-precision dense path, CoxPH/case-crossover). Inner-solver
+    tolerances must then be noise-aware (inference/laplace.py)."""
+    return (md.family in (3, 4) and jax.default_backend() == "tpu"
+            and md.A.dtype == jnp.float64)
+
+
+def _acc_sum(x):
+    """High-precision scalar sum of a (n,) vector via the split-f32
+    two-level accumulator (exact f64 path on CPU)."""
+    one = jnp.ones((x.shape[0], 1), x.dtype)
+    return _acc_nT(x[:, None], one)[0, 0]
+
+
 def _coxph_static(md):
     """Host-precomputed CoxPH index structure, available whenever
     md.ranks/md.cens are numpy (the dense backend keeps them on host —
@@ -106,28 +136,33 @@ def log_lik(eta, md, theta):
         return jnp.sum(lchoose + y * eta - size * jax.nn.softplus(eta))
     if fam == 3:    # Cox PH partial likelihood (BayesGP.cpp:170-194)
         # data pre-sorted by response; risk set of i = suffix from rank_i - 1
-        s = _suffix_logsumexp(eta)
+        e = _nax(eta)                        # f32 n-axis work on TPU
+        s = _suffix_logsumexp(e)
         st = _coxph_static(md)
         if st is not None:
             # sum_i c_i (eta_i - s[r_i]) regrouped as c.eta - wts.s:
             # identical math, but no rank gather — whose VJP would be a
             # scatter-add inside every Newton gradient (TPU compile
             # landmine, see _coxph_static)
-            return (jnp.dot(jnp.asarray(md.cens, eta.dtype), eta)
-                    - jnp.dot(jnp.asarray(st, eta.dtype), s))
+            return (_acc_sum(jnp.asarray(md.cens, e.dtype) * e)
+                    - _acc_sum(jnp.asarray(st, e.dtype) * s)
+                    ).astype(eta.dtype)
         risk_lse = s[md.ranks - 1]
-        return jnp.sum(md.cens * (eta - risk_lse))
+        return _acc_sum(jnp.asarray(md.cens, e.dtype)
+                        * (e - risk_lse)).astype(eta.dtype)
     if fam == 4:    # case-crossover conditional likelihood (BayesGP.cpp:196-210)
-        eta_case = eta[md.case_day - 1]
+        e = _nax(eta)                        # f32 n-axis work on TPU
+        eta_case = e[md.case_day - 1]
         mask = md.control_days > 0
         idx = jnp.where(mask, md.control_days - 1, 0)
-        z = jnp.where(mask, eta[idx] - eta_case[:, None], -jnp.inf)
+        z = jnp.where(mask, e[idx] - eta_case[:, None], -jnp.inf)
         # logspace_add chain seeded at 0 => implicit extra exp(0) term
         zmax = jnp.maximum(jnp.max(jnp.where(mask, z, -jnp.inf), axis=1), 0.0)
         denom = zmax + jnp.log(
             jnp.exp(-zmax)
             + jnp.sum(jnp.where(mask, jnp.exp(z - zmax[:, None]), 0.0), axis=1))
-        return -jnp.sum(md.count * denom)
+        return -_acc_sum(jnp.asarray(md.count, e.dtype)
+                         * denom).astype(eta.dtype)
     if fam == -2:   # prior only (BayesGP.cpp:212-214)
         return jnp.asarray(0.0, eta.dtype)
     if fam == -1:   # customized (registered callable)
@@ -173,8 +208,18 @@ def eta_hessian_quadform(eta, md, theta, A):
     n = eta.shape[0]
     A = jnp.asarray(A)
     if fam == 3:
-        s = _suffix_logsumexp(eta)
-        expeta = jnp.exp(eta)
+        e = _nax(eta)                        # f32 n-axis work on TPU
+        mixed = e is not eta
+        A = A.astype(e.dtype)
+        # f32 path: shift by max(eta) so every exp argument is <= 0 —
+        # exp overflows f32 at 88 (f64 at 709) and wild etas appear in
+        # line-search trials. The shift cancels exactly in every
+        # product below (e - s is shift-invariant), so the f64 path is
+        # left bit-identical with shift 0.
+        m = (jax.lax.stop_gradient(jnp.max(e)) if mixed
+             else jnp.asarray(0.0, e.dtype))    # analytically cancels
+        s = _suffix_logsumexp(e) - m
+        expeta = jnp.exp(e - m)
         # revcum[m] = sum_{j >= m} e^{eta_j} a_j
         revcum = _revcumsum_as(expeta[:, None] * A, axis=0)
         st = _coxph_static(md)
@@ -183,35 +228,41 @@ def eta_hessian_quadform(eta, md, theta, A):
             # gathered PA rows i collapse onto their rank j with weight
             # wts_j, and u becomes a plain cumsum — identical math,
             # zero gathers/scatters (see _coxph_static)
-            wts = jnp.asarray(st, eta.dtype)
+            wts = jnp.asarray(st, e.dtype)
             Pall = jnp.exp(-s)[:, None] * revcum              # (n, w)
             u = _cumsum_as(wts * jnp.exp(-s))
             diagw = u * expeta
             return (_acc_nT(A * diagw[:, None], A)
-                    - _acc_nT(Pall * wts[:, None], Pall))
+                    - _acc_nT(Pall * wts[:, None], Pall)
+                    ).astype(eta.dtype)
         r = md.ranks - 1
         PA = jnp.exp(-s[r])[:, None] * revcum[r]          # (n, w)
         t = md.cens * jnp.exp(-s[r])
-        z = jnp.zeros((n,), eta.dtype).at[r].add(t)
+        z = jnp.zeros((n,), e.dtype).at[r].add(t.astype(e.dtype))
         u = _cumsum_as(z)
         diagw = u * expeta
-        return (A * diagw[:, None]).T @ A - (PA * md.cens[:, None]).T @ PA
+        return ((A * diagw[:, None]).T @ A
+                - (PA * md.cens[:, None].astype(e.dtype)).T @ PA
+                ).astype(eta.dtype)
     if fam == 4:
-        eta_case = eta[md.case_day - 1]
+        e = _nax(eta)                        # f32 n-axis work on TPU
+        A = A.astype(e.dtype)
+        eta_case = e[md.case_day - 1]
         mask = md.control_days > 0
         idx = jnp.where(mask, md.control_days - 1, 0)
-        z = jnp.where(mask, eta[idx] - eta_case[:, None], -jnp.inf)
+        z = jnp.where(mask, e[idx] - eta_case[:, None], -jnp.inf)
         zmax = jnp.maximum(jnp.max(jnp.where(mask, z, -jnp.inf), axis=1), 0.0)
         denom = zmax + jnp.log(
             jnp.exp(-zmax)
             + jnp.sum(jnp.where(mask, jnp.exp(z - zmax[:, None]), 0.0), axis=1))
         q = jnp.where(mask, jnp.exp(z - denom[:, None]), 0.0)  # (nc, K)
         Vrows = A[idx] - A[md.case_day - 1][:, None, :]        # (nc, K, w)
-        qc = q * md.count[:, None]
+        cnt = jnp.asarray(md.count, e.dtype)
+        qc = q * cnt[:, None]
         H1 = jnp.einsum("ik,ika,ikb->ab", qc, Vrows, Vrows)
         g = jnp.einsum("ik,ika->ia", q, Vrows)                 # (nc, w)
-        H2 = jnp.einsum("i,ia,ib->ab", md.count, g, g)
-        return H1 - H2
+        H2 = jnp.einsum("i,ia,ib->ab", cnt, g, g)
+        return (H1 - H2).astype(eta.dtype)
     if fam == -1:
         # generic exact path for customized likelihoods: autodiff the
         # (n, n) eta-Hessian (O(n^2) — fine at customized-family scales)

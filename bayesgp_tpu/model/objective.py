@@ -14,6 +14,13 @@ from . import families
 
 
 def linear_predictor(W, md):
+    if families.mixed_naxis(md):
+        # f64 (n, w) matmul over the observation axis is a TPU compile
+        # landmine (see families._nax); the f32 MXU product costs
+        # ~1e-7 relative eta noise, inside the mixed-precision
+        # contract of these families' likelihood work
+        return (md.A.astype(jnp.float32)
+                @ W.astype(jnp.float32)).astype(W.dtype)
     return md.A @ W
 
 
