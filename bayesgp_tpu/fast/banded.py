@@ -530,7 +530,10 @@ class BandedBackend:
 
     def _tail_prior_mat(self, theta):
         """Hd_prior(theta) = diag + sum_r e^{th_r} P_r (q, q)."""
-        Hd = jnp.diag(self.prior_diag_tail)
+        # eye-product, not jnp.diag: diag(v) lowers to stablehlo.scatter
+        # (a TPU compile landmine, duplicated per traced copy)
+        Hd = self.prior_diag_tail * jnp.eye(
+            self.prior_diag_tail.shape[0], dtype=self.dtype)
         for tb in self.tail_terms:
             blk = jnp.exp(theta[tb.theta_idx]) * jnp.asarray(tb.P, self.dtype)
             Hd = Hd.at[tb.offset:tb.offset + tb.size,

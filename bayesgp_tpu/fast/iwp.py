@@ -42,9 +42,16 @@ LOG2PI = math.log(2.0 * math.pi)
 # at headline scale (93% of the 63 MB StableHLO was constant payloads —
 # slower cold compile, cache hashing and transfer), and (b) pins them
 # replicated, defeating observation-axis sharding
-# (parallel/data_sharded.py). O(d)-sized state stays in the closure:
-# constants are exactly the intended placement there.
-_LIFT_SELF = ("valsT", "start", "XFpT")
+# (parallel/data_sharded.py). Round-15 addition: the O(d q)/O(q^2)
+# tail/prior blocks (Z0, PZ0, Z0PZ0, P_band, Tdiags, ...) are lifted
+# too — StableHLO does NOT dedupe big constants across use sites, and
+# at lynx scale 17 of 22 MB StableHLO was ~40 duplicated copies of
+# these (slow cold compile AND a proportionally slow per-process
+# executable load through the tunnel, which scales with program size).
+# Only truly small / host-consumed-at-trace-time state stays embedded.
+_LIFT_SELF = ("valsT", "start", "XFpT", "Z0", "PZ0", "Z0PZ0", "P_band",
+              "Tdiags", "prior_diag_tail", "prior_mean_tail",
+              "Z0PZ0_pad", "prior_diag_band")
 _LIFT_MD = ("y", "size", "cens", "ranks", "case_day", "control_days",
             "count")
 
@@ -69,6 +76,16 @@ def backend_device_args(be):
     if ck is not None:
         out["ck_D"] = ck.D
         out["ck_XFp_rows"] = ck.XFp_rows
+    # per-term penalty blocks / band masks: at small-model scale these
+    # (q, q) dense penalties dominated the program as duplicated
+    # constants (41 copies of the (114, 114) IID identity at lynx
+    # scale, round 15)
+    for i, tb in enumerate(getattr(be, "tail_terms", ()) or ()):
+        if _liftable(getattr(tb, "P", None)):
+            out[f"tt{i}_P"] = tb.P
+    for i, bt in enumerate(getattr(be, "band_terms", ()) or ()):
+        if _liftable(getattr(bt, "mask", None)):
+            out[f"bt{i}_mask"] = bt.mask
     return out
 
 
@@ -84,6 +101,18 @@ def backend_rebind(be, arrs):
     if ck is not None and "ck_D" in arrs:
         kw["chunks"] = _dcs.replace(ck, D=arrs["ck_D"],
                                     XFp_rows=arrs["ck_XFp_rows"])
+    tts = getattr(be, "tail_terms", ()) or ()
+    if any(f"tt{i}_P" in arrs for i in range(len(tts))):
+        kw["tail_terms"] = tuple(
+            _dcs.replace(tb, P=arrs[f"tt{i}_P"])
+            if f"tt{i}_P" in arrs else tb
+            for i, tb in enumerate(tts))
+    bts = getattr(be, "band_terms", ()) or ()
+    if any(f"bt{i}_mask" in arrs for i in range(len(bts))):
+        kw["band_terms"] = tuple(
+            _dcs.replace(bt, mask=arrs[f"bt{i}_mask"])
+            if f"bt{i}_mask" in arrs else bt
+            for i, bt in enumerate(bts))
     return _dcs.replace(be, **kw)
 
 
@@ -608,7 +637,11 @@ class FastIWPBackend(_JitCacheMixin):
         if self.q:
             Hd = (self._gram64(self.XFpT * wts[None, :], self.XFpT)
                   + jnp.exp(theta[0]) * self.Z0PZ0
-                  + jnp.diag(self.prior_diag_tail))
+                  # eye-product, not jnp.diag: diag(v) lowers to a
+                  # stablehlo.scatter (TPU compile landmine)
+                  + self.prior_diag_tail * jnp.eye(
+                      self.prior_diag_tail.shape[0],
+                      dtype=self.prior_diag_tail.dtype))
             sd = jax.lax.rsqrt(jnp.diagonal(Hd))
             Hd = Hd * sd[:, None] * sd[None, :]
         else:

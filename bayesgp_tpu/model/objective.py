@@ -78,7 +78,9 @@ def prior_precision(theta, md, dtype=None):
     if md.xf_count:
         diag = jax.lax.dynamic_update_slice(
             diag, md.bf_prec.astype(dtype), (off,))
-    return Q + jnp.diag(diag)
+    # eye-product, not jnp.diag: diag(v) lowers to stablehlo.scatter
+    # (TPU compile landmine, duplicated per traced copy)
+    return Q + diag * jnp.eye(w, dtype=dtype)
 
 
 def hessian_W(W, theta, md):

@@ -119,6 +119,12 @@ def load(sig, prog_key, args):
         return None
 
 
+def _debug(msg):
+    if os.environ.get("BAYESGP_PROG_CACHE_DEBUG"):
+        import sys
+        print(f"# prog_cache: {msg}", file=sys.stderr, flush=True)
+
+
 def store(sig, prog_key, args, compiled):
     if not enabled():
         return
@@ -126,6 +132,7 @@ def store(sig, prog_key, args, compiled):
         from jax.experimental import serialize_executable as se
         blob = pickle.dumps(se.serialize(compiled))
         if len(blob) > max_bytes():
+            _debug(f"store skipped: {len(blob)/2**20:.0f} MB > cap")
             return
         d = cache_dir()
         os.makedirs(d, exist_ok=True)
@@ -135,8 +142,8 @@ def store(sig, prog_key, args, compiled):
             f.write(blob)
         os.replace(tmp, path)
         stats["stores"] += 1
-    except Exception:
-        pass
+    except Exception as e:                      # noqa: BLE001
+        _debug(f"store failed: {type(e).__name__}: {e}")
 
 
 def get_or_compile(jfn, sig, prog_key, args):
@@ -151,7 +158,8 @@ def get_or_compile(jfn, sig, prog_key, args):
     stats["misses"] += 1
     try:
         exe = jfn.lower(*args).compile()
-    except Exception:
+    except Exception as e:                      # noqa: BLE001
+        _debug(f"lower/compile failed: {type(e).__name__}: {e}")
         return jfn, "jit"          # lowering path quirk: plain jit
     store(sig, prog_key, args, exe)
     return exe, "compiled"
