@@ -1649,7 +1649,14 @@ def build_fused_opt_nd(backend, s: int, tol: float = 1e-9,
             # boot: the cautious init the host path uses (eye / |g|max)
             H2 = jnp.where(
                 boot, eye / jnp.maximum(jnp.max(jnp.abs(g_t)), 1.0), H2)
-            improved = (c["f"] - f_t) > f_eps * (1.0 + jnp.abs(c["f"]))
+            # improvement must clear the SAME noise band the acceptance
+            # test tolerates (10x f_eps): with the bare f_eps band the
+            # f32 value noise (~6e-3 at |f|~2e4) randomly resets the
+            # stall counter, `soft` never fires, and every dispatch
+            # burns max_iter then re-segments — measured 11.9 s steady
+            # on gauss2 (60/60 iterations even warm-started AT the
+            # mode, |g| noise floor 4.1)
+            improved = (c["f"] - f_t) > 10.0 * f_eps * (1.0 + jnp.abs(c["f"]))
             stall2 = jnp.where(ok & improved, 0,
                                jnp.where(ok, c["stall"] + 1, c["stall"]))
             alpha2 = jnp.where(ok, jnp.asarray(1.0, dtype),
