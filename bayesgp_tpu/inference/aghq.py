@@ -1569,6 +1569,8 @@ def build_fused_opt_nd(backend, s: int, tol: float = 1e-9,
               "alpha": jnp.asarray(1.0, dtype) + z,
               "stall": jnp.asarray(0),
               "rst": jnp.asarray(0),
+              "fbest": jnp.asarray(jnp.inf, dtype) + z,
+              "age": jnp.asarray(0),
               "done": z > jnp.asarray(1.0, dtype),
               "it": jnp.asarray(0)}
 
@@ -1667,7 +1669,18 @@ def build_fused_opt_nd(backend, s: int, tol: float = 1e-9,
             st2 = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(ok, a, b), st_t, c["state"])
             gmax2 = jnp.max(jnp.abs(g2))
-            soft = ((stall2 >= 2) | (alpha2 < 1e-6)
+            # BEST-f staleness: the incumbent f is NOT monotone (the
+            # acceptance band admits +10 f_eps noise drifts, after
+            # which noise "improvements" reset the stall counter
+            # forever — measured: gauss2 burns all 60 iterations with
+            # a bit-stable trajectory whatever the stall thresholds).
+            # Track the best value ever seen; 12 iterations without
+            # beating it is stationarity at this noise level.
+            improved_best = f2 < c["fbest"] - 10.0 * f_eps * (
+                1.0 + jnp.abs(c["fbest"]))
+            fbest2 = jnp.minimum(c["fbest"], f2)
+            age2 = jnp.where(improved_best, 0, c["age"] + 1)
+            soft = ((stall2 >= 2) | (alpha2 < 1e-6) | (age2 >= 12)
                     | (dec < 1e-13 * (1.0 + jnp.abs(f2))))
             # a soft exit (stall/backoff) with a LARGE remaining
             # gradient is premature — f32 noise rejections in flat
@@ -1675,22 +1688,23 @@ def build_fused_opt_nd(backend, s: int, tol: float = 1e-9,
             # (measured round 14: exit at |g|=72 on the s=3 two-smooth
             # model, 13 nats above the mode). Restart in-loop instead:
             # fresh cautious curvature + full step; max_iter bounds it.
-            # ...but CAPPED: a healthy fit whose f32 gradient noise
-            # floor sits above the 1e-4*(1+|f|) band (e.g. Gaussian
-            # n=1e5: |f|~2e4 puts the band at ~2 while |g|'s noise
-            # floor is larger) would otherwise restart forever, read
-            # as "exhausted" upstream, and trigger all 6 segment
-            # re-dispatches — measured 1.84 -> 11.7 s on the gauss2
-            # config this round. Sick starts (the round-14 two-smooth
-            # case) escape within a few restarts; 4 per dispatch plus
-            # the segment loop upstream preserves that headroom.
-            big_g = gmax2 >= 1e-4 * (1.0 + jnp.abs(f2))
-            done = (gmax2 < tol) | (soft & (~big_g | (c["rst"] >= 4)))
-            restart = soft & big_g & (c["rst"] < 4)
+            # ...restart only where the NEWTON DECREMENT says real
+            # descent remains (scale-free stationarity: dec ~ the
+            # expected next decrease; compare against the noise band).
+            # The round-14 |g|-based gate (1e-4*(1+|f|)) is mis-scaled
+            # for families whose gradient noise floor is large (gauss2
+            # n=1e5: |g| floor ~1e2 at the true mode, |f|~2e4 band ~2
+            # -> restarted forever, read as "exhausted", re-segmented:
+            # measured 1.84 -> 11.9 s steady). The sick s=3 two-smooth
+            # start has dec ~ |g| ~ 70 >> band — still restarts.
+            big_dec = dec >= 1e3 * f_eps * (1.0 + jnp.abs(f2))
+            done = (gmax2 < tol) | (soft & (~big_dec | (c["rst"] >= 4)))
+            restart = soft & big_dec & (c["rst"] < 4)
             H2 = jnp.where(restart,
                            eye / jnp.maximum(gmax2, 1.0), H2)
             alpha2 = jnp.where(restart, jnp.asarray(1.0, dtype), alpha2)
             stall2 = jnp.where(restart, 0, stall2)
+            age2 = jnp.where(restart, 0, age2)
             rst2 = jnp.where(restart, c["rst"] + 1, c["rst"])
             # boot's zero step has dec = 0 — only the gradient test
             # applies there (matches the host loop's entry condition)
@@ -1702,7 +1716,8 @@ def build_fused_opt_nd(backend, s: int, tol: float = 1e-9,
             done = jnp.logical_and(done, jnp.isfinite(f2))
             return {"th": th2, "f": f2, "g": g2, "state": st2,
                     "Hinv": H2, "alpha": alpha2, "stall": stall2,
-                    "rst": rst2, "done": done, "it": c["it"] + 1}
+                    "rst": rst2, "fbest": fbest2, "age": age2,
+                    "done": done, "it": c["it"] + 1}
 
         c = jax.lax.while_loop(cond, body, c0)
         mode, st = c["th"], c["state"]

@@ -13,13 +13,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-# Persistent compile cache: identical programs (same model constants)
-# recompile across test sessions otherwise — a large share of the
-# ~1h15 suite wall-clock on this one-core host.
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), "..",
-                               ".jax_cache_cpu"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+# NO persistent compile cache on the CPU test path (round 15): XLA:CPU
+# deserialization of a persisted executable SIGSEGVs reproducibly (the
+# same landmine that keeps utils/prog_cache CPU-gated). This became
+# live when backend-array lifting made same-shape programs
+# byte-identical across tests — the resulting disk-cache hits crashed
+# the suite inside jax's _cache_read. Costs recompiles across test
+# sessions; correctness over speed.
 # Caller-independent cache keys: Pallas kernel payloads embed full
 # Python tracebacks otherwise, so the same program hashes differently
 # per calling context (see bayesgp_tpu/utils/compile_cache.py)
