@@ -27,6 +27,18 @@ jax.config.update("jax_include_full_tracebacks_in_locations", False)
 
 import pytest  # noqa: E402
 
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_xla_cpu_state():
+    """XLA:CPU segfaults after enough distinct compiled executables
+    accumulate in one process (reproducible ~30 tests into the
+    banded-heavy 4-file suite, in backend_compile_and_load, with RAM
+    free and the persistent cache disabled; each file passes alone).
+    Dropping jax's in-memory caches at module boundaries bounds that
+    state; within-module cache reuse keeps the suite fast."""
+    yield
+    jax.clear_caches()
+
 # --- smoke tier -------------------------------------------------------
 # One representative path through every subsystem, <10 min total on the
 # 1-core host (the full suite is ~1h15). Curated here rather than as
