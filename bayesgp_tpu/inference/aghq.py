@@ -226,8 +226,9 @@ class DenseBackend(JitCacheMixin):
     def rebind(self, arrs):
         import dataclasses as _dcs
         md2 = _dcs.replace(self.md,
-                           **{k[3:]: v for k, v in arrs.items()})
-        return DenseBackend(md2)
+                           **{k[3:]: v for k, v in arrs.items()
+                              if k.startswith("md_")})
+        return type(self)(md2)
 
     def signature_fields(self):
         return (self.md,)
@@ -1676,8 +1677,13 @@ def build_fused_opt_nd(backend, s: int, tol: float = 1e-9,
             # a bit-stable trajectory whatever the stall thresholds).
             # Track the best value ever seen; 12 iterations without
             # beating it is stationarity at this noise level.
-            improved_best = f2 < c["fbest"] - 10.0 * f_eps * (
-                1.0 + jnp.abs(c["fbest"]))
+            # (guard: fbest starts at +inf; inf - inf = NaN would make
+            # improved_best False on the very first real evaluation)
+            thr_best = jnp.where(
+                jnp.isfinite(c["fbest"]),
+                c["fbest"] - 10.0 * f_eps * (1.0 + jnp.abs(c["fbest"])),
+                jnp.asarray(jnp.inf, f2.dtype))
+            improved_best = f2 < thr_best
             fbest2 = jnp.minimum(c["fbest"], f2)
             age2 = jnp.where(improved_best, 0, c["age"] + 1)
             soft = ((stall2 >= 2) | (alpha2 < 1e-6) | (age2 >= 12)
@@ -2094,7 +2100,19 @@ def aghq_fit(md_or_backend, k: int = 4, theta0=None, verbose=False,
 
     if s == 1 and getattr(backend, "supports_fused_1d", False):
         # single-dispatch fused fit (fast backends): optimize + adapt +
-        # node evaluation (+ optional posterior draws) in one program
+        # node evaluation (+ optional posterior draws) in one program.
+        # Refit warm-start (roofline lever #1): the fit is iteration-
+        # count bound (~175 of 344 ms is the secant/Newton march from
+        # theta0=0 to the mode ~14 at headline scale); a SECOND fit of
+        # the same backend starts at the incumbent mode, so the march
+        # collapses to bracket + polish. theta0 is a runtime jit
+        # argument — no recompile. OPT-IN (backend.warm_start = True):
+        # a warm-started refit converges to the same mode only up to
+        # the optimizer's own stopping resolution (measured: d_mode
+        # ~5e-3, d_lognormconst ~1e-4 on CPU f64), so the default
+        # stays bit-reproducible for repeated fits.
+        if theta0 is None and getattr(backend, "warm_start", False):
+            theta0 = getattr(backend, "_warm_theta0", None)
         th0 = 0.0 if theta0 is None else float(np.atleast_1d(theta0)[0])
         fuse_sample = (sample is not None
                        and hasattr(backend, "sample_traceable"))
@@ -2115,6 +2133,8 @@ def aghq_fit(md_or_backend, k: int = 4, theta0=None, verbose=False,
                       nodes=nodes, logw=logw, lognll=np.asarray(nlls),
                       lognormconst=lognormconst, states=states, k=k,
                       backend=backend)
+        if np.all(np.isfinite(mode)):
+            backend._warm_theta0 = float(mode[0])
         fit.presampled = presampled
         fit.prepredicted = prepredicted
         fit.marginals = [marginal_posterior(fit, backend, 0)]

@@ -93,10 +93,13 @@ def newton_solve(theta, md, W0=None, gtol=1e-8, max_iter=100):
         # scale-free stall counter (3 consecutive iterations with
         # relative f progress below ~eps_f32) bounds the loop instead
         # of burning max_iter noise-level iterations per Laplace eval
+        # f is CARRIED in the state (the value at the current W) so
+        # cond reuses it instead of re-evaluating the full objective —
+        # while_loop cond/body don't CSE, so an uncarried f costs one
+        # extra O(n) objective pass per Newton iteration.
         def cond(state):
-            W, it, f_prev, stalls = state
+            W, it, f, stalls = state
             g, _, dec = _newton_direction(W, theta, md)
-            f = neg_log_post(W, theta, md)
             not_done = jnp.logical_and(
                 jnp.max(jnp.abs(g)) > gtol,
                 dec > 1e-7 * (1.0 + jnp.abs(f)))
@@ -113,7 +116,7 @@ def newton_solve(theta, md, W0=None, gtol=1e-8, max_iter=100):
 
         W, _, _, _ = jax.lax.while_loop(
             cond, body,
-            (W0, 0, jnp.asarray(jnp.inf, W0.dtype), 0))
+            (W0, 0, neg_log_post(W0, theta, md), 0))
         return W
 
     def cond(state):

@@ -164,9 +164,19 @@ def _run_bench():
     fit = run_fit(backend)
     first_s = time.time() - t0
 
-    t0 = time.time()
-    fit = run_fit(backend)
-    fit_s = time.time() - t0
+    # Variance-aware steady protocol (round-5): the tunnel shows ±20%
+    # run-to-run weather (BENCH_NOTES round 15 item 2 — 0.31..0.38 s
+    # same code), so ONE sample cannot distinguish a real regression
+    # from noise. Take 5 steady samples; report the MEDIAN as the
+    # value, with min and spread alongside for the record.
+    samples = []
+    for i in range(5):
+        t0 = time.time()
+        fit = run_fit(backend)
+        samples.append(time.time() - t0)
+        print(f"# steady sample {i}: {samples[-1]:.4f}s",
+              file=sys.stderr, flush=True)
+    fit_s = float(np.median(samples))
 
     ok = np.isfinite(fit.lognormconst) and np.all(np.isfinite(fit.mode))
     target = 1.0
@@ -175,10 +185,15 @@ def _run_bench():
         "value": round(fit_s, 4),
         "unit": "s",
         "vs_baseline": round(target / fit_s, 3),
+        "median_of": len(samples),
+        "min": round(min(samples), 4),
+        "max": round(max(samples), 4),
+        "samples": [round(s, 4) for s in samples],
     }
     print(json.dumps(result), flush=True)
     print(f"# device={jax.devices()[0].device_kind} build={build_s:.2f}s "
-          f"first(compile)={first_s:.2f}s steady={fit_s:.4f}s "
+          f"first(compile)={first_s:.2f}s steady_median={fit_s:.4f}s "
+          f"spread=[{min(samples):.4f},{max(samples):.4f}] "
           f"mode={np.asarray(fit.mode).tolist()} "
           f"lognormconst={fit.lognormconst:.4f} finite={bool(ok)}",
           file=sys.stderr)

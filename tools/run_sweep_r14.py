@@ -81,6 +81,11 @@ def run_one(key, watchdog, out):
     elif rc != 0 and n == 0:
         out.write(json.dumps({"metric": key, "value": -1, "unit": "s",
                               "error": f"subprocess rc={rc}"}) + "\n")
+    elif rc != 0:
+        # partial completion: some metrics landed, then the config
+        # crashed — annotate so triage can tell it from a clean run
+        out.write(json.dumps({"metric": key,
+                              "note": f"rc={rc} after {n} metrics"}) + "\n")
     print(f"# {key}: rc={rc} metrics={n} in {time.time()-t0:.0f}s",
           flush=True)
 
