@@ -56,9 +56,37 @@ import jax.numpy as jnp
 
 from ..model import families
 from ..linalg import block_tridiag as bt
+from ..linalg import chol_dd
 from .iwp import FastIWPBackend, build_fast_iwp, _JitCacheMixin
 
 LOG2PI = math.log(2.0 * math.pi)
+
+
+# --- dense-factor routing --------------------------------------------------
+# XLA's native f64 cholesky/triangular-solve lower to per-column
+# while-loops of emulated-f64 ops on TPU; at (dpad + qf) ~ 2000 the
+# program CRASHES the v5-lite worker (CLAUDE.md fact 17 — the bigiid
+# k=2000 + q=1e4 composite had no viable engine). Above the
+# chol_dd.use_dd_dense threshold the factor/solves run the blocked
+# double-float path instead: dd Pallas kernels for the sequential
+# work, f64 MXU matmuls for the O(d^3) updates (linalg/chol_dd.py).
+
+def _chol_dense(S):
+    if chol_dd.use_dd_dense(S.dtype, S.shape[-1]):
+        return chol_dd.cholesky_dd_f64(S)
+    return bt.chol_guarded(S)
+
+
+def _solve_L_dense(L, B):
+    if chol_dd.use_dd_dense(L.dtype, L.shape[-1]):
+        return chol_dd.solve_lower_blocked(L, B)
+    return bt._solve_L(L, B)
+
+
+def _solve_Lt_dense(L, B):
+    if chol_dd.use_dd_dense(L.dtype, L.shape[-1]):
+        return chol_dd.solve_lower_t_blocked(L, B)
+    return bt._solve_Lt(L, B)
 
 
 @dataclass
@@ -326,7 +354,7 @@ class ScatterIIDBackend(_JitCacheMixin):
             axis=1) * su[:, None]                        # (q, dpad+qf)
         S = M - Ks.T @ Ks
         S = 0.5 * (S + S.T)
-        L = bt.chol_guarded(S)
+        L = _chol_dense(S)
         return L, Dvec, Ks, su, svt
 
     def half_logdet_H(self, factor):
@@ -342,8 +370,8 @@ class ScatterIIDBackend(_JitCacheMixin):
         gvt = jnp.concatenate([gV, gt]) * svt
         gus = gu * su
         rhs = gvt - Ks.T @ gus
-        y = bt._solve_L(L, rhs[:, None])
-        zvt = bt._solve_Lt(L, y)[:, 0]
+        y = _solve_L_dense(L, rhs[:, None])
+        zvt = _solve_Lt_dense(L, y)[:, 0]
         zus = gus - Ks @ zvt
         zvt = zvt * svt
         zu = zus * su
@@ -354,7 +382,7 @@ class ScatterIIDBackend(_JitCacheMixin):
         """x = S~ L^{-T}-style draw with cov H^{-1} (see module doc)."""
         L, Dvec, Ks, su, svt = factor
         zvt = jnp.concatenate([zv, zt])
-        xvt = bt._solve_Lt(L, zvt[:, None])[:, 0]
+        xvt = _solve_Lt_dense(L, zvt[:, None])[:, 0]
         xu = zu * su - (Ks @ xvt) * su
         xvt = xvt * svt
         dpad = self.core.dpad
@@ -364,7 +392,7 @@ class ScatterIIDBackend(_JitCacheMixin):
         """(dpad, M), (q, M), (qf, M) noise -> correlated draws."""
         L, Dvec, Ks, su, svt = factor
         Zvt = jnp.concatenate([Zv, Zt], axis=0)
-        Xvt = bt._solve_Lt(L, Zvt)
+        Xvt = _solve_Lt_dense(L, Zvt)
         Xu = Zu * su[:, None] - (Ks @ Xvt) * su[:, None]
         Xvt = Xvt * svt[:, None]
         dpad = self.core.dpad

@@ -58,6 +58,10 @@ from . import dd
 B = 128          # block size = one lane tile
 _F0 = np.float32(0.0)
 
+# Tests set this True (with a monkeypatched use_dd_dense) to run the
+# dd path end-to-end on CPU through the Pallas interpreter.
+INTERPRET_DEFAULT = False
+
 
 # ---------------------------------------------------------------------------
 # kernel 1: dense dd Cholesky of one (B, B) block
@@ -240,25 +244,38 @@ def _blocks(d):
 
 def _factor_block(Akk, interpret):
     hi, lo = dd.from_f64(Akk.astype(jnp.float64))
-    Lth, Ltl = factor_block_fn(interpret)(hi, lo)
+    Lth, Ltl = factor_block_fn(interpret or INTERPRET_DEFAULT)(hi, lo)
     return Lth, Ltl
 
 
 def _block_solve_lower(Ltkk, Bmat, interpret):
     """X = Lkk^{-1} Bmat for (B, r) f64 Bmat (r multiple of 128)."""
     bh, bl = dd.from_f64(Bmat.astype(jnp.float64))
-    Xh, Xl = solve_lower_fn(Bmat.shape[1], interpret)(
+    Xh, Xl = solve_lower_fn(Bmat.shape[1],
+                            interpret or INTERPRET_DEFAULT)(
         Ltkk[0], Ltkk[1], bh, bl)
     return dd.to_f64((Xh, Xl))
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def cholesky_dd_f64(A, interpret: bool = False):
     """Lower Cholesky of an SPD f64 (d, d) matrix; returns L f64.
 
     Blocked right-looking: dd Pallas kernels for the (128, 128)
     diagonal factors and panel solves, f64 MXU matmuls for the O(d^3)
     trailing updates. The per-step Python loop unrolls (~d/128 steps)
-    into one traced program; shapes are static and shrink per step."""
+    into one traced program; shapes are static and shrink per step.
+
+    Differentiable: a custom VJP implements the standard Cholesky
+    pullback (Murray 2016) with the blocked dd solves — Pallas kernels
+    themselves are never differentiated. Callers that differentiate a
+    log-det through this factor (scatter_iid._laplace_value in the
+    implicit-function bwd) get the same cotangents as
+    jnp.linalg.cholesky to dd accuracy."""
+    return _cholesky_dd_impl(A, interpret)
+
+
+def _cholesky_dd_impl(A, interpret):
     d = A.shape[0]
     nb, dp = _blocks(d)
     S = _pad_spd(A.astype(jnp.float64), dp)
@@ -283,6 +300,25 @@ def cholesky_dd_f64(A, interpret: bool = False):
             [jnp.zeros((lo, B), jnp.float64), col], axis=0))
     L = jnp.concatenate(Lcols, axis=1)
     return L[:d, :d]
+
+
+def _chol_fwd(A, interpret):
+    L = _cholesky_dd_impl(A, interpret)
+    return L, L
+
+
+def _chol_bwd(interpret, L, Lbar):
+    """A_bar = (S + S^T)/2 with S = L^{-T} Phi(L^T Lbar) L^{-1},
+    Phi = tril with halved diagonal (Murray 2016, eq. 8)."""
+    W = L.T @ Lbar                                        # f64 MXU
+    P = jnp.tril(W) - 0.5 * jnp.tril(jnp.triu(W))         # Phi(W)
+    Y = solve_lower_t_blocked(L, P, interpret)            # L^{-T} P
+    St = solve_lower_t_blocked(L, Y.T, interpret)         # L^{-T} Y^T
+    S = St.T                                              # Y L^{-1}
+    return (0.5 * (S + S.T),)
+
+
+cholesky_dd_f64.defvjp(_chol_fwd, _chol_bwd)
 
 
 def _pad_rhs(Bmat, dp, rp):

@@ -121,19 +121,36 @@ def _coxph_static(md):
     return wts
 
 
+def _sum_hp(x):
+    """Observation-axis likelihood sum. On TPU (f32 n-axis work) a
+    plain f32 jnp.sum over n ~ 1e5 O(1..1e2) terms carries O(0.01..1)
+    absolute accumulation error — which `model_fit_loop` then
+    EXPONENTIATES as lognormconst differences across grid points
+    (reference R/02_model_fit.R:771-776), so nats of node-value noise
+    make grid posteriors garbage (VERDICT r4 #5, gauss2 ±4-nat pit).
+    Route through the split-f32 two-level accumulator (~1e-8 over
+    1e5-long contractions). Applies only to f32 summands (the fast
+    backends' n-axis compute dtype): CPU and the dense f64 TPU path
+    keep the exact jnp.sum ordering — golden f64 values are
+    bit-preserved."""
+    if jax.default_backend() == "tpu" and x.dtype == jnp.float32:
+        return _acc_sum(x)
+    return jnp.sum(x)
+
+
 def log_lik(eta, md, theta):
     fam = md.family
     y = md.y
     if fam == 0:    # Gaussian; sigma = exp(-theta_last/2) (BayesGP.cpp:159-161)
         sigma = jnp.exp(-0.5 * theta[-1])
-        return jnp.sum(-0.5 * jnp.log(2 * jnp.pi) - jnp.log(sigma)
+        return _sum_hp(-0.5 * jnp.log(2 * jnp.pi) - jnp.log(sigma)
                        - 0.5 * ((y - eta) / sigma) ** 2)
     if fam == 1:    # Poisson log link (BayesGP.cpp:163-165)
-        return jnp.sum(y * eta - jnp.exp(eta) - gammaln(y + 1.0))
+        return _sum_hp(y * eta - jnp.exp(eta) - gammaln(y + 1.0))
     if fam == 2:    # Binomial logit, dbinom_robust (BayesGP.cpp:166-168)
         size = md.size
         lchoose = gammaln(size + 1.0) - gammaln(y + 1.0) - gammaln(size - y + 1.0)
-        return jnp.sum(lchoose + y * eta - size * jax.nn.softplus(eta))
+        return _sum_hp(lchoose + y * eta - size * jax.nn.softplus(eta))
     if fam == 3:    # Cox PH partial likelihood (BayesGP.cpp:170-194)
         # data pre-sorted by response; risk set of i = suffix from rank_i - 1
         e = _nax(eta)                        # f32 n-axis work on TPU

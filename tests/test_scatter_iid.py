@@ -209,3 +209,32 @@ def test_large_q_scattered_smoke():
     assert np.isfinite(fit.lognormconst)
     # mode components: smoothing + IID precision both finite and sane
     assert -5.0 < fit.mode[be.iid_theta] < 15.0
+
+
+def test_dd_dense_factor_parity(monkeypatch):
+    """The blocked double-float dense factor (linalg/chol_dd.py) —
+    the on-chip route for (dpad + qf) >= 512 where XLA's native f64
+    cholesky crashes the v5-lite worker — produces the same nll,
+    gradients, and solves as the native path (forced on CPU through
+    the Pallas interpreter)."""
+    from bayesgp_tpu.linalg import chol_dd
+    from bayesgp_tpu.fast import scatter_iid as si
+
+    insts, md, dmf = _model(n=1500, k=20, q=40)
+    bf = np.full(1, 0.01)
+    be = build_scatter_iid(insts, md, dmf, bf, np.zeros(1))
+    th = jnp.asarray([0.4, -0.3], be.dtype)
+
+    v0 = float(be.nll(th))
+    g0 = np.asarray(jax.grad(lambda t: be.nll(t))(th))
+
+    monkeypatch.setattr(chol_dd, "INTERPRET_DEFAULT", True)
+    monkeypatch.setattr(chol_dd, "use_dd_dense",
+                        lambda dtype, dim: dtype in (jnp.float64,
+                                                     np.float64))
+    be2 = build_scatter_iid(insts, md, dmf, bf, np.zeros(1))
+    v1 = float(be2.nll(th))
+    g1 = np.asarray(jax.grad(lambda t: be2.nll(t))(th))
+
+    assert abs(v1 - v0) < 1e-7 * max(1.0, abs(v0)), (v0, v1)
+    np.testing.assert_allclose(g1, g0, rtol=1e-6, atol=1e-6)
