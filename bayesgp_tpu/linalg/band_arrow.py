@@ -37,6 +37,7 @@ import jax.numpy as jnp
 
 from . import band_kernels as bk
 from . import block_tridiag as btl
+from . import chol_dd
 from . import chol_kernels as ck
 from . import dd
 
@@ -101,6 +102,12 @@ def small_chol(S):
     q = S.shape[0]
     if q == 0:
         return S
+    if chol_dd.use_dd_dense(S.dtype, q):
+        # large dense tails: XLA's native f64 cholesky CRASHES the
+        # v5-lite worker from q ~ 300 (round-13/15 landmine) — route
+        # through the blocked double-float factor (pivots clamp
+        # in-kernel, so no jitter escalation needed)
+        return chol_dd.cholesky_dd_f64(S)
     if _native_tail(q):
         return _chol_jittered(jnp.linalg.cholesky, S)
     m = _pad_dim(q)
@@ -116,6 +123,8 @@ def small_solve_L(L, b):
     q = L.shape[0]
     if q == 0:
         return b
+    if chol_dd.use_dd_dense(L.dtype, q):
+        return chol_dd.solve_lower_blocked(L, b)
     if _native_tail(q):
         return jax.scipy.linalg.solve_triangular(L, b, lower=True)
     m = _pad_dim(q)
@@ -130,6 +139,8 @@ def small_solve_Lt(L, b):
     q = L.shape[0]
     if q == 0:
         return b
+    if chol_dd.use_dd_dense(L.dtype, q):
+        return chol_dd.solve_lower_t_blocked(L, b)
     if _native_tail(q):
         return jax.scipy.linalg.solve_triangular(L, b, trans="T",
                                                  lower=True)

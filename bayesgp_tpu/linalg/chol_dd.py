@@ -395,4 +395,8 @@ def use_dd_dense(dtype, dim: int) -> bool:
         return False
     if jax.default_backend() == "cpu":
         return False
-    return dim >= 512
+    # crash class observed from q ~ 300 dense arrow tails up through
+    # the (d+qf) ~ 2009 Schur factor (CLAUDE.md fact 17 + round-13
+    # landmine); native lowering is proven safe at d ~ 128 and faster
+    # to compile there
+    return dim >= 256

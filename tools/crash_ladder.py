@@ -43,7 +43,10 @@ RUNGS = [
     "f64trsm_2048",
     "f64blockchol_2048",
     "f64solve_chol_2048",
+    "ddchol_512",
+    "ddchol_1024",
     "ddchol_2048",
+    "ddsolve_2048",
 ]
 
 
@@ -114,6 +117,23 @@ def run_rung(key):
         f = jax.jit(chol_dd.cholesky_dd_f64)
         out = f(A).block_until_ready()
         chk = float(jnp.sum(jnp.diagonal(out)))
+    elif op == "ddsolve":
+        from bayesgp_tpu.linalg import chol_dd
+        import numpy as np
+        A = _spd(d, "float64")
+        Lh = np.linalg.cholesky(A)
+        b = np.ones((d, 1))
+
+        def comp(L, b):
+            y = chol_dd.solve_lower_blocked(L, b)
+            x = chol_dd.solve_lower_t_blocked(L, y)
+            return x
+        f = jax.jit(comp)
+        A = jnp.asarray(Lh)
+        bj = jnp.asarray(b)
+        out = f(A, bj).block_until_ready()
+        chk = float(jnp.sum(out))
+        L, B_ = A, bj
     else:
         raise SystemExit(f"unknown rung {key}")
     t_first = time.time() - t0
@@ -122,6 +142,8 @@ def run_rung(key):
     for _ in range(3):
         if op == "f64trsm":
             f(jnp.asarray(L), jnp.asarray(B)).block_until_ready()
+        elif op == "ddsolve":
+            f(L, B_).block_until_ready()
         elif op == "f64solve_chol":
             r = f(A, b)
             r[0].block_until_ready()
