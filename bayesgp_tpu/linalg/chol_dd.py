@@ -83,8 +83,13 @@ def _factor_block_kernel(Sh, Sl, Lth, Ltl):
 
     def body(j, S):
         Sh_, Sl_ = S
-        rowj = (jax.lax.dynamic_slice(Sh_, (j, 0), (1, B)),
-                jax.lax.dynamic_slice(Sl_, (j, 0), (1, B)))      # (1, B)
+        # row j of the carried S via sublane-masked reduce (Mosaic has
+        # no dynamic_slice lowering for VALUES, only for refs)
+        selj = sub == j                                          # (B, 1)
+        rowj = (jnp.sum(jnp.where(selj, Sh_, f0), axis=0,
+                        keepdims=True),
+                jnp.sum(jnp.where(selj, Sl_, f0), axis=0,
+                        keepdims=True))                          # (1, B)
         pv_h = jnp.sum(jnp.where(lane == j, rowj[0], f0),
                        axis=1, keepdims=True)                     # (1, 1)
         pv_l = jnp.sum(jnp.where(lane == j, rowj[1], f0),
@@ -101,7 +106,8 @@ def _factor_block_kernel(Sh, Sl, Lth, Ltl):
               jnp.where(colmask, lj[1], f0))
         # cap (essentially-singular systems under clamped pivots)
         big = jnp.abs(lj[0]) > jnp.float32(1e3)
-        lj = (jnp.clip(lj[0], -1e3, 1e3), jnp.where(big, f0, lj[1]))
+        lj = (jnp.clip(lj[0], jnp.float32(-1e3), jnp.float32(1e3)),
+              jnp.where(big, f0, lj[1]))
         Lth[pl.ds(j, 1), :] = lj[0]
         Ltl[pl.ds(j, 1), :] = lj[1]
         # symmetric column j as a sublane vector (lane-masked reduce)
@@ -116,7 +122,7 @@ def _factor_block_kernel(Sh, Sl, Lth, Ltl):
         ljT = (jnp.where(rowmask, ljT[0], f0),
                jnp.where(rowmask, ljT[1], f0))
         bigT = jnp.abs(ljT[0]) > jnp.float32(1e3)
-        ljT = (jnp.clip(ljT[0], -1e3, 1e3),
+        ljT = (jnp.clip(ljT[0], jnp.float32(-1e3), jnp.float32(1e3)),
                jnp.where(bigT, f0, ljT[1]))
         # trailing rank-1 update: S -= ljT (x) lj  (masks make the
         # update zero outside the trailing block, keeping S symmetric)
@@ -127,7 +133,11 @@ def _factor_block_kernel(Sh, Sl, Lth, Ltl):
         Sn = dd.sub((Sh_, Sl_), upd)
         return Sn
 
-    jax.lax.fori_loop(0, B, body, (Sh[...], Sl[...]))
+    # i32 loop bounds: an i64 fori index (x64 default) promotes the
+    # iota comparisons to i64 vectors, whose Mosaic legalization
+    # recurses without bound (RecursionError at lowering — measured)
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(B), body,
+                      (Sh[...], Sl[...]))
 
 
 @functools.lru_cache(maxsize=None)
@@ -196,7 +206,7 @@ def _solve_lower_kernel(r, Lth, Ltl, Bh, Bl, Xh, Xl):
         return Xh_, Xl_
 
     z = jnp.zeros((B, r), jnp.float32)
-    jax.lax.fori_loop(0, B, body, (z, z))
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(B), body, (z, z))
 
 
 @functools.lru_cache(maxsize=None)
