@@ -126,14 +126,16 @@ def _debug(msg):
 
 
 def store(sig, prog_key, args, compiled):
+    """True iff the executable was serialized to disk (False routes
+    the caller to the jax.export layer instead)."""
     if not enabled():
-        return
+        return False
     try:
         from jax.experimental import serialize_executable as se
         blob = pickle.dumps(se.serialize(compiled))
         if len(blob) > max_bytes():
             _debug(f"store skipped: {len(blob)/2**20:.0f} MB > cap")
-            return
+            return False
         d = cache_dir()
         os.makedirs(d, exist_ok=True)
         path = os.path.join(d, _key(sig, prog_key, args) + ".jexe")
@@ -142,24 +144,96 @@ def store(sig, prog_key, args, compiled):
             f.write(blob)
         os.replace(tmp, path)
         stats["stores"] += 1
+        return True
     except Exception as e:                      # noqa: BLE001
         _debug(f"store failed: {type(e).__name__}: {e}")
+        return False
+
+
+def _export_disabled_checks():
+    from jax import export as jexport
+    # Pallas kernels lower to tpu_custom_call, which is not on the
+    # jax.export stability allowlist — fine here: the cache key pins
+    # jax version + platform, so there is no cross-version contract
+    return [jexport.DisabledSafetyCheck.custom_call("tpu_custom_call"),
+            jexport.DisabledSafetyCheck.custom_call(
+                "mosaic_tpu_custom_call")]
+
+
+def load_export(sig, prog_key, args):
+    """jax.export-layer hit: a callable that skips TRACE + LOWER (the
+    serialized StableHLO feeds XLA directly; the persistent compile
+    cache serves the compile). Returns None on miss/any failure."""
+    if not enabled():
+        return None
+    path = os.path.join(cache_dir(), _key(sig, prog_key, args) + ".jexp")
+    if not os.path.exists(path):
+        return None
+    try:
+        import jax as _jax
+        from jax import export as jexport
+        with open(path, "rb") as f:
+            exp = jexport.deserialize(bytearray(f.read()))
+        stats["disk_hits"] += 1
+        return _jax.jit(exp.call)
+    except Exception as e:                      # noqa: BLE001
+        _debug(f"export load failed: {type(e).__name__}: {e}")
+        try:
+            os.remove(path)
+        except OSError:
+            pass
+        return None
+
+
+def store_export(jfn, sig, prog_key, args):
+    """Serialize the traced/lowered function (jax.export). ~StableHLO
+    size (MBs after constant lifting) — the layer that serves programs
+    whose compiled executables exceed the size cap (445-559 MB at
+    lynx/headline scale: reloading those through the tunnel measured
+    SLOWER than the trace+lower they replace, BENCH_NOTES round 15)."""
+    if not enabled():
+        return
+    try:
+        from jax import export as jexport
+        exp = jexport.export(
+            jfn, disabled_checks=_export_disabled_checks())(*args)
+        blob = exp.serialize()
+        if len(blob) > max_bytes():
+            _debug(f"export store skipped: {len(blob)/2**20:.0f} MB")
+            return
+        d = cache_dir()
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, _key(sig, prog_key, args) + ".jexp")
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+        with os.fdopen(fd, "wb") as f:
+            f.write(bytes(blob))
+        os.replace(tmp, path)
+        stats["stores"] += 1
+    except Exception as e:                      # noqa: BLE001
+        _debug(f"export store failed: {type(e).__name__}: {e}")
 
 
 def get_or_compile(jfn, sig, prog_key, args):
-    """Executable for jfn at `args`: disk hit, else lower+compile+store.
-    Returns (callable, 'disk'|'compiled'). Falls back to the plain
-    jitted callable on ANY serialization failure."""
+    """Executable for jfn at `args`: exe disk hit, else export-layer
+    hit (skips trace+lower, compile served by the persistent cache),
+    else lower+compile+store. Small executables serialize whole; big
+    ones store the jax.export artifact instead. Returns (callable,
+    'disk'|'export'|'compiled'). Falls back to the plain jitted
+    callable on ANY serialization failure."""
     if not usable():
         return jfn, "jit"
     exe = load(sig, prog_key, args)
     if exe is not None:
         return exe, "disk"
+    expfn = load_export(sig, prog_key, args)
+    if expfn is not None:
+        return expfn, "export"
     stats["misses"] += 1
     try:
         exe = jfn.lower(*args).compile()
     except Exception as e:                      # noqa: BLE001
         _debug(f"lower/compile failed: {type(e).__name__}: {e}")
         return jfn, "jit"          # lowering path quirk: plain jit
-    store(sig, prog_key, args, exe)
+    if not store(sig, prog_key, args, exe):
+        store_export(jfn, sig, prog_key, args)
     return exe, "compiled"

@@ -145,3 +145,49 @@ def test_fresh_process_reuses_executable_tpu(tmp_path):
     assert out[1]["stats"]["disk_hits"] > 0
     np.testing.assert_allclose(out[1]["mode"], out[0]["mode"],
                                rtol=1e-5)
+
+
+_EXPORT_SCRIPT = r"""
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+from bayesgp_tpu.utils import prog_cache as pc
+
+mode = sys.argv[1]
+x = jnp.arange(8.0)
+args = ({"w": x}, x)
+jfn = jax.jit(lambda d, v: d["w"] * v + 1.0)
+if mode == "store":
+    pc.store_export(jfn, "sigE", ("kE", 1), args)
+    print("stored", pc.stats["stores"])
+else:
+    fn = pc.load_export("sigE", ("kE", 1), args)
+    if fn is None:
+        print("miss")
+    else:
+        out = fn(*args)
+        ref = jfn(*args)
+        ok = bool(jnp.all(out == ref))
+        print("hit-exec-ok" if ok else "hit-exec-BAD")
+"""
+
+
+def test_export_layer_across_processes(tmp_path):
+    """The jax.export traced/lowered layer (the path for programs too
+    big for executable serialization): store in one process, load AND
+    EXECUTE in another — export re-compiles from StableHLO, so the CPU
+    AOT SIGSEGV class does not apply."""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["BAYESGP_PROG_CACHE_DIR"] = str(tmp_path)
+    env["BAYESGP_PROG_CACHE"] = "force"
+    r1 = subprocess.run([sys.executable, "-c", _EXPORT_SCRIPT, "store"],
+                        capture_output=True, text=True, env=env,
+                        cwd=_REPO, timeout=300)
+    assert "stored 1" in r1.stdout, (r1.stdout, r1.stderr[-500:])
+    r2 = subprocess.run([sys.executable, "-c", _EXPORT_SCRIPT, "load"],
+                        capture_output=True, text=True, env=env,
+                        cwd=_REPO, timeout=300)
+    assert "hit-exec-ok" in r2.stdout, (r2.stdout, r2.stderr[-500:])
