@@ -2140,6 +2140,12 @@ def aghq_fit(md_or_backend, k: int = 4, theta0=None, verbose=False,
         fit.marginals = [marginal_posterior(fit, backend, 0)]
         return fit
 
+    # opt-in refit warm-start for the s>1 paths (same semantics as the
+    # s=1 fused path above: theta0 stays a runtime jit argument)
+    if (s > 1 and theta0 is None
+            and getattr(backend, "warm_start", False)):
+        theta0 = getattr(backend, "_warm_theta0_nd", None)
+
     fused_nd = s > 1 and getattr(backend, "supports_fused_nd", False)
     # single-dispatch s>1: everywhere on CPU (f64 test parity); on TPU
     # for backends whose factorization programs are VMEM-safe. The
@@ -2159,6 +2165,9 @@ def aghq_fit(md_or_backend, k: int = 4, theta0=None, verbose=False,
         # restart/PD-clip logic recovers.
         fit_1 = _aghq_fit_full_nd(backend, s, k, theta0, sample)
         if fit_1 is not None:
+            if np.all(np.isfinite(fit_1.mode)):
+                backend._warm_theta0_nd = np.asarray(fit_1.mode,
+                                                     np.float64)
             return fit_1
     if fused_nd:
         # fused outer optimization: BFGS + FD Hessian in one dispatch
@@ -2255,6 +2264,8 @@ def aghq_fit(md_or_backend, k: int = 4, theta0=None, verbose=False,
                   lognll=nlls, lognormconst=lognormconst,
                   states=states, k=k, backend=backend,
                   presampled=presampled)
+    if np.all(np.isfinite(mode)):
+        backend._warm_theta0_nd = np.asarray(mode, np.float64)
     if fused_nd:
         # all s marginal grids in one dispatch (vs one per marginal)
         fit.marginals = _marginals_fused(fit, backend, warm)
