@@ -62,11 +62,37 @@ def bench_gauss2():
     t0 = time.time()
     fit = aghq_fit(be, k=4)
     dt = time.time() - t0
+    # Laplace-value noise audit (VERDICT r4 #5): model_fit_loop
+    # EXPONENTIATES lognormconst/Laplace-nll differences across grid
+    # fits (reference R/02_model_fit.R:771-776). Same-input refits are
+    # deterministic, so the honest noise proxy is WARM-STATE
+    # path-dependence: evaluate the nll at the SAME theta (the mode)
+    # from k+1 different inner-solver starting states — each converges
+    # its own f32-noise-floor W*, exactly like neighbouring grid
+    # points do. Spread in nats (pre-fix: the +-4-nat f32 pit; the
+    # split-f32 likelihood accumulation is the lever).
+    import jax as _jax
+    import jax.numpy as _jnp
+    th = _jnp.asarray(fit.mode, be.dtype)
+    vals = [float(be.nll_warm(th, be.init_state())[0])]
+    try:
+        for j in range(int(np.asarray(fit.nodes).shape[0])):
+            st_j = _jax.tree_util.tree_map(lambda a: a[j], fit.states)
+            vals.append(float(be.nll_warm(th, st_j)[0]))
+    except Exception as e:                      # noqa: BLE001
+        print(json.dumps({"metric": "gauss2_noise_audit_note",
+                          "note": f"{type(e).__name__}: {e}"[:200]}),
+              flush=True)
+    spread = float(np.max(vals) - np.min(vals))
     print(json.dumps({"metric": "gauss2_n1e5_k2000_s2_aghq_fit_seconds",
                       "value": round(dt, 4), "unit": "s",
                       "first_compile_s": round(first, 1),
                       "mode": np.asarray(fit.mode).tolist(),
                       "lognormconst": round(fit.lognormconst, 3)}),
+          flush=True)
+    print(json.dumps({"metric": "gauss2_laplace_value_noise_nats",
+                      "value": round(spread, 4), "unit": "nats",
+                      "samples": [round(v, 4) for v in vals]}),
           flush=True)
 
 
