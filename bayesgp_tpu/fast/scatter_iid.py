@@ -352,7 +352,23 @@ class ScatterIIDBackend(_JitCacheMixin):
         Ks = jnp.concatenate(
             [C_vu.T * sc[None, :], C_ut * sd[None, :]],
             axis=1) * su[:, None]                        # (q, dpad+qf)
-        S = M - Ks.T @ Ks
+        # Schur product: the q-axis contraction is the heavy op at
+        # large q — (2009, 1e4) x (1e4, 2009) is ~80 GFLOP, which the
+        # emulated f64 matmul runs at ~0.5 TFLOP/s (~160 ms PER NEWTON
+        # ITERATION at bigiid scale; a 60-iteration BFGS dispatch then
+        # blows the tunnel RPC deadline and kills the worker —
+        # tools/crash_ladder.py re-framing). Route through the
+        # split-f32 two-level accumulator (~1e-8 absolute on the
+        # unit-equilibrated entries, f32 MXU speed); the equilibrated
+        # Schur pivots are guarded downstream, and 1e-8 in S is far
+        # below the f32 likelihood noise floor of this backend. CPU
+        # keeps the exact f64 matmul (parity tests bit-preserved).
+        if jax.default_backend() == "tpu":
+            from ..linalg.band_arrow import acc_dot_d
+            KtK = acc_dot_d(Ks, Ks)
+        else:
+            KtK = Ks.T @ Ks
+        S = M - KtK
         S = 0.5 * (S + S.T)
         L = _chol_dense(S)
         return L, Dvec, Ks, su, svt
@@ -797,9 +813,17 @@ def build_scatter_iid(instances, md, design_mat_fixed, bf_prec, bf_mean,
                     codes_rel=jnp.asarray(rel, np.int32))
 
     w_ref = sum(md.d_sizes) + sum(md.x_sizes) + md.xf_count
-    return ScatterIIDBackend(
+    be = ScatterIIDBackend(
         core=core, md=md, q_iid=q_iid, iid_theta=iid_theta,
         core_theta_idx=np.asarray(keep, np.int64),
         codes=jnp.asarray(codes, np.int32), ick=ick,
         logPdet_iid=float(np.asarray(md.logPdet)[iid_i]),
         ref_perm=np.arange(w_ref))
+    # per-dispatch BFGS budget: each outer eval at large q x large
+    # (dpad+qf) is a Newton chain of ~30-50 ms Schur assemblies — cap
+    # the fused-opt dispatch length so it stays well under the tunnel
+    # RPC deadline (the worker-kill mechanism; aghq re-dispatches the
+    # same compiled program with warm state until converged)
+    if q_iid * max(core.dpad + core.q, 1) > 4_000_000:
+        be.opt_nd_max_iter = 16
+    return be

@@ -1528,7 +1528,14 @@ def build_fused_opt_nd(backend, s: int, tol: float = 1e-9,
     # by monkeypatching the module global (the exhaustion checks in
     # aghq_fit/_aghq_fit_full_nd read the same global at run time)
     if max_iter is None:
-        max_iter = _OPT_ND_MAX_ITER
+        # heavy per-iteration backends (scatter_iid at q ~ 1e4: each
+        # BFGS eval is a Newton chain of dense Schur assemblies) cap
+        # the per-dispatch budget LOWER so a single dispatch cannot
+        # run into the tunnel's RPC deadline (the worker-kill class,
+        # tools/crash_ladder.py); the host segment/restart loop
+        # re-dispatches the same compiled program with warm state
+        max_iter = getattr(backend, "opt_nd_max_iter",
+                           _OPT_ND_MAX_ITER)
     dtype = backend.dtype
     cdt = getattr(backend, "compute_dtype", dtype)
     f_eps = 1e-9 if cdt in (np.float64, jnp.float64) else 3e-7
@@ -2174,7 +2181,9 @@ def aghq_fit(md_or_backend, k: int = 4, theta0=None, verbose=False,
         if not hasattr(backend, "_fused_opt_nd"):
             backend._fused_opt_nd = _lifted_jit(
                 backend, lambda be: build_fused_opt_nd(be, s, jit=False),
-                prog_key=("optnd", s, _OPT_ND_MAX_ITER))
+                prog_key=("optnd", s,
+                          getattr(backend, "opt_nd_max_iter",
+                                  _OPT_ND_MAX_ITER)))
         th0 = (jnp.zeros((s,), backend.dtype) if theta0 is None
                else jnp.asarray(np.atleast_1d(theta0), backend.dtype))
         mode_d, H_d, warm, st_d = backend._fused_opt_nd(
@@ -2190,7 +2199,8 @@ def aghq_fit(md_or_backend, k: int = 4, theta0=None, verbose=False,
         # program costing ~30 ms. Healthy fits converge inside the
         # first segment and never loop.
         for _ in range(6):
-            exhausted = float(ostats[0]) >= _OPT_ND_MAX_ITER - 0.5
+            exhausted = float(ostats[0]) >= getattr(
+                backend, "opt_nd_max_iter", _OPT_ND_MAX_ITER) - 0.5
             okH = np.all(np.isfinite(mode)) and np.all(np.isfinite(H))
             if okH and not exhausted:
                 try:
@@ -2289,7 +2299,9 @@ def _aghq_fit_full_nd(backend, s: int, k: int, theta0, sample) -> AGHQFit:
         cache[ckey] = _lifted_jit(
             backend, lambda be: build_fused_full_nd(
                 be, s, k, sample_M=sample_M, jit=False),
-            prog_key=("fullnd",) + ckey + (_OPT_ND_MAX_ITER,))
+            prog_key=("fullnd",) + ckey + (
+                getattr(backend, "opt_nd_max_iter",
+                        _OPT_ND_MAX_ITER),))
     th0 = (jnp.zeros((s,), backend.dtype) if theta0 is None
            else jnp.asarray(np.atleast_1d(theta0), backend.dtype))
     args = (th0, backend.init_state())
@@ -2314,7 +2326,8 @@ def _aghq_fit_full_nd(backend, s: int, k: int, theta0, sample) -> AGHQFit:
     # the embedded optimizer exhausted its per-dispatch iteration
     # budget (sick cold start): fall back to the 3-dispatch flow whose
     # host loop SEGMENTS the optimization across dispatches
-    if float(np.asarray(ostats)[0]) >= _OPT_ND_MAX_ITER - 0.5:
+    if float(np.asarray(ostats)[0]) >= getattr(
+            backend, "opt_nd_max_iter", _OPT_ND_MAX_ITER) - 0.5:
         return None
     mode = np.asarray(mode, np.float64)
     H = np.asarray(H, np.float64)
