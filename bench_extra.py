@@ -524,8 +524,11 @@ def _guarded(name, fn):
     try:
         tpu_guard.run_guarded(fn)
     except tpu_guard.WorkerCrash as e:
+        cause = e.__cause__
         print(json.dumps({"metric": f"{name}", "value": -1, "unit": "s",
                           "error": str(e)[:300],
+                          "cause": (f"{type(cause).__name__}: {cause}"
+                                    [:600] if cause else None),
                           "worker_recovered": e.recovered}), flush=True)
     except Exception as e:                      # noqa: BLE001
         print(json.dumps({"metric": f"{name}", "value": -1, "unit": "s",
