@@ -819,11 +819,14 @@ def build_scatter_iid(instances, md, design_mat_fixed, bf_prec, bf_mean,
         codes=jnp.asarray(codes, np.int32), ick=ick,
         logPdet_iid=float(np.asarray(md.logPdet)[iid_i]),
         ref_perm=np.arange(w_ref))
-    # per-dispatch BFGS budget: each outer eval at large q x large
-    # (dpad+qf) is a Newton chain of ~30-50 ms Schur assemblies — cap
-    # the fused-opt dispatch length so it stays well under the tunnel
-    # RPC deadline (the worker-kill mechanism; aghq re-dispatches the
-    # same compiled program with warm state until converged)
+    # Heavy-per-eval regime (bigiid scale): one outer eval is a Newton
+    # chain of dense Schur assemblies costing SECONDS — run the outer
+    # BFGS as per-eval dispatches (prefer_host_opt). Measured
+    # (tools/bigiid_bisect.py, d+qf=2051, q=1e4): nll / grad / newton
+    # single-eval programs all pass on-chip; the 16-eval fused optnd
+    # dispatch faults the worker mid-dispatch. Per-eval dispatch
+    # overhead (~30 ms) is noise at these eval costs.
     if q_iid * max(core.dpad + core.q, 1) > 4_000_000:
-        be.opt_nd_max_iter = 16
+        be.prefer_host_opt = True
+        be.opt_nd_max_iter = 16      # belt-and-braces if fused is forced
     return be

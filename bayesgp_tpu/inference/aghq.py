@@ -2153,7 +2153,14 @@ def aghq_fit(md_or_backend, k: int = 4, theta0=None, verbose=False,
             and getattr(backend, "warm_start", False)):
         theta0 = getattr(backend, "_warm_theta0_nd", None)
 
-    fused_nd = s > 1 and getattr(backend, "supports_fused_nd", False)
+    # prefer_host_opt: heavy-per-eval backends (scatter_iid at bigiid
+    # scale) run the OUTER BFGS as per-eval dispatches — one eval costs
+    # seconds, so the ~30 ms dispatch overhead is irrelevant while a
+    # 16-eval fused dispatch measurably KILLS the v5-lite worker
+    # (tools/bigiid_bisect.py: nll/grad/newton stages all pass, the
+    # fused optnd program faults the worker mid-dispatch)
+    fused_nd = (s > 1 and getattr(backend, "supports_fused_nd", False)
+                and not getattr(backend, "prefer_host_opt", False))
     # single-dispatch s>1: everywhere on CPU (f64 test parity); on TPU
     # for backends whose factorization programs are VMEM-safe. The
     # round-13 worker crashes (s=3 two_smooths, merged-IID q=1e4) were
