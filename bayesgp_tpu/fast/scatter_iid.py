@@ -634,6 +634,35 @@ class ScatterIIDBackend(_JitCacheMixin):
         (aghq._node_eval_packed): 3-part latent + factor."""
         return st + (factor,)
 
+    def hess_warm_fn(self):
+        """Outer Hessian by central differences of the exact implicit
+        gradient (the dd dense factor's custom VJP blocks forward-mode
+        AD — same contract as FastIWPBackend.hess_warm_fn). Columns
+        dispatch from the HOST (2s separate grad calls): at bigiid
+        scale one grad eval costs seconds, and bundling 2s of them in
+        one program is exactly the long-dispatch class that kills the
+        worker (tools/bigiid_bisect.py)."""
+        if not hasattr(self, "_hessw"):
+            grad_fn = jax.jit(jax.grad(
+                lambda th, st: self.nll_warm(th, st)[0]))
+
+            def hess(theta, st):
+                s = theta.shape[0]
+                h = 1e-4 if self.compute_dtype == jnp.float64 else 0.3
+                eye = np.eye(s)
+                cols = []
+                for i in range(s):
+                    ei = jnp.asarray(h * eye[i], theta.dtype)
+                    gp = grad_fn(theta + ei, st)
+                    gm = grad_fn(theta - ei, st)
+                    cols.append(np.asarray(jax.device_get(
+                        (gp - gm))) / (2 * h))
+                H = np.stack(cols)
+                return 0.5 * (H + H.T)
+
+            self._hessw = hess
+        return self._hessw
+
     def sample_traceable(self, key, states, idx, M):
         """(M, w_ref) f32 posterior draws in reference order
         [U_drv | u_iid | betas | fixed] (which IS this backend's

@@ -2377,7 +2377,13 @@ def marginal_posterior(fit: AGHQFit, backend, j: int, warm=None):
 
     nodes_orig, mode_p, Lp = _marginal_nodes(fit, j)
     nodes_dev = jnp.asarray(nodes_orig, backend.dtype)
-    if warm is not None and getattr(backend, "supports_fused_nd", False):
+    if (warm is not None
+            and getattr(backend, "prefer_host_opt", False)
+            and hasattr(backend, "node_eval")):
+        # heavy-per-eval backends: per-node dispatches (a J-node fused
+        # dispatch is the long-dispatch worker-kill class)
+        nlls = np.asarray(backend.node_eval(nodes_dev, warm=warm)[0])
+    elif warm is not None and getattr(backend, "supports_fused_nd", False):
         # single-dispatch stateless node evals (same J as the main grid,
         # so the compiled program is reused across the s marginals)
         z, _ = product_grid(k, s)

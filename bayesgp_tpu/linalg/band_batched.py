@@ -114,7 +114,7 @@ def _bfactor_kernel(bw, G, W, R, bh, bl, Lh, Ll, misc):
         # magnitude cap — bit-identity on healthy factors (|L| <= 1);
         # see band_kernels._factor_body
         bigc = jnp.abs(Lcol[0]) > jnp.float32(1e3)
-        Lcol = (jnp.clip(Lcol[0], -1e3, 1e3),
+        Lcol = (jnp.clip(Lcol[0], jnp.float32(-1e3), jnp.float32(1e3)),
                 jnp.where(bigc, f0, Lcol[1]))
         # per-group pivot log accumulated on the group's lane 0 (other
         # lanes' "logs" are garbage and masked out before the add)

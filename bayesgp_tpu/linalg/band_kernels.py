@@ -141,11 +141,11 @@ def _factor_body(bw, W, bh, bl, ch, cl, Lh, Ll, yh, yl):
         # f32 inf, and inf - inf = NaN wipes the whole factor
         # (measured round 14 at theta=(4,4,4) on the two-smooth model)
         big = jnp.abs(Lcol[0]) > jnp.float32(1e3)
-        Lcol = (jnp.clip(Lcol[0], -1e3, 1e3),
+        Lcol = (jnp.clip(Lcol[0], jnp.float32(-1e3), jnp.float32(1e3)),
                 jnp.where(big, f0, Lcol[1]))
         ynew = dd.mul(yacc, rs)
         ybig = jnp.abs(ynew[0]) > jnp.float32(1e8)
-        ynew = (jnp.clip(ynew[0], -1e8, 1e8),
+        ynew = (jnp.clip(ynew[0], jnp.float32(-1e8), jnp.float32(1e8)),
                 jnp.where(ybig, f0, ynew[1]))
         # pivot log on the whole row (Mosaic bitcast needs vectors, not
         # scalars); only lane 0 (the clamped pivot) is read — other
