@@ -247,7 +247,17 @@ class BandedBackend:
         from ..linalg import band_arrow as _ba
         if _jax.default_backend() != "tpu":
             return True
-        return isinstance(self.engine, _ba.PallasEngine)
+        if not isinstance(self.engine, _ba.PallasEngine):
+            return False
+        # Dispatch-length budget (round-5 bisect): the s=3 wide-band
+        # full_nd program (opt + k^s nodes + s*k^s marginal nodes in
+        # ONE dispatch, ~90 ms per warm eval at Wl=12) intermittently
+        # runs past the tunnel's dispatch budget and KILLS the worker
+        # — while the segmented 60-eval optnd dispatch (5.6 s) and
+        # per-phase fused programs all survive. s <= 2 keeps the
+        # proven single-dispatch fits (gauss2/lynx class); wide-band
+        # s >= 3 takes the 3-dispatch flow.
+        return self.n_theta <= 2 or self.Wl <= 8
 
     md: Any
     drv_theta: int    # driver's theta index
