@@ -36,6 +36,7 @@ PLAN = [
     ("lynx", 1800),
     ("reps", 1500),
     ("reps_packed", 1800),
+    ("mcmc", 2400),              # leapfrogs/s (VERDICT r4 #3)
     ("scattered_iid", 3600),     # dense-tail points are crash-prone: LAST
     # coxph LAST: its on-chip XLA compile ran past 1200+150 s twice
     # this round with the host CPU idle (server-side compile, stack in
