@@ -71,14 +71,17 @@ def bench_gauss2():
     # its own f32-noise-floor W*, exactly like neighbouring grid
     # points do. Spread in nats (pre-fix: the +-4-nat f32 pit; the
     # split-f32 likelihood accumulation is the lever).
-    import jax as _jax
     import jax.numpy as _jnp
     th = _jnp.asarray(fit.mode, be.dtype)
     vals = [float(be.nll_warm(th, be.init_state())[0])]
     try:
-        for j in range(int(np.asarray(fit.nodes).shape[0])):
-            st_j = _jax.tree_util.tree_map(lambda a: a[j], fit.states)
-            vals.append(float(be.nll_warm(th, st_j)[0]))
+        # warm states from NEIGHBOURING thetas (grid spacing ~0.5-1):
+        # each perturbed eval converges its own f32-noise-floor W*,
+        # then the mode is re-evaluated FROM that state — the exact
+        # path-dependence neighbouring model_fit_loop grid points see.
+        for dth in (0.5, -0.5, 1.0, -1.0):
+            _, st_p = be.nll_warm(th + dth, be.init_state())
+            vals.append(float(be.nll_warm(th, st_p)[0]))
     except Exception as e:                      # noqa: BLE001
         print(json.dumps({"metric": "gauss2_noise_audit_note",
                           "note": f"{type(e).__name__}: {e}"[:200]}),
